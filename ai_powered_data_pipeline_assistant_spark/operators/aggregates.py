@@ -1,0 +1,228 @@
+"""Aggregation operators.
+
+Parity targets (SURVEY §2.4):
+- A1 group-by status counts: reference backend/mcp/mcp_server.py:250-256
+- A2 multi-dim counters (cube candidate): reference backend/core/monitoring.py:28-66
+- A3/A4 grouped count/avg/min/max/sum stats: reference
+  backend/core/performance_monitoring.py:104-290
+- A6 data-quality metrics (completeness/uniqueness/…): reference
+  backend/tools/data_tools.py:64-110 (mocked there; real here)
+- A7 rate-window counts: reference backend/core/guardrails.py:23-37
+
+Cross-engine float exactness: double sums depend on summation order, which
+differs between engines and between Spark partitions run-to-run. Every SUM /
+AVG over a double column is therefore computed on a fixed-point int64 view
+(`round(x * 100)` cents) and scaled back at the end — order-independent,
+bit-exact in both engines, and still fully JVM-side partial aggregation
+(map-side combine → final merge; no extra shuffle vs the naive plan).
+
+Scale notes: groupBy on low-cardinality keys is the textbook partial-agg
+case — the shuffle carries one row per (partition, key). The quality-metrics
+op aggregates a whole table to ONE row; countDistinct is the only
+shuffle-heavy part and uses a two-level exact distinct (Spark expands
+grouping sets internally). At 100 TB swap exact distinct for HLL
+(`approx_count_distinct`) — provided as `quality_metrics_approx`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: task-status breakdown ≙ orders by status."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def multidim_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: counters keyed by (server_type, tool, status) ≙ 3-dim group."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.col("event_type"),
+        (F.col("user_id") % 10).alias("user_shard"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.count("*").alias("cnt"))
+
+
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 as the natural cube: all subtotal combinations in one pass."""
+    events = load_table(spark, sf_dir, "events")
+    return events.cube(
+        F.col("event_type"), (F.col("user_id") % 5).alias("user_shard")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: per-group count / avg / min / max / sum over a metric column."""
+    events = load_table(spark, sf_dir, "events")
+    cents = _cents("value")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(cents) / F.lit(100.0), 4).alias("total_value"),
+        F.round(F.sum(cents) / (F.count("*") * F.lit(100.0)), 4).alias("avg_value"),
+        F.round(F.min(cents) / F.lit(100.0), 4).alias("min_value"),
+        F.round(F.max(cents) / F.lit(100.0), 4).alias("max_value"),
+    )
+
+
+def quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: real data-quality metrics over `documents` (one summary row).
+
+    completeness = non-null rate, uniqueness = distinct rate, plus length
+    stats — the contract the reference mocks in data_tools.py:64-110.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count("*")
+    return docs.agg(
+        n.alias("row_cnt"),
+        F.round(F.sum(F.col("text").isNotNull().cast("long")) / n.cast("double"), 6).alias(
+            "text_completeness"
+        ),
+        F.round(F.count_distinct(F.col("text")) / n.cast("double"), 6).alias(
+            "text_uniqueness"
+        ),
+        F.round(F.sum(F.col("lang").isin("en", "de", "fr", "es", "zh").cast("long"))
+                / n.cast("double"), 6).alias("lang_consistency"),
+        F.sum(F.col("n_chars")).alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def quality_metrics_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB variant: HLL distinct instead of exact (no oracle — sketch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count("*")
+    return docs.agg(
+        n.alias("row_cnt"),
+        F.approx_count_distinct("text").alias("approx_distinct_text"),
+    )
+
+
+def rate_window_counts(spark: SparkSession, sf_dir: str, window_s: int = 60, threshold: int = 3) -> DataFrame:
+    """A7/T4 (batch form): per-user tumbling-window request counts, flag
+    windows over the limit — the rate-limit aggregation shape.
+
+    Window key is an epoch bucket (int64) so the oracle compares integers,
+    not timestamps.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / window_s).cast("long").alias("window_bucket")
+    return (
+        events.groupBy(F.col("user_id"), bucket)
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("over_limit", (F.col("cnt") > threshold).alias("over_limit"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the flagship wide partial-agg query.
+
+    Exercises scan → filter pushdown → 2-key groupBy with 8 aggregates, all
+    in fixed-point int64 for exactness.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    tax = F.round(F.col("l_tax") * 100).cast("long")
+    # disc_price/charge: products of exact cents values → exact int math
+    disc_price = price * (F.lit(100) - disc)  # cents * percent-cents
+    charge = disc_price * (F.lit(100) + tax)
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty) / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(price) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price) / 1e6, 2).alias("sum_disc_price"),
+            F.round(F.sum(charge) / 1e8, 2).alias("sum_charge"),
+            F.round(F.sum(qty) / (n * F.lit(100.0)), 6).alias("avg_qty"),
+            F.round(F.sum(price) / (n * F.lit(100.0)), 6).alias("avg_price"),
+            F.round(F.sum(disc) / (n * F.lit(100.0)), 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "status_counts": """
+        SELECT o_orderstatus AS status, count(*) AS cnt
+        FROM orders GROUP BY 1
+    """,
+    "multidim_counts": """
+        SELECT event_type, user_id % 10 AS user_shard,
+               CAST(ts AS DATE) AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2, 3
+    """,
+    "cube_counts": """
+        SELECT event_type, user_id % 5 AS user_shard, count(*) AS cnt
+        FROM events GROUP BY CUBE(event_type, user_id % 5)
+    """,
+    "grouped_stats": """
+        SELECT event_type,
+               count(*) AS cnt,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS total_value,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_value,
+               round(min(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS min_value,
+               round(max(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS max_value
+        FROM events GROUP BY 1
+    """,
+    "quality_metrics": """
+        SELECT count(*) AS row_cnt,
+               round(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS text_completeness,
+               round(count(DISTINCT text) / CAST(count(*) AS DOUBLE), 6) AS text_uniqueness,
+               round(sum(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS lang_consistency,
+               sum(n_chars) AS total_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+    """,
+    "rate_window_counts": """
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 60) AS BIGINT) AS window_bucket,
+               count(*) AS cnt,
+               count(*) > 3 AS over_limit
+        FROM events
+        GROUP BY 1, 2
+        HAVING count(*) > 1
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0, 2) AS sum_qty,
+               round(sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+               round(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 1e6, 2) AS sum_disc_price,
+               round(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) / 1e8, 2) AS sum_charge,
+               round(sum(CAST(round(l_quantity*100) AS BIGINT)) / (count(*) * 100.0), 6) AS avg_qty,
+               round(sum(CAST(round(l_extendedprice*100) AS BIGINT)) / (count(*) * 100.0), 6) AS avg_price,
+               round(sum(CAST(round(l_discount*100) AS BIGINT)) / (count(*) * 100.0), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+}
+
+QUERIES = {
+    "status_counts": status_counts,
+    "multidim_counts": multidim_counts,
+    "cube_counts": cube_counts,
+    "grouped_stats": grouped_stats,
+    "quality_metrics": quality_metrics,
+    "rate_window_counts": rate_window_counts,
+    "tpch_q1": tpch_q1,
+}

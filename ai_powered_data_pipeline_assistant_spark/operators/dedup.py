@@ -1,0 +1,383 @@
+"""Deduplication operators — exact, first-wins, MERGE-upsert, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Parity targets (SURVEY §2.7):
+- D2 first-wins URL dedup: reference backend/services/search_service.py:175-181
+- D3 content-hash dedup (sha256 conflict key): reference
+  backend/services/vector_service.py:105, Supabase/knowledge_base-RAG.sql:5
+- D4 id dedup: reference app/state_manager.py:36-56
+- D6/S11/S12 upsert-by-key MERGE: reference backend/services/vector_service.py:117-133
+Plus the 100 TB training-data dedup family (BASELINE.json north star):
+MinHash+LSH banding, SimHash hamming blocking, n-gram Jaccard — standard
+shingle→sketch→band→bucket-join constructions (Broder 1997 / Charikar 2002,
+as used by every large web-dedup pipeline).
+
+Scale notes: every op here is shuffle-bounded by design —
+- exact/first-wins dedup: one hash shuffle on the dedup key.
+- n-gram Jaccard: explode to (shingle, doc) postings, self-join on shingle
+  (the classic inverted-index pair generation — work ∝ Σ posting², bounded
+  by dropping ultra-common shingles at scale), then integer pair counting.
+- MinHash: same postings frame aggregated once per doc into a 16-perm
+  signature (map-side partial min), LSH bands turn all-pairs into
+  equality-join buckets.
+- SimHash: one groupBy producing 32 bit-vote aggregates per doc.
+All arithmetic is integer (md5-prefix hashes, exact rational Jaccard
+rounded at 6 decimals) so results are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
+    HASH_MOD,
+    md5_int,
+    md5_int_sql,
+)
+
+# ---------------------------------------------------------------- constants
+N_PERMS = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERMS // N_BANDS
+# Deterministic universal-hash params: a in [1..16] keeps a*h within int64.
+PERM_A = [j + 1 for j in range(N_PERMS)]
+PERM_B = [(j * j * 2654435761 + 97531) % HASH_MOD for j in range(N_PERMS)]
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+
+
+# ---------------------------------------------------------------- helpers
+def _shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc, k-word-shingle) postings."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sh = F.expr(
+        "transform(sequence(0, size(toks) - {k}), i -> "
+        "concat_ws(' ', slice(toks, i + 1, {k})))".format(k=SHINGLE_K)
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLE_SQL = """
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i:i+{k_minus_1}], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+         LATERAL (SELECT unnest(range(1, len(toks) - {k_minus_2})) AS i)
+""".format(k_minus_1=SHINGLE_K - 1, k_minus_2=SHINGLE_K - 2)
+
+
+def _pair_jaccard(postings: DataFrame, min_jaccard: float) -> DataFrame:
+    """All-pairs Jaccard from a (doc_id, shingle) postings frame."""
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = postings.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = postings.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("inter") / (F.col("a_sz") + F.col("b_sz") - F.col("inter")).cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+_PAIR_JACCARD_SQL = """
+    sizes AS (SELECT doc_id, count(*) AS sz FROM postings GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT a_id, b_id,
+               round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id)
+"""
+
+
+# ---------------------------------------------------------------- operators
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/D4: exact dedup by content hash — keep lowest id per hash group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_hash", F.sha2("text", 256))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+def firstwins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: first-wins dedup by key with explicit arrival order (earliest ts,
+    tie-broken by id — Spark dropDuplicates is arbitrary; this is not)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/S12/D6: MERGE-by-content-hash semantics in batch form.
+
+    target  = docs with doc_id % 5 == 0 (the existing knowledge_base),
+    source  = docs with doc_id % 3 == 0 (the incoming batch).
+    Matched rows are updated (access_count incremented — reference
+    Supabase/knowledge_base_Maintenance.sql:15-22); unmatched source rows are
+    inserted; unmatched target rows are kept. On Delta this is a single
+    `MERGE INTO` statement; the full-outer-join formulation here is
+    storage-agnostic and shows the shuffle shape (one hash shuffle on the key).
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "content_hash", F.sha2("text", 256)
+    )
+    target = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("content_hash").alias("t_hash"),
+        F.col("doc_id").alias("t_id"),
+        F.lit(1).alias("t_access"),
+    )
+    source = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("content_hash").alias("s_hash"), F.col("doc_id").alias("s_id")
+    )
+    merged = target.join(source, F.col("t_hash") == F.col("s_hash"), "full_outer")
+    return merged.select(
+        F.coalesce("t_hash", "s_hash").alias("content_hash"),
+        F.coalesce("t_id", "s_id").alias("doc_id"),
+        F.when(F.col("t_hash").isNotNull() & F.col("s_hash").isNotNull(), F.lit("update"))
+        .when(F.col("t_hash").isNotNull(), F.lit("keep"))
+        .otherwise(F.lit("insert"))
+        .alias("action"),
+        F.when(
+            F.col("t_hash").isNotNull() & F.col("s_hash").isNotNull(), F.col("t_access") + 1
+        )
+        .when(F.col("t_hash").isNotNull(), F.col("t_access"))
+        .otherwise(F.lit(0))
+        .alias("access_count"),
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle postings self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _pair_jaccard(_shingles(docs), JACCARD_THRESHOLD)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature per doc: 16 universal-hash permutation minima."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = _shingles(docs)
+    h = md5_int(F.col("shingle")) % HASH_MOD
+    aggs = [
+        F.min((F.lit(PERM_A[j]) * h + F.lit(PERM_B[j])) % HASH_MOD).alias(f"m{j}")
+        for j in range(N_PERMS)
+    ]
+    return postings.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs, verified with exact Jaccard.
+
+    Bands of 4 minima are concatenated into bucket keys; docs sharing any
+    band bucket become candidates; candidates are verified against exact
+    Jaccard ≥ threshold. At scale only the banding join is quadratic-ish and
+    only within buckets — the standard web-scale dedup shape.
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = None
+    for band in range(N_BANDS):
+        cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
+        part = sigs.select(
+            "doc_id", F.lit(band).alias("band"), key.alias("band_key")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_key")
+    candidates = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    exact = _pair_jaccard(_shingles(docs), JACCARD_THRESHOLD)
+    return candidates.join(exact, ["a_id", "b_id"]).select("a_id", "b_id", "jaccard")
+
+
+def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = (
+        docs.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .distinct()
+        .withColumn("h", md5_int(F.col("tok"), 8))
+    )
+    bit_aggs = []
+    for i in range(SIMHASH_BITS):
+        vote = F.sum(
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        )
+        bit_aggs.append(F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0)).alias(f"b{i}"))
+    per_doc = tokens.groupBy("doc_id").agg(*bit_aggs)
+    simhash = None
+    for i in range(SIMHASH_BITS):
+        simhash = F.col(f"b{i}") if simhash is None else simhash + F.col(f"b{i}")
+    return per_doc.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) per doc from distinct-token bit votes."""
+    return _simhash_frame(spark, sf_dir)
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    All-pairs xor+popcount at test scale; at 100 TB, block on 8-bit prefix
+    bands first (pigeonhole: hamming ≤ 3 over 4 bands ⇒ ≥1 identical band).
+    """
+    s = _simhash_frame(spark, sf_dir)
+    a = s.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"))
+    b = s.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- oracles
+def _minhash_sig_sql() -> str:
+    h = md5_int_sql("shingle")
+    mins = ", ".join(
+        f"min(({PERM_A[j]} * (({h}) % {HASH_MOD}) + {PERM_B[j]}) % {HASH_MOD}) AS m{j}"
+        for j in range(N_PERMS)
+    )
+    return f"""
+        WITH postings AS ({_SHINGLE_SQL})
+        SELECT doc_id, {mins} FROM postings GROUP BY doc_id
+    """
+
+
+def _minhash_lsh_sql() -> str:
+    h = md5_int_sql("shingle")
+    mins = ", ".join(
+        f"min(({PERM_A[j]} * (({h}) % {HASH_MOD}) + {PERM_B[j]}) % {HASH_MOD}) AS m{j}"
+        for j in range(N_PERMS)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS band_key FROM sigs".format(
+            b=band,
+            cols=", ".join(
+                f"CAST(m{band * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for band in range(N_BANDS)
+    )
+    return f"""
+        WITH postings AS ({_SHINGLE_SQL}),
+        sigs AS (SELECT doc_id, {mins} FROM postings GROUP BY doc_id),
+        bands AS ({band_selects}),
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        {_PAIR_JACCARD_SQL}
+        SELECT c.a_id, c.b_id, p.jaccard
+        FROM candidates c JOIN pairs p ON c.a_id = p.a_id AND c.b_id = p.b_id
+        WHERE p.jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+def _simhash_sql() -> str:
+    h = md5_int_sql("tok", 8)
+    votes = ", ".join(
+        f"CASE WHEN sum(((h >> {i}) & 1) * 2 - 1) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH tokens AS (
+            SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+            FROM documents),
+        hashed AS (SELECT doc_id, {h} AS h FROM tokens)
+        SELECT doc_id, CAST({" + ".join(f"v{i}" for i in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+        FROM (SELECT doc_id, {", ".join(f"CASE WHEN sum(((h >> {i}) & 1) * 2 - 1) > 0 THEN {1 << i} ELSE 0 END AS v{i}" for i in range(SIMHASH_BITS))}
+              FROM hashed GROUP BY doc_id)
+    """
+
+
+ORACLES: dict[str, str] = {
+    "exact_dedup": """
+        SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_id,
+               count(*) AS dup_cnt
+        FROM documents GROUP BY 1
+    """,
+    "firstwins_dedup": """
+        SELECT user_id, event_type, event_id, ts FROM (
+            SELECT user_id, event_type, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events) WHERE rn = 1
+    """,
+    "upsert_merge": """
+        WITH hashed AS (SELECT doc_id, sha256(text) AS content_hash FROM documents),
+        target AS (SELECT content_hash AS t_hash, doc_id AS t_id, 1 AS t_access
+                   FROM hashed WHERE doc_id % 5 = 0),
+        source AS (SELECT content_hash AS s_hash, doc_id AS s_id
+                   FROM hashed WHERE doc_id % 3 = 0)
+        SELECT coalesce(t_hash, s_hash) AS content_hash,
+               coalesce(t_id, s_id) AS doc_id,
+               CASE WHEN t_hash IS NOT NULL AND s_hash IS NOT NULL THEN 'update'
+                    WHEN t_hash IS NOT NULL THEN 'keep'
+                    ELSE 'insert' END AS action,
+               CASE WHEN t_hash IS NOT NULL AND s_hash IS NOT NULL THEN t_access + 1
+                    WHEN t_hash IS NOT NULL THEN t_access
+                    ELSE 0 END AS access_count
+        FROM target FULL OUTER JOIN source ON t_hash = s_hash
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH postings AS ({_SHINGLE_SQL}),
+        {_PAIR_JACCARD_SQL}
+        SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "minhash_signatures": _minhash_sig_sql(),
+    "minhash_lsh_pairs": _minhash_lsh_sql(),
+    "simhash_fingerprints": _simhash_sql(),
+    # simhash_neardup_pairs shares the simhash CTE:
+    "simhash_neardup_pairs": f"""
+        WITH sims AS ({_simhash_sql()})
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+}
+
+QUERIES = {
+    "exact_dedup": exact_dedup,
+    "firstwins_dedup": firstwins_dedup,
+    "upsert_merge": upsert_merge,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_fingerprints": simhash_fingerprints,
+    "simhash_neardup_pairs": simhash_neardup_pairs,
+}

@@ -1,0 +1,141 @@
+"""Join operators.
+
+Parity targets (SURVEY §2.3):
+- J1 FK equi-join (users ⋈ user_sessions): reference Supabase/user_sessions.sql:3
+- J4 anti-join dedup vs seen set: reference backend/services/search_service.py:175-181
+- J5 arbitrary validated SQL joins: reference backend/utils/sql_safety.py:184-231
+  (Catalyst picks broadcast/hash/sort-merge for free)
+
+Scale notes: dimension tables (region/nation/customer at TPC-H shape) are
+broadcast explicitly — the fact-side scan never shuffles for the dim join.
+Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE handles
+skew. Semi/anti joins are expressed as left_semi/left_anti so Catalyst can
+use a broadcast hash join with only the key column shipped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+
+def fk_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-shaped FK chain: customer ⋈ nation ⋈ region, rolled up per region.
+
+    Both dims broadcast — zero shuffle on the customer side; the final
+    1-row-per-region agg is a partial agg.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        customer.join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("customer_cnt"),
+            F.round(F.sum(cents) / 100.0, 2).alias("total_acctbal"),
+        )
+    )
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str, segment: str = "BUILDING", top_n: int = 10) -> DataFrame:
+    """TPC-H Q3 shipping priority: 3-way join + agg + top-N.
+
+    customer is filtered then broadcast; orders ⋈ lineitem shuffles on
+    orderkey; final top-N is TakeOrderedAndProject.
+    """
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == segment)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    revenue_units = price * (F.lit(100) - disc)  # exact int: cents * percent
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue_units) / 1e6, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(top_n)
+    )
+
+
+def semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 urgent open order (left_semi: no row duplication,
+    only the key travels)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O")
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def anti_join_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: keep docs whose content hash is NOT in the already-ingested set —
+    the reference's seen-URL dedup re-expressed as a distributed anti-join.
+
+    The "seen" set here is every doc_id ≡ 0 (mod 7) (a deterministic stand-in
+    for the knowledge_base table)."""
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.sha2("text", 256).alias("seen_hash")
+    )
+    return (
+        docs.withColumn("content_hash", F.sha2("text", 256))
+        .join(broadcast(seen), F.col("content_hash") == F.col("seen_hash"), "left_anti")
+        .select("doc_id", "content_hash")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "fk_join_rollup": """
+        SELECT r_name AS region_name,
+               count(*) AS customer_cnt,
+               round(sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0, 2) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1
+    """,
+    "tpch_q3": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT))) / 1e6, 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "semi_join_active": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+    """,
+    "anti_join_new_docs": """
+        SELECT doc_id, sha256(text) AS content_hash
+        FROM documents
+        WHERE sha256(text) NOT IN (
+            SELECT sha256(text) FROM documents WHERE doc_id % 7 = 0)
+    """,
+}
+
+QUERIES = {
+    "fk_join_rollup": fk_join_rollup,
+    "tpch_q3": tpch_q3,
+    "semi_join_active": semi_join_active,
+    "anti_join_new_docs": anti_join_new_docs,
+}

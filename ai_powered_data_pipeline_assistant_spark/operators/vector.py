@@ -1,0 +1,200 @@
+"""Vector similarity-search operators.
+
+Parity targets (SURVEY J3/O5/P5, §2.10 U2):
+- top-k cosine similarity ("match_documents" RPC): reference
+  Supabase/knowledge_base-RAG.sql:43-67 — `ORDER BY embedding <=> q LIMIT k`
+- ivfflat ANN index (lists=100): reference Supabase/knowledge_base-RAG.sql:31-33
+  → re-expressed as LSH / coarse-bucket routing (Spark has no vector index)
+
+Scale notes:
+- Exact top-k: the query vector is a broadcast literal; the score is a
+  codegen'd array expression evaluated during the scan, and `orderBy(k)`
+  compiles to TakeOrderedAndProject (per-partition heap, driver merge) — no
+  global sort, no shuffle of the scored table. This brute-force path is the
+  right answer up to ~10⁸ vectors per executor-core-hour.
+- Batch-of-queries ANN: queries × vectors is a broadcast nested-loop join
+  (small query side broadcast), then a per-query window top-k. At 100 TB the
+  `ann_lsh_topk` variant prunes candidates to matching sign-bit buckets
+  first (random-hyperplane LSH ≙ the reference's ivfflat coarse lists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.functions.vector_math import (
+    cosine_similarity,
+    cosine_similarity_sql,
+)
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    """Deterministic query set: the first ``n`` stored vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Single-query exact cosine top-k (the match_documents shape).
+
+    Query vector = stored vector 0 (deterministic); scored JVM-side,
+    TakeOrderedAndProject for the top-k.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir, 1).select("query_vec")
+    scored = emb.crossJoin(broadcast(q)).select(
+        "vec_id",
+        "label",
+        cosine_similarity(F.col("embedding"), F.col("query_vec")).alias("similarity"),
+    )
+    return scored.orderBy(F.desc("similarity"), "vec_id").limit(k)
+
+
+def cosine_topk_filtered(spark: SparkSession, sf_dir: str, k: int = 10, label: int = 3) -> DataFrame:
+    """P5: top-k with an optional source filter (filter_source IS NULL OR ...)
+    — predicate pushes into the scan before scoring."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") == label)
+    q = _query_vectors(spark, sf_dir, 1).select("query_vec")
+    scored = emb.crossJoin(broadcast(q)).select(
+        "vec_id",
+        "label",
+        cosine_similarity(F.col("embedding"), F.col("query_vec")).alias("similarity"),
+    )
+    return scored.orderBy(F.desc("similarity"), "vec_id").limit(k)
+
+
+def ann_brute_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Batch-of-queries exact ANN baseline: broadcast the query set, score
+    every (query, vector) pair, keep per-query top-k via window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _query_vectors(spark, sf_dir, n_queries)
+    scored = emb.join(broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("embedding"), F.col("query_vec")).alias("similarity"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "similarity", "rk")
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Scale path: random-hyperplane LSH bucket routing before exact scoring.
+
+    Bucket = sign bits of the vector against ``n_planes`` deterministic
+    pseudo-random hyperplanes (hash-derived, no RNG state). Candidates =
+    vectors sharing the query's bucket → exact cosine within the bucket.
+    Recall < 1 by construction (oracle is rows-only); the win is that the
+    per-query candidate set shrinks by ~2^n_planes.
+    """
+    n_planes = 4
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _query_vectors(spark, sf_dir, n_queries)
+
+    # Deterministic hyperplane matrix via integer hashing of (plane, dim).
+    def plane_component(p: int, d: int) -> float:
+        # Portable pseudo-random in [-1, 1): linear-congruential on (p, d)
+        v = (1103515245 * (p * 64 + d + 1) + 12345) % 2147483648
+        return (v / 1073741824.0) - 1.0
+
+    def bucket_expr(vec_col: str) -> F.Column:
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(plane_component(p, d)) for d in range(dim)])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    emb_b = emb.withColumn("bucket", bucket_expr("embedding"))
+    q_b = queries.withColumn("bucket", bucket_expr("query_vec"))
+    scored = emb_b.join(broadcast(q_b), "bucket").select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("embedding"), F.col("query_vec")).alias("similarity"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "similarity", "rk")
+    )
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, similarity ≥ threshold).
+
+    Exact all-pairs via self-join — O(n²) scoring, the correctness baseline.
+    At scale, route through `ann_lsh_topk`-style buckets first (same-bucket
+    pairs only) — the LSH candidate set bounds the quadratic blowup.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            cosine_similarity(F.col("a_vec"), F.col("b_vec")).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= threshold)
+    )
+
+
+_COS_SQL = cosine_similarity_sql("e.embedding", "q.embedding")
+
+ORACLES: dict[str, str] = {
+    "cosine_topk": f"""
+        SELECT e.vec_id, e.label, {_COS_SQL} AS similarity
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ORDER BY similarity DESC, e.vec_id
+        LIMIT 10
+    """,
+    "cosine_topk_filtered": f"""
+        SELECT e.vec_id, e.label, {_COS_SQL} AS similarity
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.label = 3
+        ORDER BY similarity DESC, e.vec_id
+        LIMIT 10
+    """,
+    "ann_brute_topk": f"""
+        SELECT query_id, vec_id, similarity, rk FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                   {_COS_SQL} AS similarity,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_COS_SQL} DESC, e.vec_id) AS rk
+            FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+        ) WHERE rk <= 5
+    """,
+    "embedding_neardup_pairs": """
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               {cos} AS similarity
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {cos} >= 0.8
+    """.format(cos=cosine_similarity_sql("a.embedding", "b.embedding")),
+    # ann_lsh_topk: approximate by construction → no SQL oracle (rows-only).
+}
+
+QUERIES = {
+    "cosine_topk": cosine_topk,
+    "cosine_topk_filtered": cosine_topk_filtered,
+    "ann_brute_topk": ann_brute_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+}

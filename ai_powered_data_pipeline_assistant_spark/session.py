@@ -1,0 +1,44 @@
+"""SparkSession factory.
+
+Cluster-scale defaults: AQE on (runtime re-planning, skew-join splitting,
+shuffle-partition coalescing), UTC session timezone (reference normalizes
+timestamps to UTC, see reference app/state_manager.py:186-228), Arrow on for
+the few pandas-UDF stages. Shuffle partitions default to the local core
+count; on a real cluster this is overridden by AQE coalescing anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "ai-pipeline-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` falls back to ``local[$SPARK_GRAFT_CPUS]`` (default all cores)
+    so the same entry point works in tests, bench, and driver verify runs.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Test parquet stores TIMESTAMP(NANOS) which Spark has no native
+        # type for; read as int64 nanos and convert in catalog.load_table
+        # (floor to micros — matches DuckDB's truncation of the same files).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()

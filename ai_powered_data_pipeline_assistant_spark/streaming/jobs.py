@@ -1,0 +1,81 @@
+"""Structured Streaming job pipeline — the reference's PubNub job processor
+re-expressed as a streaming query.
+
+Parity targets (SURVEY §2.9):
+- T1 pub/sub channels → readStream/writeStream topics
+- T2 stateful job pipeline (context lookup → answer → store → respond):
+  reference backend/services/pubnub_job_processor.py:198-280
+- T3 duplicate suppression, request_id within 300 s window: reference
+  backend/services/pubnub_job_processor.py:302-322 →
+  withWatermark + dropDuplicatesWithinWatermark
+- T7 fire-and-forget sink → foreachBatch with per-batch error isolation
+
+The reference's dedup window is processing-time; Spark watermarks are
+event-time, so requests carry an explicit `ts` column (FIXTURES.md §8) and
+tests inject timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEDUP_WINDOW = "5 minutes"  # reference: 300 s TTL seen-map
+
+
+def dedup_requests(requests: DataFrame, window: str = DEDUP_WINDOW) -> DataFrame:
+    """T3: drop duplicate request_ids arriving within the watermark window.
+
+    Works on both streaming and batch frames (batch falls back to plain
+    dropDuplicates semantics for testing).
+    """
+    with_wm = requests.withWatermark("ts", window)
+    if requests.isStreaming:
+        return with_wm.dropDuplicatesWithinWatermark(["request_id"])
+    return with_wm.dropDuplicates(["request_id"])
+
+
+def answer_requests(requests: DataFrame, kb: DataFrame) -> DataFrame:
+    """T2: per-request context lookup against a (static) knowledge frame.
+
+    The RAG-context join is a stream-static equi-join on job_id — supported
+    natively by Structured Streaming without state. The LLM call is
+    deterministic template assembly here (the reference's LLM stage is
+    external I/O, out of correctness scope — SURVEY §7.4).
+    """
+    ctx = kb.select(
+        F.col("doc_id").alias("job_id"),
+        F.col("text").alias("context"),
+    )
+    joined = requests.join(ctx, "job_id", "left")
+    return joined.select(
+        "request_id",
+        "job_id",
+        "ts",
+        F.concat(
+            F.lit("answer["),
+            F.coalesce(F.substring("context", 1, 80), F.lit("no-context")),
+            F.lit("] for "),
+            F.col("query"),
+        ).alias("response"),
+    )
+
+
+def run_job_stream(requests_stream: DataFrame, kb: DataFrame, out_path: str, checkpoint: str):
+    """Wire the full stream: dedup → answer → append sink via foreachBatch
+    (per-batch error isolation à la the reference's fire-and-forget publish)."""
+    answered = answer_requests(dedup_requests(requests_stream), kb)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            batch_df.write.mode("append").parquet(out_path)
+        except Exception:  # noqa: BLE001 — fire-and-forget per reference T7
+            pass
+
+    return (
+        answered.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
