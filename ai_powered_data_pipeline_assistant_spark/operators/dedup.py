@@ -199,15 +199,26 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band bucket become candidates; candidates are verified against exact
     Jaccard ≥ threshold. At scale only the banding join is quadratic-ish and
     only within buckets — the standard web-scale dedup shape.
+
+    Exact verification runs ONLY on the candidate set (candidates ⋈
+    postings, not all-pairs): for a dedup rate of d, work drops from
+    O(Σ posting²) to O(|candidates| · shingles/doc). The postings frame is
+    persisted — it feeds the signature aggregation and both sides of the
+    verification join.
     """
-    sigs = minhash_signatures(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    postings = _shingles(docs).persist()
+    h = md5_int(F.col("shingle")) % HASH_MOD
+    aggs = [
+        F.min((F.lit(PERM_A[j]) * h + F.lit(PERM_B[j])) % HASH_MOD).alias(f"m{j}")
+        for j in range(N_PERMS)
+    ]
+    sigs = postings.groupBy("doc_id").agg(*aggs)
     bands = None
     for band in range(N_BANDS):
         cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
         key = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
-        part = sigs.select(
-            "doc_id", F.lit(band).alias("band"), key.alias("band_key")
-        )
+        part = sigs.select("doc_id", F.lit(band).alias("band"), key.alias("band_key"))
         bands = part if bands is None else bands.unionByName(part)
     a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_key")
@@ -217,9 +228,36 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    docs = load_table(spark, sf_dir, "documents")
-    exact = _pair_jaccard(_shingles(docs), JACCARD_THRESHOLD)
-    return candidates.join(exact, ["a_id", "b_id"]).select("a_id", "b_id", "jaccard")
+    # Candidate-only exact verification: candidates ⋈ postings, not all-pairs.
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pa = postings.select(F.col("doc_id").alias("a_id"), "shingle")
+    pb = postings.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        candidates.join(pa, "a_id")
+        .join(pb, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"),
+            "a_id",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("inter")
+                / (F.col("a_sz") + F.col("b_sz") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
 
 
 def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,57 @@
+"""End-to-end embedding pipeline: text → pandas-UDF embedding → dedup-upsert
+key → top-k search — the reference's write path (§3.2 steps embed+upsert)
+and read path (search_by_embedding) composed.
+
+Parity: reference backend/services/vector_service.py:86-159 (generate
+embeddings batched, content-hash, upsert) + search_service.py:219-295
+(embed query → cosine top-k). The embedder is the deterministic local fake
+(functions/embedder.py); results are deterministic but not SQL-expressible
+(md5-seeded float projection) → rows-only oracle, with pytest checking
+determinism and the top-k contract instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.functions.embedder import embedding_column
+from ai_powered_data_pipeline_assistant_spark.functions.vector_math import cosine_similarity
+
+
+def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write path: content hash + embedding column for every document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2("text", 256).alias("content_hash"),
+        embedding_column(F.col("text")).alias("embedding"),
+    )
+
+
+def embed_and_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Read path: embed a query string, cosine top-k against the embedded
+    corpus (one shuffle-free scored scan + TakeOrderedAndProject)."""
+    corpus = embed_documents(spark, sf_dir)
+    query = spark.range(1).select(
+        embedding_column(F.lit("spark shuffle partition tuning")).alias("query_vec")
+    )
+    return (
+        corpus.crossJoin(broadcast(query))
+        .select(
+            "doc_id",
+            cosine_similarity(F.col("embedding"), F.col("query_vec")).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "doc_id")
+        .limit(k)
+    )
+
+
+ORACLES: dict[str, str] = {}  # hash-projection embeddings: rows-only checks
+
+QUERIES = {
+    "embed_documents": embed_documents,
+    "embed_and_search": embed_and_search,
+}

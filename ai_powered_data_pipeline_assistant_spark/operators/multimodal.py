@@ -1,0 +1,166 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+No reference parity row — this is the BASELINE.json north-star extension
+("multimodal columns" for a 100 TB training-data pipeline). Design:
+
+- media payloads are `binary` columns with a typed metadata struct
+  (modality, width/height or sample_rate/duration, codec) — the schema a
+  real lakehouse table of media blobs would carry;
+- decode / feature-extract run as Arrow-batched `mapInPandas` stages — the
+  ONLY sanctioned Python hot path in this engine (per-row Python UDFs are
+  banned). Batch shape: one pandas DataFrame per Arrow batch, vectorized
+  numpy ops inside;
+- the actual codec decode is STUBBED with a deterministic byte-level fake
+  (this container has no image/audio libs — the Spark-side plumbing of
+  schema, partitioning, UDF signature, and batch shape is real and tested).
+
+Scale notes: binary payloads dominate row width, so
+`spark.sql.files.maxPartitionBytes` governs scan parallelism; feature
+extraction is embarrassingly parallel (no shuffle); the summary agg is a
+standard partial agg on the metadata struct fields.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sample_rate", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("payload_bytes", LongType()),
+        StructField("byte_checksum", LongType()),
+        StructField("feature_dim", LongType()),
+        StructField("feature_norm_scaled", LongType()),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media table from `documents`: payload = utf-8 bytes of
+    the text (a deterministic opaque blob), metadata derived from doc_id.
+
+    In production this is a parquet/Delta table of real blobs; every
+    downstream op only assumes (binary, metadata) columns.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.encode("text", "utf-8").cast("binary").alias("payload"),
+        F.when(modality == "image", 64 + (F.col("doc_id") % 16) * 32).alias("width"),
+        F.when(modality == "image", 64 + (F.col("doc_id") % 9) * 32).alias("height"),
+        F.when(modality == "audio", F.lit(16000)).alias("sample_rate"),
+    )
+
+
+def decode_media(payload: bytes, modality: str):  # pragma: no cover - stub
+    """Codec decode stub. Real decode (PIL/librosa/ffmpeg) is unavailable in
+    this container; the pipeline treats decode as a pluggable callable."""
+    raise NotImplementedError(
+        "media codec decode requires image/audio libs not present in this "
+        "environment; extract_features uses a deterministic byte-level fake"
+    )
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: vectorized per-batch feature extraction.
+
+    Uses a deterministic byte-level fake in place of codec decode: checksum
+    and a fake 8-dim "embedding" norm derived from byte sums — integer math,
+    reproducible everywhere, same batch shape as a real extractor.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        sizes = payloads.map(len)
+        checksums = payloads.map(lambda b: sum(b) % 1_000_000_007)
+        # fake feature: 8 buckets of byte sums (stands in for a real
+        # image/audio embedding); report its scaled integer L2^2
+        def norm_scaled(b: bytes) -> int:
+            dim = 8
+            buckets = [0] * dim
+            for i, byte in enumerate(b):
+                buckets[i % dim] += byte
+            return sum(x * x for x in buckets)
+
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "modality": pdf["modality"],
+                "payload_bytes": sizes,
+                "byte_checksum": checksums,
+                "feature_dim": 8,
+                "feature_norm_scaled": payloads.map(norm_scaled),
+            }
+        )
+
+
+def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over the media table (mapInPandas)."""
+    media = media_table(spark, sf_dir)
+    return media.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+def media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality rollup of extracted features (post-UDF partial agg)."""
+    feats = extract_features(spark, sf_dir)
+    return feats.groupBy("modality").agg(
+        F.count("*").alias("cnt"),
+        F.sum("payload_bytes").alias("total_bytes"),
+        F.sum("byte_checksum").alias("checksum_sum"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    # The media table itself is SQL-expressible; features come from the
+    # mapInPandas stage, whose byte-level fake is mirrored here exactly:
+    # payload == utf-8 text bytes → checksum = sum of bytes mod p.
+    # Corpus text is pure ASCII (verified: octet_length(encode(text)) ==
+    # length(text) for every row), so byte values == code points and the
+    # checksum is expressible with ord() over characters.
+    "media_summary": """
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               count(*) AS cnt,
+               sum(length(text)) AS total_bytes,
+               sum(list_sum([ord(text[i]) for i in range(1, length(text)+1)])
+                   % 1000000007) AS checksum_sum
+        FROM documents GROUP BY 1
+    """,
+}
+
+QUERIES = {
+    "extract_features": extract_features,  # rows-only (mapInPandas stage)
+    "media_summary": media_summary,
+}

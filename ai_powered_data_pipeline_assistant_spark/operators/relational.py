@@ -127,12 +127,13 @@ def multikey_sort(spark: SparkSession, sf_dir: str, n: int = 200) -> DataFrame:
     )
 
 
-def point_lookup(spark: SparkSession, sf_dir: str, order_key: int = 1) -> DataFrame:
-    """S5: point lookup by composite predicate."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.filter(
-        (F.col("l_orderkey") == order_key) & (F.col("l_linenumber") == 1)
-    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+def point_lookup(spark: SparkSession, sf_dir: str, order_key: int = 100) -> DataFrame:
+    """S5: primary-key point lookup (predicate reaches the parquet scan as
+    PushedFilters → row-group pruning via min/max stats)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") == order_key).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
 
 
 ORACLES: dict[str, str] = {
@@ -180,9 +181,9 @@ ORACLES: dict[str, str] = {
         LIMIT 200
     """,
     "point_lookup": """
-        SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
-        FROM lineitem
-        WHERE l_orderkey = 1 AND l_linenumber = 1
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey = 100
     """,
 }
 

@@ -136,7 +136,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 
     )
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.45) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, similarity ≥ threshold).
 
     Exact all-pairs via self-join — O(n²) scoring, the correctness baseline.
@@ -186,7 +186,7 @@ ORACLES: dict[str, str] = {
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                {cos} AS similarity
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {cos} >= 0.8
+        WHERE {cos} >= 0.45
     """.format(cos=cosine_similarity_sql("a.embedding", "b.embedding")),
     # ann_lsh_topk: approximate by construction → no SQL oracle (rows-only).
 }

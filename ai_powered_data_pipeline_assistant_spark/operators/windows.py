@@ -1,0 +1,87 @@
+"""Window-function operators (SURVEY §2.5 — the reference has no OVER
+clauses; these are the window-shaped behaviors it implements imperatively).
+
+Parity targets:
+- "keep last 1000 timings per metric": reference
+  backend/core/performance_monitoring.py:230-233 → row_number retention
+- sliding rate-limit counts: reference backend/core/guardrails.py:28-37 →
+  count over rangeBetween(-60 s, 0)
+- offset pagination: covered in relational.offset_page
+
+Scale notes: both windows partition by a key (metric / user) so they
+parallelize across the key space — no single-partition global window. The
+retention window's sort is per-key (bounded by per-key row counts); the
+range frame is the classic time-series sliding count and shuffles once on
+the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+
+def retention_last_n(spark: SparkSession, sf_dir: str, n: int = 100) -> DataFrame:
+    """Keep the newest N samples per metric (event_type ≙ metric name),
+    then summarize — the reference's deque-of-1000 retention + stats."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    kept = events.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("sample_cnt"),
+        F.round(F.sum(cents) / (F.count("*") * F.lit(100.0)), 4).alias("avg_value"),
+        F.round(F.min(cents) / F.lit(100.0), 4).alias("min_value"),
+        F.round(F.max(cents) / F.lit(100.0), 4).alias("max_value"),
+    )
+
+
+def sliding_window_counts(spark: SparkSession, sf_dir: str, window_s: int = 60) -> DataFrame:
+    """Per-event trailing-60 s count per user (the exact sliding-window
+    rate-limit count the reference's deque computes). Emits only events
+    whose trailing count exceeds 1 to keep the result focused."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-(window_s - 1), 0)
+    )
+    return (
+        events.withColumn("trailing_cnt", F.count("*").over(w))
+        .filter(F.col("trailing_cnt") > 1)
+        .select("event_id", "user_id", "trailing_cnt")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "retention_last_n": """
+        WITH kept AS (
+            SELECT * FROM (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn <= 100)
+        SELECT event_type,
+               count(*) AS sample_cnt,
+               round(sum(CAST(round(value*100) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_value,
+               round(min(CAST(round(value*100) AS BIGINT)) / 100.0, 4) AS min_value,
+               round(max(CAST(round(value*100) AS BIGINT)) / 100.0, 4) AS max_value
+        FROM kept GROUP BY 1
+    """,
+    "sliding_window_counts": """
+        SELECT event_id, user_id, trailing_cnt FROM (
+            SELECT event_id, user_id,
+                   count(*) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                                  RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS trailing_cnt
+            FROM events)
+        WHERE trailing_cnt > 1
+    """,
+}
+
+QUERIES = {
+    "retention_last_n": retention_last_n,
+    "sliding_window_counts": sliding_window_counts,
+}

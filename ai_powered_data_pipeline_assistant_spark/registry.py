@@ -16,14 +16,30 @@ from pyspark.sql import DataFrame, SparkSession
 from ai_powered_data_pipeline_assistant_spark.operators import (
     aggregates,
     dedup,
+    embedding_pipeline,
     joins,
+    multimodal,
     pipeline,
     relational,
+    scalar_ops,
     text_analysis,
     vector,
+    windows,
 )
 
-_MODULES = [relational, aggregates, joins, vector, dedup, text_analysis, pipeline]
+_MODULES = [
+    relational,
+    aggregates,
+    joins,
+    vector,
+    dedup,
+    text_analysis,
+    pipeline,
+    windows,
+    scalar_ops,
+    multimodal,
+    embedding_pipeline,
+]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

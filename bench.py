@@ -30,6 +30,9 @@ HEADLINE = [
     "simhash_fingerprints",
     "search_pipeline",
     "quality_score",
+    "sliding_window_counts",
+    "media_summary",
+    "embed_and_search",
 ]
 
 

@@ -1,0 +1,87 @@
+"""Streaming behavior: watermark dedup, job pipeline, sliding rate limit.
+
+The reference's dedup window is processing-time; these tests inject event
+time explicitly (SURVEY §7.4) via the job_requests fixture generator.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.sources.synthetic import job_requests
+from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
+    answer_requests,
+    dedup_requests,
+    run_job_stream,
+)
+from ai_powered_data_pipeline_assistant_spark.streaming.ratelimit import (
+    over_limit,
+    sliding_counts_batch,
+)
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """In-window duplicates must be dropped; the stream must deliver one row
+    per unique request_id per window epoch."""
+    fixture = job_requests(spark, n=100, dup_every=10, late_dup_every=25)
+    src_dir = str(tmp_path / "requests")
+    fixture.coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(fixture.schema).parquet(src_dir)
+    )
+    kb = load_table(spark, sf_dir, "documents")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_job_stream(stream, kb, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    result = spark.read.parquet(out_dir)
+    # one batch → dropDuplicatesWithinWatermark dedups everything per id,
+    # including the "late" duplicates that arrived in the same batch
+    ids = [r["request_id"] for r in result.select("request_id").collect()]
+    assert len(ids) == len(set(ids)), "stream emitted duplicate request_ids"
+    assert len(set(ids)) == 100, f"expected 100 unique requests, got {len(set(ids))}"
+    # responses joined context where job docs existed
+    sample = result.filter(F.col("response").contains("no-context")).count()
+    assert sample == 0  # all job_ids 0..19 exist as doc_ids
+
+
+def test_batch_dedup_fallback(spark):
+    fixture = job_requests(spark, n=50, dup_every=5, late_dup_every=50)
+    deduped = dedup_requests(fixture)
+    assert deduped.count() == deduped.select("request_id").distinct().count()
+
+
+def test_answer_requests_shapes(spark, sf_dir):
+    # n=10 with dup_every/late_dup_every=100 still duplicates id=0 (range
+    # start) → 12 raw rows; dedup collapses to the 10 unique requests
+    fixture = job_requests(spark, n=10, dup_every=100, late_dup_every=100)
+    kb = load_table(spark, sf_dir, "documents")
+    out = answer_requests(dedup_requests(fixture), kb)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r["response"].startswith("answer[") for r in rows)
+
+
+def test_sliding_rate_limit_counts(spark):
+    """A burst of 45 events in 60 s from one user must trip the 40/60 s cap
+    exactly on events 41..45; a slow user must never trip it."""
+    burst = spark.range(45).select(
+        F.lit(1).alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+    )
+    slow = spark.range(45).select(
+        F.lit(2).alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 120).alias("ts"),
+    )
+    events = burst.unionByName(slow)
+    counted = sliding_counts_batch(events)
+    over = over_limit(events)
+    assert over.filter(F.col("user_id") == 2).count() == 0
+    assert over.filter(F.col("user_id") == 1).count() == 5  # events 41-45
+    max_trailing = counted.agg(F.max("trailing_cnt")).first()[0]
+    assert max_trailing == 45
