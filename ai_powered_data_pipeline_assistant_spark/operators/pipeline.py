@@ -103,6 +103,35 @@ def search_pipeline(spark: SparkSession, sf_dir: str, max_results: int = 100) ->
     )
 
 
+def github_union(spark: SparkSession, sf_dir: str, max_results: int = 60) -> DataFrame:
+    """S7: the GitHub client's three sub-searches (code / repositories /
+    issues), each with a different result shape, merged with
+    unionByName(allowMissingColumns=True) and globally limited — the
+    heterogeneous-schema union the reference builds by hand."""
+    docs = load_table(spark, sf_dir, "documents")
+    code = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("result_id"),
+        F.lit("code").alias("result_type"),
+        F.concat(F.lit("repo-"), (F.col("doc_id") % 20).cast("string")).alias("repo"),
+        F.concat(F.lit("src/file_"), F.col("doc_id").cast("string"), F.lit(".py")).alias("path"),
+    )
+    repos = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("result_id"),
+        F.lit("repository").alias("result_type"),
+        F.concat(F.lit("repo-"), (F.col("doc_id") % 20).cast("string")).alias("repo"),
+        (F.col("doc_id") % 5000).alias("stars"),
+    )
+    issues = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("result_id"),
+        F.lit("issue").alias("result_type"),
+        F.when(F.col("doc_id") % 2 == 0, "open").otherwise("closed").alias("state"),
+    )
+    merged = code.unionByName(repos, allowMissingColumns=True).unionByName(
+        issues, allowMissingColumns=True
+    )
+    return merged.orderBy("result_id").limit(max_results)
+
+
 def expiry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13/T6: TTL expiry — rows surviving `ts >= cutoff`, counted per type.
 
@@ -177,6 +206,25 @@ ORACLES: dict[str, str] = {
                sha256(content) AS content_hash
         FROM limited
     """,
+    "github_union": """
+        WITH merged AS (
+            SELECT doc_id AS result_id, 'code' AS result_type,
+                   'repo-' || CAST(doc_id % 20 AS VARCHAR) AS repo,
+                   'src/file_' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+                   CAST(NULL AS BIGINT) AS stars,
+                   CAST(NULL AS VARCHAR) AS state
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, 'repository',
+                   'repo-' || CAST(doc_id % 20 AS VARCHAR),
+                   NULL, doc_id % 5000, NULL
+            FROM documents WHERE doc_id % 3 = 1
+            UNION ALL
+            SELECT doc_id, 'issue', NULL, NULL, NULL,
+                   CASE WHEN doc_id % 2 = 0 THEN 'open' ELSE 'closed' END
+            FROM documents WHERE doc_id % 3 = 2)
+        SELECT * FROM merged ORDER BY result_id LIMIT 60
+    """,
     "expiry_sweep": """
         SELECT event_type, count(*) AS surviving_cnt
         FROM events
@@ -195,6 +243,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "search_pipeline": search_pipeline,
+    "github_union": github_union,
     "expiry_sweep": expiry_sweep,
     "access_counter_update": access_counter_update,
 }

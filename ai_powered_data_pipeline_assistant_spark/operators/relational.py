@@ -136,6 +136,16 @@ def point_lookup(spark: SparkSession, sf_dir: str, order_key: int = 100) -> Data
     )
 
 
+def chat_display_page(spark: SparkSession, sf_dir: str, n: int = 50) -> DataFrame:
+    """O2: newest-N fetched descending, then re-sorted ascending for display
+    (the reference fetches DESC + client-side reverse(),
+    optimized_queries.py:131-139). Spark shape: TakeOrdered for the page,
+    then a cheap re-sort of N rows."""
+    events = load_table(spark, sf_dir, "events")
+    page = events.orderBy(F.desc("ts"), F.desc("event_id")).limit(n)
+    return page.orderBy("ts", "event_id").select("event_id", "ts", "event_type")
+
+
 ORACLES: dict[str, str] = {
     "scan_project": """
         SELECT CAST(o_orderkey AS VARCHAR) AS id,
@@ -185,6 +195,12 @@ ORACLES: dict[str, str] = {
         FROM orders
         WHERE o_orderkey = 100
     """,
+    "chat_display_page": """
+        SELECT event_id, ts, event_type FROM (
+            SELECT event_id, ts, event_type
+            FROM events ORDER BY ts DESC, event_id DESC LIMIT 50)
+        ORDER BY ts, event_id
+    """,
 }
 
 QUERIES = {
@@ -195,4 +211,5 @@ QUERIES = {
     "newest_n": newest_n,
     "multikey_sort": multikey_sort,
     "point_lookup": point_lookup,
+    "chat_display_page": chat_display_page,
 }

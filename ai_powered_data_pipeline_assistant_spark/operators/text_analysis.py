@@ -165,6 +165,21 @@ def timestamp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: UTC → zone wall-time formatting (reference app/state_manager.py:
+    186-228 converts UTC rows to the viewer's zone with cached ZoneInfo).
+    Real tz database on both engines (JVM vs ICU) — formatted per-minute
+    strings keyed by hour bucket."""
+    events = load_table(spark, sf_dir, "events")
+    ny = F.date_format(
+        F.from_utc_timestamp("ts", "America/New_York"), "yyyy-MM-dd HH:mm"
+    )
+    tokyo = F.date_format(
+        F.from_utc_timestamp("ts", "Asia/Tokyo"), "yyyy-MM-dd HH:mm"
+    )
+    return events.select("event_id", ny.alias("ny_time"), tokyo.alias("tokyo_time"))
+
+
 ORACLES: dict[str, str] = {
     "lang_id": None,  # filled below (generated)
     "quality_score": """
@@ -212,6 +227,15 @@ ORACLES: dict[str, str] = {
         SELECT strftime(ts, '%Y-%m-%d %H') AS hour_key, event_type, count(*) AS cnt
         FROM events GROUP BY 1, 2
     """,
+    # timezone(tz, TIMESTAMP) → TIMESTAMPTZ (interpret naive as tz);
+    # timezone(tz, TIMESTAMPTZ) → naive wall time in tz. Nesting makes the
+    # conversion independent of the DuckDB session TimeZone.
+    "tz_convert": """
+        SELECT event_id,
+               strftime(timezone('America/New_York', timezone('UTC', ts)), '%Y-%m-%d %H:%M') AS ny_time,
+               strftime(timezone('Asia/Tokyo', timezone('UTC', ts)), '%Y-%m-%d %H:%M') AS tokyo_time
+        FROM events
+    """,
 }
 
 
@@ -249,4 +273,5 @@ QUERIES = {
     "snippet_truncate": snippet_truncate,
     "json_extract_agg": json_extract_agg,
     "timestamp_buckets": timestamp_buckets,
+    "tz_convert": tz_convert,
 }

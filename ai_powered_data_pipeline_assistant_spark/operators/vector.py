@@ -136,6 +136,59 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5,
+                 n_lists: int = 8, n_probe: int = 2) -> DataFrame:
+    """IVF-style ANN: the reference's ivfflat index (lists=100, reference
+    Supabase/knowledge_base-RAG.sql:31-33) re-expressed for Spark.
+
+    Coarse centroids = the first ``n_lists`` stored vectors (deterministic;
+    a real deployment k-means them offline and broadcasts). Every vector is
+    assigned to its nearest centroid (one broadcast join + argmax, a single
+    scan); a query probes its ``n_probe`` nearest lists and scores only
+    those candidates. Approximate by construction → rows-only oracle;
+    pytest checks recall against the brute-force baseline.
+
+    At 100 TB: write the table partitioned by `list_id` so a probe prunes
+    partitions at the scan (predicate `list_id IN (...)` → partition
+    pruning), giving the same I/O shape as pgvector's inverted lists.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("list_id"), F.col("embedding").alias("centroid")
+    )
+
+    def assign(df: DataFrame, vec_col: str, out_col: str, keep: int) -> DataFrame:
+        scored = df.join(broadcast(centroids)).select(
+            *df.columns,
+            "list_id",
+            cosine_similarity(F.col(vec_col), F.col("centroid")).alias("c_sim"),
+        )
+        w = Window.partitionBy(*df.columns[:1]).orderBy(F.desc("c_sim"), "list_id")
+        return (
+            scored.withColumn("c_rk", F.row_number().over(w))
+            .filter(F.col("c_rk") <= keep)
+            .select(*df.columns, F.col("list_id").alias(out_col))
+        )
+
+    assigned = assign(emb.select("vec_id", "embedding"), "embedding", "list_id", 1)
+    queries = _query_vectors(spark, sf_dir, n_queries)
+    probed = assign(queries, "query_vec", "probe_list", n_probe)
+
+    candidates = assigned.join(
+        broadcast(probed), assigned.list_id == probed.probe_list
+    ).select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("embedding"), F.col("query_vec")).alias("similarity"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), "vec_id")
+    return (
+        candidates.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "similarity", "rk")
+    )
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.45) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, similarity ≥ threshold).
 
@@ -188,7 +241,8 @@ ORACLES: dict[str, str] = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE {cos} >= 0.45
     """.format(cos=cosine_similarity_sql("a.embedding", "b.embedding")),
-    # ann_lsh_topk: approximate by construction → no SQL oracle (rows-only).
+    # ann_lsh_topk / ann_ivf_topk: approximate by construction → no SQL
+    # oracle (rows-only); pytest checks recall vs the brute-force baseline.
 }
 
 QUERIES = {
@@ -196,5 +250,6 @@ QUERIES = {
     "cosine_topk_filtered": cosine_topk_filtered,
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }

@@ -1,0 +1,72 @@
+"""Tool-registry API surface (U6) + admission control + TTL cache."""
+
+from __future__ import annotations
+
+from ai_powered_data_pipeline_assistant_spark.api.tools import RateLimiter, ToolRegistry
+from ai_powered_data_pipeline_assistant_spark.catalog import load_tables
+from ai_powered_data_pipeline_assistant_spark.functions.caching import TTLCache, cache_key
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def registry(spark, sf_dir):
+    load_tables(spark, sf_dir, register_views=True)
+    return ToolRegistry(spark, sf_dir)
+
+
+def test_list_tools_role_gated(registry):
+    general = registry.list_tools("general")
+    engineer = registry.list_tools("data_engineer")
+    assert "smart_search" in general
+    assert "analyze_data_quality" not in general
+    assert "analyze_data_quality" in engineer
+
+
+def test_execute_tool(registry):
+    res = registry.execute("get_task_stats")
+    assert res.success and len(res.data) == 3  # three order statuses
+    assert {"status", "cnt"} <= set(res.data[0])
+
+
+def test_unknown_and_forbidden(registry):
+    assert not registry.execute("nope").success
+    res = registry.execute("analyze_data_quality", role="general")
+    assert not res.success and "not permitted" in res.error
+
+
+def test_sql_tool_gated(registry):
+    ok = registry.execute("generate_sql_query",
+                          {"query": "SELECT count(*) AS c FROM orders"},
+                          role="data_engineer")
+    assert ok.success and ok.data[0]["c"] > 0
+    bad = registry.execute("generate_sql_query",
+                           {"query": "DROP TABLE orders"}, role="data_engineer")
+    assert not bad.success
+
+
+def test_cache_hit_faster_second_time(registry):
+    r1 = registry.execute("query_knowledge_base", {"k": 5}, identifier="cachetest")
+    r2 = registry.execute("query_knowledge_base", {"k": 5}, identifier="cachetest")
+    assert r1.success and r2.success and r1.data == r2.data
+    assert registry.cache.stats.hits >= 1
+
+
+def test_rate_limiter_window():
+    rl = RateLimiter(limit=3, window_s=60)
+    t = 1000.0
+    assert all(rl.allow("u", t + i) for i in range(3))
+    assert not rl.allow("u", t + 3)          # 4th in window rejected
+    assert rl.allow("other", t + 3)          # other identifier unaffected
+    assert rl.allow("u", t + 61)             # window slid → allowed again
+
+
+def test_ttl_cache_expiry():
+    c = TTLCache(ttl_s=10)
+    k = cache_key("f", 1, x=2)
+    assert k == cache_key("f", 1, x=2)
+    c.put(k, "v", now=0.0)
+    assert c.get(k, now=5.0) == "v"
+    assert c.get(k, now=11.0) is None        # expired
+    assert c.stats.hits == 1 and c.stats.misses == 1 and c.stats.evictions == 1
+    assert 0 < c.stats.hit_rate < 1
