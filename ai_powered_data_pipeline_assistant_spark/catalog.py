@@ -37,7 +37,19 @@ _TS_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    """Load one test table.
+
+    ``parallelize=True`` repartitions the scan to the session's default
+    parallelism when the file yields fewer partitions than cores. The test
+    parquet is a single row group, so CPU-heavy downstream stages (shingle
+    explode, mapInPandas feature extraction, embedding UDFs) would otherwise
+    run on ONE core. On a real 100 TB table the scan has thousands of
+    splits and this is a no-op; the guard keeps it from ever adding a
+    shuffle where the scan is already parallel.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -49,6 +61,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)")
             )
+    if parallelize:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 

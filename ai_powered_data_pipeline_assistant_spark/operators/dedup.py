@@ -51,7 +51,15 @@ SIMHASH_BITS = 32
 
 # ---------------------------------------------------------------- helpers
 def _shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct (doc, k-word-shingle) postings."""
+    """Distinct (doc, shingle-hash) postings.
+
+    The k-word shingle is hashed to its 60-bit md5-prefix int BEFORE the
+    distinct: the dedup shuffle then moves 8-byte ints instead of ~30-byte
+    strings, and every downstream consumer (Jaccard intersection join,
+    MinHash permutations) works on the int. The oracle applies the identical
+    hash, so the (astronomically unlikely, ~1e-7 for 1M shingles in 60 bits)
+    collision behavior is the same on both engines.
+    """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     sh = F.expr(
         "transform(sequence(0, size(toks) - {k}), i -> "
@@ -60,25 +68,40 @@ def _shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
         .select("doc_id", F.explode(sh).alias("shingle"))
+        .select("doc_id", md5_int(F.col("shingle")).alias("h"))
         .distinct()
     )
 
 
 _SHINGLE_SQL = """
-    SELECT DISTINCT doc_id,
-           array_to_string(toks[i:i+{k_minus_1}], ' ') AS shingle
-    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-         LATERAL (SELECT unnest(range(1, len(toks) - {k_minus_2})) AS i)
-""".format(k_minus_1=SHINGLE_K - 1, k_minus_2=SHINGLE_K - 2)
+    SELECT DISTINCT doc_id, {h} AS h
+    FROM (SELECT doc_id,
+                 array_to_string(toks[i:i+{k_minus_1}], ' ') AS shingle
+          FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+               LATERAL (SELECT unnest(range(1, len(toks) - {k_minus_2})) AS i))
+""".format(
+    h=md5_int_sql("shingle"), k_minus_1=SHINGLE_K - 1, k_minus_2=SHINGLE_K - 2
+)
 
 
 def _pair_jaccard(postings: DataFrame, min_jaccard: float) -> DataFrame:
-    """All-pairs Jaccard from a (doc_id, shingle) postings frame."""
+    """All-pairs Jaccard from a (doc_id, h) postings frame.
+
+    The postings frame feeds four consumers (both self-join sides and the
+    size lookup twice) → persist once instead of recomputing the shingle
+    explode per consumer. The self-join is hinted shuffle_hash: Catalyst
+    would otherwise broadcast the (narrow but tall) postings relation and
+    build a single-threaded multi-million-entry hash map; partitioning both
+    sides on ``h`` builds 32 maps in parallel and is the only strategy that
+    survives when postings stop fitting in one executor's memory.
+    """
+    postings = postings.persist()
     sizes = postings.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = postings.select(F.col("doc_id").alias("a_id"), "shingle")
-    b = postings.select(F.col("doc_id").alias("b_id"), "shingle")
+    a = postings.select(F.col("doc_id").alias("a_id"), "h")
+    b = postings.select(F.col("doc_id").alias("b_id"), "h")
     inter = (
-        a.join(b, "shingle")
+        a.hint("shuffle_hash")
+        .join(b.hint("shuffle_hash"), "h")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("inter"))
@@ -101,7 +124,7 @@ _PAIR_JACCARD_SQL = """
     sizes AS (SELECT doc_id, count(*) AS sz FROM postings GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM postings a JOIN postings b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2),
     pairs AS (
         SELECT a_id, b_id,
@@ -176,15 +199,20 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle postings self-join."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return _pair_jaccard(_shingles(docs), JACCARD_THRESHOLD)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature per doc: 16 universal-hash permutation minima."""
-    docs = load_table(spark, sf_dir, "documents")
+    """MinHash signature per doc: 16 universal-hash permutation minima.
+
+    The shingle hash is projected once per posting row before the
+    aggregation — evaluating md5 inside each of the 16 min() expressions
+    would cost 16 hashes per row (no CSE across aggregate expressions).
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     postings = _shingles(docs)
-    h = md5_int(F.col("shingle")) % HASH_MOD
+    h = F.col("h") % HASH_MOD
     aggs = [
         F.min((F.lit(PERM_A[j]) * h + F.lit(PERM_B[j])) % HASH_MOD).alias(f"m{j}")
         for j in range(N_PERMS)
@@ -200,26 +228,42 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ threshold. At scale only the banding join is quadratic-ish and
     only within buckets — the standard web-scale dedup shape.
 
-    Exact verification runs ONLY on the candidate set (candidates ⋈
-    postings, not all-pairs): for a dedup rate of d, work drops from
-    O(Σ posting²) to O(|candidates| · shingles/doc). The postings frame is
-    persisted — it feeds the signature aggregation and both sides of the
-    verification join.
+    Physical-plan choices (each measured on the bench):
+    - the md5 shingle hash is computed ONCE in the persisted postings
+      projection — inside the 16 min() aggregates it would be evaluated
+      16× per posting row (no CSE across aggregate expressions);
+    - set sizes ride along in the SAME aggregation as the signature minima
+      (one shuffle instead of two over the 200×-larger postings frame);
+    - bands come from one explode over the signature row, not a 4-way
+      union that re-reads the aggregation 4 times;
+    - exact verification runs ONLY on the candidate set (candidates ⋈
+      postings, not all-pairs): for a dedup rate of d, work drops from
+      O(Σ posting²) to O(|candidates| · shingles/doc).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     postings = _shingles(docs).persist()
-    h = md5_int(F.col("shingle")) % HASH_MOD
+    h = F.col("h") % HASH_MOD
     aggs = [
         F.min((F.lit(PERM_A[j]) * h + F.lit(PERM_B[j])) % HASH_MOD).alias(f"m{j}")
         for j in range(N_PERMS)
+    ] + [F.count("*").alias("sz")]
+    sigs = postings.groupBy("doc_id").agg(*aggs).persist()
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{band * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            ).alias("band_key"),
+        )
+        for band in range(N_BANDS)
     ]
-    sigs = postings.groupBy("doc_id").agg(*aggs)
-    bands = None
-    for band in range(N_BANDS):
-        cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        key = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
-        part = sigs.select("doc_id", F.lit(band).alias("band"), key.alias("band_key"))
-        bands = part if bands is None else bands.unionByName(part)
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_key")
     candidates = (
@@ -229,12 +273,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Candidate-only exact verification: candidates ⋈ postings, not all-pairs.
-    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    pa = postings.select(F.col("doc_id").alias("a_id"), "shingle")
-    pb = postings.select(F.col("doc_id").alias("b_id"), "shingle")
+    sizes = sigs.select("doc_id", "sz")
+    pa = postings.select(F.col("doc_id").alias("a_id"), "h")
+    pb = postings.select(F.col("doc_id").alias("b_id"), "h")
     inter = (
         candidates.join(pa, "a_id")
-        .join(pb, ["b_id", "shingle"])
+        .join(pb, ["b_id", "h"])
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("inter"))
     )
@@ -261,7 +305,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     tokens = (
         docs.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
         .distinct()
@@ -304,9 +348,8 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3
 
 # ---------------------------------------------------------------- oracles
 def _minhash_sig_sql() -> str:
-    h = md5_int_sql("shingle")
     mins = ", ".join(
-        f"min(({PERM_A[j]} * (({h}) % {HASH_MOD}) + {PERM_B[j]}) % {HASH_MOD}) AS m{j}"
+        f"min(({PERM_A[j]} * (h % {HASH_MOD}) + {PERM_B[j]}) % {HASH_MOD}) AS m{j}"
         for j in range(N_PERMS)
     )
     return f"""
@@ -316,9 +359,8 @@ def _minhash_sig_sql() -> str:
 
 
 def _minhash_lsh_sql() -> str:
-    h = md5_int_sql("shingle")
     mins = ", ".join(
-        f"min(({PERM_A[j]} * (({h}) % {HASH_MOD}) + {PERM_B[j]}) % {HASH_MOD}) AS m{j}"
+        f"min(({PERM_A[j]} * (h % {HASH_MOD}) + {PERM_B[j]}) % {HASH_MOD}) AS m{j}"
         for j in range(N_PERMS)
     )
     band_selects = " UNION ALL ".join(

@@ -68,7 +68,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     In production this is a parquet/Delta table of real blobs; every
     downstream op only assumes (binary, metadata) columns.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     modality = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
@@ -97,30 +97,35 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: vectorized per-batch feature extraction.
 
     Uses a deterministic byte-level fake in place of codec decode: checksum
-    and a fake 8-dim "embedding" norm derived from byte sums — integer math,
-    reproducible everywhere, same batch shape as a real extractor.
+    and a fake 8-dim "embedding" norm derived from byte sums. All byte
+    arithmetic runs in numpy (one frombuffer + reduceat per row) — a pure
+    Python `for byte in payload` loop here costs seconds per million bytes
+    and defeats the point of the Arrow batch transfer.
     """
+    import numpy as np
+
+    dim = 8
+
+    def row_feats(b: bytes) -> tuple[int, int]:
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        checksum = int(arr.sum() % 1_000_000_007)
+        pad = (-len(arr)) % dim
+        if pad:
+            arr = np.concatenate([arr, np.zeros(pad, dtype=np.int64)])
+        buckets = arr.reshape(-1, dim).sum(axis=0)  # element i lands in bucket i%dim
+        return checksum, int((buckets * buckets).sum())
+
     for pdf in batches:
         payloads = pdf["payload"]
-        sizes = payloads.map(len)
-        checksums = payloads.map(lambda b: sum(b) % 1_000_000_007)
-        # fake feature: 8 buckets of byte sums (stands in for a real
-        # image/audio embedding); report its scaled integer L2^2
-        def norm_scaled(b: bytes) -> int:
-            dim = 8
-            buckets = [0] * dim
-            for i, byte in enumerate(b):
-                buckets[i % dim] += byte
-            return sum(x * x for x in buckets)
-
+        feats = payloads.map(row_feats)
         yield pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
                 "modality": pdf["modality"],
-                "payload_bytes": sizes,
-                "byte_checksum": checksums,
-                "feature_dim": 8,
-                "feature_norm_scaled": payloads.map(norm_scaled),
+                "payload_bytes": payloads.map(len),
+                "byte_checksum": feats.map(lambda t: t[0]),
+                "feature_dim": dim,
+                "feature_norm_scaled": feats.map(lambda t: t[1]),
             }
         )
 

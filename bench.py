@@ -44,14 +44,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # JVM/codegen warm-up on a trivial action so q1 isn't billed for startup.
+    # Warm up shared infrastructure so the first query isn't billed for
+    # one-time init: JVM codegen, Hadoop/parquet reader stack, the Python
+    # worker pool + Arrow serialization path, and window-exec codegen.
+    # (Queries themselves are NOT pre-run — timings below are cold plans.)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark.range(1000).count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    warm = spark.range(64).repartition(32)
+    warm.mapInPandas(lambda it: it, schema="id long").count()
+    warm.select(
+        F.row_number().over(Window.partitionBy("id").orderBy("id"))
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Queries are independent measurements: release DataFrames persisted
+        # inside an operator (e.g. the MinHash postings) so block-manager
+        # occupancy from one query can't tax the next.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
