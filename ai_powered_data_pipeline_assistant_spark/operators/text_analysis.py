@@ -180,8 +180,224 @@ def tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select("event_id", ny.alias("ny_time"), tokyo.alias("tokyo_time"))
 
 
+def _pii_msg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically inject PII-shaped substrings into the corpus text
+    (the synthetic corpus has none) so the gates below classify non-trivially.
+    The oracle applies the identical injection."""
+    docs = load_table(spark, sf_dir, "documents")
+    inject = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact me at user"), F.col("doc_id").cast("string"),
+                        F.lit("@example.com")))
+        .when(F.col("doc_id") % 11 == 0, F.lit(" ssn 123-45-6789"))
+        .when(F.col("doc_id") % 13 == 0, F.lit(" card 4111 1111 1111 1111"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select("doc_id", F.concat(F.col("text"), inject).alias("msg"))
+
+
+_PII_MSG_SQL = """
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 7 = 0
+                        THEN ' contact me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                        WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789'
+                        WHEN doc_id % 13 = 0 THEN ' card 4111 1111 1111 1111'
+                        ELSE '' END AS msg
+    FROM documents
+"""
+
+_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_CARD_RE = r"\b(?:\d[ -]?){13,16}\b"
+_PROFANITY_RE = r"(?i)\b(damn|hell|crap)\b"
+
+
+def pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: admission-control PII predicate (reference
+    backend/core/guardrails.py:8-19 — SSN/CC/email regex union blocks the
+    row). Classifies each message by first matching class; the predicate is
+    a pure rlike, evaluated during the scan."""
+    msgs = _pii_msg(spark, sf_dir)
+    cls = (
+        F.when(F.col("msg").rlike(_SSN_RE), "ssn")
+        .when(F.col("msg").rlike(_EMAIL_RE), "email")
+        .when(F.col("msg").rlike(_CARD_RE), "card")
+        .otherwise(F.lit("clean"))
+    )
+    return msgs.select(
+        "doc_id",
+        cls.alias("pii_class"),
+        (cls != "clean").alias("blocked"),
+    )
+
+
+def profanity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: profanity predicate (reference backend/utils/profanity_filter.py:
+    14-59 — compiled word-list union; matching rows are rejected with a
+    canned answer). Word list deterministic-injected like the PII gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    msg = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" damn it")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        msg.rlike(_PROFANITY_RE).alias("rejected"),
+    )
+
+
+def html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: HTML strip (drop <code> blocks then all tags, collapse
+    whitespace — reference backend/services/search_clients.py:83-91) and
+    HTML escape (reference backend/utils/sanitization.py:38-72), both as
+    regexp_replace/replace chains, no parser in the hot path."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<p>"),
+        F.substring("text", 1, 80),
+        F.lit("</p> <code>internal = secret()</code> <b>tail</b>"),
+    )
+    no_code = F.regexp_replace(html, r"(?s)<code>.*?</code>", " ")
+    no_tags = F.regexp_replace(no_code, r"<[^>]+>", " ")
+    cleaned = F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+    raw = F.concat(F.lit("a<b>&\"c\" "), F.substring("text", 1, 20))
+    escaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(raw, "&", "&amp;"), "<", "&lt;"),
+            ">",
+            "&gt;",
+        ),
+        '"',
+        "&quot;",
+    )
+    return docs.select("doc_id", cleaned.alias("cleaned"), escaped.alias("escaped"))
+
+
+def validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: data-quality validation predicates (reference
+    backend/models/interaction.py:56-107 enum/length/regex shape checks) as
+    per-rule pass/fail tallies over `orders` — one scan, all rules evaluated
+    as when/rlike/isin columns, partial-aggregated map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    rules = {
+        "status_enum": F.col("o_orderstatus").isin("O", "F", "P"),
+        "price_range": (F.col("o_totalprice") > 0) & (F.col("o_totalprice") < 400000),
+        "priority_shape": F.col("o_orderpriority").rlike(r"^[1-5]-[A-Z ]+$"),
+        "custkey_positive": F.col("o_custkey") > 0,
+    }
+    checks = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(name).alias("rule"), cond.alias("passed"))
+                for name, cond in rules.items()
+            ]
+        )
+    ).alias("chk")
+    return (
+        orders.select(checks)
+        .select("chk.rule", "chk.passed")
+        .groupBy("rule")
+        .agg(
+            F.sum(F.when(F.col("passed"), 1).otherwise(0)).alias("pass_cnt"),
+            F.sum(F.when(F.col("passed"), 0).otherwise(1)).alias("fail_cnt"),
+        )
+    )
+
+
+def enum_rank_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15/F16: enum→rank and enum→emoji literal maps (reference
+    app/state_manager.py:28-33, :260-274) as when/otherwise projections
+    feeding a grouped count — the status-priority sort-rank map the UI uses."""
+    orders = load_table(spark, sf_dir, "orders")
+    rank = (
+        F.when(F.col("o_orderstatus") == "O", 1)
+        .when(F.col("o_orderstatus") == "F", 2)
+        .otherwise(3)
+    )
+    emoji = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "🔴")
+        .when(F.col("o_orderpriority") == "2-HIGH", "🟠")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "🟡")
+        .when(F.col("o_orderpriority") == "5-LOW", "🟢")
+        .otherwise("⚪")
+    )
+    return (
+        orders.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            rank.alias("status_rank"),
+            emoji.alias("priority_emoji"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 ORACLES: dict[str, str] = {
     "lang_id": None,  # filled below (generated)
+    "pii_gate": f"""
+        WITH msgs AS ({_PII_MSG_SQL})
+        SELECT doc_id,
+               CASE WHEN regexp_matches(msg, '{_SSN_RE}') THEN 'ssn'
+                    WHEN regexp_matches(msg, '{_EMAIL_RE}') THEN 'email'
+                    WHEN regexp_matches(msg, '{_CARD_RE}') THEN 'card'
+                    ELSE 'clean' END AS pii_class,
+               CASE WHEN regexp_matches(msg, '{_SSN_RE}') THEN 'ssn'
+                    WHEN regexp_matches(msg, '{_EMAIL_RE}') THEN 'email'
+                    WHEN regexp_matches(msg, '{_CARD_RE}') THEN 'card'
+                    ELSE 'clean' END <> 'clean' AS blocked
+        FROM msgs
+    """,
+    "profanity_gate": f"""
+        SELECT doc_id,
+               regexp_matches(
+                   text || CASE WHEN doc_id % 5 = 0 THEN ' damn it' ELSE '' END,
+                   '{_PROFANITY_RE}') AS rejected
+        FROM documents
+    """,
+    "html_clean": r"""
+        WITH built AS (
+            SELECT doc_id,
+                   '<p>' || substr(text, 1, 80) ||
+                   '</p> <code>internal = secret()</code> <b>tail</b>' AS html,
+                   'a<b>&"c" ' || substr(text, 1, 20) AS raw
+            FROM documents)
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(regexp_replace(html,
+                    '(?s)<code>.*?</code>', ' ', 'g'),
+                    '<[^>]+>', ' ', 'g'),
+                    '\s+', ' ', 'g')) AS cleaned,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+                    '&', '&amp;', 'g'),
+                    '<', '&lt;', 'g'),
+                    '>', '&gt;', 'g'),
+                    '"', '&quot;', 'g') AS escaped
+        FROM built
+    """,
+    "validation_rules": """
+        WITH checks AS (
+            SELECT 'status_enum' AS rule, o_orderstatus IN ('O','F','P') AS passed FROM orders
+            UNION ALL
+            SELECT 'price_range', o_totalprice > 0 AND o_totalprice < 400000 FROM orders
+            UNION ALL
+            SELECT 'priority_shape', regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') FROM orders
+            UNION ALL
+            SELECT 'custkey_positive', o_custkey > 0 FROM orders)
+        SELECT rule,
+               sum(CASE WHEN passed THEN 1 ELSE 0 END) AS pass_cnt,
+               sum(CASE WHEN passed THEN 0 ELSE 1 END) AS fail_cnt
+        FROM checks GROUP BY rule
+    """,
+    "enum_rank_maps": """
+        SELECT o_orderstatus AS status,
+               CASE WHEN o_orderstatus = 'O' THEN 1
+                    WHEN o_orderstatus = 'F' THEN 2 ELSE 3 END AS status_rank,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN '🔴'
+                    WHEN o_orderpriority = '2-HIGH' THEN '🟠'
+                    WHEN o_orderpriority = '3-MEDIUM' THEN '🟡'
+                    WHEN o_orderpriority = '5-LOW' THEN '🟢'
+                    ELSE '⚪' END AS priority_emoji,
+               count(*) AS cnt
+        FROM orders GROUP BY 1, 2, 3
+    """,
     "quality_score": """
         SELECT doc_id,
                len(string_split(trim(text), ' ')) AS n_tokens,
@@ -274,4 +490,9 @@ QUERIES = {
     "json_extract_agg": json_extract_agg,
     "timestamp_buckets": timestamp_buckets,
     "tz_convert": tz_convert,
+    "pii_gate": pii_gate,
+    "profanity_gate": profanity_gate,
+    "html_clean": html_clean,
+    "validation_rules": validation_rules,
+    "enum_rank_maps": enum_rank_maps,
 }
