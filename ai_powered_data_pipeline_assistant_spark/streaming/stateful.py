@@ -1,0 +1,162 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference keeps two pieces of hand-rolled mutable state:
+- a request_id "seen map" with a 300 s TTL (duplicate suppression,
+  reference backend/services/pubnub_job_processor.py:302-322);
+- per-key sliding-window request timestamps for rate limiting
+  (reference backend/core/guardrails.py:23-37).
+
+`dropDuplicatesWithinWatermark` covers the first natively (streaming/jobs.py);
+this module shows the GENERAL escape hatch for stateful logic Spark has no
+built-in for: `applyInPandasWithState` with per-group state + processing-time
+timeout, the Structured Streaming replacement for the reference's dict+lock.
+
+State design for scale: state is per group key and lives in the state store
+(RocksDB on a real cluster), so memory is bounded by (live keys × state row),
+not by stream length; the TTL timeout evicts idle keys exactly like the
+reference's periodic seen-map sweep.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TTL_MS = 300_000  # reference: 300 s duplicate-suppression window
+
+DEDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("request_id", StringType()),
+        StructField("first_ts", TimestampType()),
+        StructField("accepted", LongType()),
+        StructField("suppressed", LongType()),
+    ]
+)
+
+DEDUP_STATE_SCHEMA = StructType(
+    [
+        StructField("first_ts_micros", LongType()),
+        StructField("accepted", LongType()),
+        StructField("suppressed", LongType()),
+    ]
+)
+
+
+def _dedup_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-request_id TTL state: first arrival is accepted, later arrivals
+    within the TTL are counted as suppressed; timeout clears the key."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    n = len(rows)
+    min_ts = rows["ts"].min()
+    if state.exists:
+        first_micros, accepted, suppressed = state.get
+        suppressed += n
+    else:
+        first_micros = int(min_ts.value // 1_000)  # pandas ns → micros
+        accepted, suppressed = 1, n - 1
+    state.update((first_micros, accepted, suppressed))
+    state.setTimeoutDuration(TTL_MS)
+    yield pd.DataFrame(
+        {
+            "request_id": [key[0]],
+            "first_ts": [pd.Timestamp(first_micros * 1_000)],
+            "accepted": [accepted],
+            "suppressed": [suppressed],
+        }
+    )
+
+
+def ttl_dedup_state(requests: DataFrame) -> DataFrame:
+    """T3 as a CUSTOM stateful operator: per-request_id seen-state with a
+    processing-time TTL, emitting accept/suppress tallies per update.
+
+    Input must be a streaming frame with (request_id string, ts timestamp).
+    """
+    return (
+        requests.groupBy("request_id")
+        .applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+RATE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("window_count", LongType()),
+        StructField("over_limit", BooleanType()),
+    ]
+)
+
+RATE_STATE_SCHEMA = StructType([StructField("ts_micros_csv", StringType())])
+
+RATE_WINDOW_MS = 60_000  # reference: trailing 60 s
+RATE_LIMIT = 40  # reference: 40 req / 60 s per user (guardrails.py:40)
+
+
+def _rate_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Sliding-window rate limit: keep per-user event times inside the
+    trailing window, evict older ones — the reference's timestamp-list
+    eviction loop (guardrails.py:28-37) as managed state."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    new_ts = [int(v.value // 1_000) for v in rows["ts"]]
+    old: list[int] = []
+    if state.exists:
+        (csv,) = state.get
+        old = [int(x) for x in csv.split(",") if x]
+    merged = sorted(old + new_ts)
+    horizon = merged[-1] - RATE_WINDOW_MS * 1_000
+    live = [t for t in merged if t > horizon]
+    state.update((",".join(str(t) for t in live),))
+    state.setTimeoutDuration(RATE_WINDOW_MS * 2)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "window_count": [len(live)],
+            "over_limit": [len(live) > RATE_LIMIT],
+        }
+    )
+
+
+def sliding_rate_limit_state(events: DataFrame) -> DataFrame:
+    """T4 as a custom stateful operator over (user_id long, ts timestamp)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _rate_fn,
+            outputStructType=RATE_OUTPUT_SCHEMA,
+            stateStructType=RATE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

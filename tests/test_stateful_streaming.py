@@ -1,0 +1,90 @@
+"""Custom stateful operators (applyInPandasWithState): TTL dedup state and
+sliding rate-limit state — the escape hatch for state Spark has no built-in
+for (reference seen-map pubnub_job_processor.py:302-322, guardrails.py:23-37).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.sources.synthetic import job_requests
+from ai_powered_data_pipeline_assistant_spark.streaming.stateful import (
+    sliding_rate_limit_state,
+    ttl_dedup_state,
+)
+
+
+def _run_stream(spark, src_df, tmp_path, build, name):
+    src_dir = str(tmp_path / f"{name}_src")
+    src_df.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(src_df.schema).parquet(src_dir)
+    out = build(stream)
+    # The state store opens one instance per shuffle partition per batch;
+    # 4 partitions keeps this test seconds-fast (the partition count is
+    # baked into each query's own checkpoint, so other tests are unaffected).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        # With ProcessingTimeTimeout an availableNow query stays active
+        # ("no new data but cleaning up state") until every pending state
+        # TTL fires — minutes. Poll until the input is fully processed,
+        # then stop; timed-out-eviction behavior isn't under test here.
+        import time
+
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if (
+                not q.status["isDataAvailable"]
+                and q.recentProgress
+                and sum(p["numInputRows"] for p in q.recentProgress) > 0
+            ):
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_ttl_dedup_state(spark, tmp_path):
+    fixture = job_requests(spark, n=40, dup_every=4, late_dup_every=20).select(
+        "request_id", "ts"
+    )
+    result = _run_stream(spark, fixture, tmp_path, ttl_dedup_state, "ttl_dedup")
+    rows = {r["request_id"]: r for r in result.collect()}
+    assert len(rows) == 40  # one state row per unique request_id
+    total_accept = sum(r["accepted"] for r in rows.values())
+    total_suppress = sum(r["suppressed"] for r in rows.values())
+    assert total_accept == 40
+    assert total_suppress == fixture.count() - 40  # every duplicate suppressed
+
+
+def test_sliding_rate_limit_state(spark, tmp_path):
+    burst = spark.range(45).select(
+        F.lit(1).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+    )
+    slow = spark.range(45).select(
+        F.lit(2).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 120).alias("ts"),
+    )
+    events = burst.unionByName(slow)
+    result = _run_stream(
+        spark, events, tmp_path, sliding_rate_limit_state, "rate_state"
+    )
+    by_user = {r["user_id"]: r for r in result.collect()}
+    # burst user: all 45 events inside one 60 s window → over the 40 cap
+    assert by_user[1]["window_count"] == 45
+    assert by_user[1]["over_limit"]
+    # slow user: 120 s spacing → only the newest event stays in-window
+    assert by_user[2]["window_count"] == 1
+    assert not by_user[2]["over_limit"]
