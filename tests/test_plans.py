@@ -1,0 +1,100 @@
+"""Physical-plan regression tests — the scale contract.
+
+Correctness says an operator returns the right rows at sf0.001; these tests
+pin the PLAN properties that make the same operator survive a 100 TB scan:
+filters reaching the parquet reader, projections pruning columns, dimension
+joins broadcasting, top-k compiling to TakeOrderedAndProject instead of a
+global sort, and whole-stage codegen covering the hot path.
+"""
+
+from __future__ import annotations
+
+from ai_powered_data_pipeline_assistant_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def _initial_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """P1-P4: the status/priority equality filters must appear as parquet
+    PushedFilters, not post-scan Filter-only."""
+    plan = _formatted(QUERIES["filter_eq"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), f"no filters pushed to scan:\n{plan}"
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    """S1/S4: a narrow projection must prune the parquet ReadSchema — a scan
+    reading every column for a 2-column projection breaks at 100 TB."""
+    plan = _formatted(QUERIES["status_counts"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "o_orderstatus" in read_schema
+    assert "o_totalprice" not in read_schema, read_schema
+    assert "o_orderdate" not in read_schema, read_schema
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """O5/J3: orderBy(desc).limit(k) must compile to TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a global Sort."""
+    plan = _initial_plan(QUERIES["cosine_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    """Rollup over customer⋈nation⋈region must broadcast the dimension
+    tables — shuffling the fact side on dim keys is the scale killer."""
+    plan = _initial_plan(QUERIES["rollup_counts"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpch_q3_joins_are_hash_joins(spark, sf_dir):
+    """Q3's selective customer filter should broadcast; no cartesian or
+    nested-loop join may appear in an equi-join pipeline."""
+    plan = _initial_plan(QUERIES["tpch_q3"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_agg_is_whole_stage_codegen(spark, sf_dir):
+    """tpch_q1's scan→filter→partial-agg must sit inside WholeStageCodegen
+    (Tungsten), not fall back to interpreted evaluation. Under AQE the
+    codegen spans only appear in the final plan after execution — the
+    `*(n)` stage markers in simpleString."""
+    df = QUERIES["tpch_q1"](spark, sf_dir)
+    df.collect()  # count() would plan a new query; collect finalizes THIS one
+    plan = df._jdf.queryExecution().simpleString()
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan, f"no WholeStageCodegen stage markers:\n{plan}"
+    assert "HashAggregate" in _initial_plan(df)
+
+
+def test_exact_dedup_partial_aggregates(spark, sf_dir):
+    """Hash-groupBy dedup must show a two-phase HashAggregate (map-side
+    partial + final) — the map-side combine is what bounds the shuffle."""
+    plan = _initial_plan(QUERIES["exact_dedup"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """No oracle-checked operator may contain a CartesianProduct — every
+    join is either keyed or an intentional broadcast of a tiny side."""
+    offenders = []
+    for name, fn in QUERIES.items():
+        try:
+            plan = _initial_plan(fn(spark, sf_dir))
+        except Exception:
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
