@@ -20,10 +20,13 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+import re
+
 from ai_powered_data_pipeline_assistant_spark.functions.caching import TTLCache, cache_key
 from ai_powered_data_pipeline_assistant_spark.operators import (
     aggregates,
     relational,
+    scalar_ops,
     vector,
 )
 from ai_powered_data_pipeline_assistant_spark.operators.pipeline import search_pipeline
@@ -89,6 +92,8 @@ class ToolRegistry:
             "query_knowledge_base": (self._kb_search, {"general", "data_engineer"}),
             "read_chat_history": (self._chat_history, {"general", "data_engineer"}),
             "generate_sql_query": (self._run_sql, {"data_engineer"}),
+            "generate_sql": (self._generate_sql, {"data_engineer"}),
+            "schedule_pipeline": (self._schedule_pipeline, {"data_engineer"}),
         }
 
     def list_tools(self, role: str = "general") -> list[str]:
@@ -142,3 +147,37 @@ class ToolRegistry:
 
     def _run_sql(self, args: dict) -> DataFrame:
         return safe_sql(self.spark, args["query"])
+
+    # NL→SQL templates (U5, reference backend/tools/data_tools.py:120-195 —
+    # there a prompt template + LLM; here deterministic rule templates, so
+    # the output is testable. Every generated statement still passes the P9
+    # safety gate before execution.)
+    _NL_RULES = [
+        (
+            re.compile(r"^count (\w+) by (\w+)$", re.I),
+            lambda m: f"SELECT {m.group(2)}, count(*) AS cnt FROM {m.group(1)} GROUP BY {m.group(2)}",  # noqa: E501
+        ),
+        (
+            re.compile(r"^top (\d+) (\w+) by (\w+)$", re.I),
+            lambda m: f"SELECT * FROM {m.group(2)} ORDER BY {m.group(3)} DESC LIMIT {m.group(1)}",  # noqa: E501
+        ),
+        (
+            re.compile(r"^show (\w+(?:, ?\w+)*) from (\w+)$", re.I),
+            lambda m: f"SELECT {m.group(1)} FROM {m.group(2)}",
+        ),
+    ]
+
+    def _generate_sql(self, args: dict) -> DataFrame:
+        request = args["request"].strip()
+        for pattern, template in self._NL_RULES:
+            m = pattern.match(request)
+            if m:
+                return safe_sql(self.spark, template(m))
+        raise ValueError(
+            f"no SQL template matches {request!r}; supported shapes: "
+            "'count <table> by <col>', 'top <n> <table> by <col>', "
+            "'show <cols> from <table>'"
+        )
+
+    def _schedule_pipeline(self, args: dict) -> DataFrame:
+        return scalar_ops.schedule_arithmetic(self.spark, self.sf_dir)

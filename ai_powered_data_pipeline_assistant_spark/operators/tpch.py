@@ -1,0 +1,160 @@
+"""TPC-H-shaped relational pipelines beyond q1/q3: multi-join star query
+(q5), selective scan-agg (q6), and group-having-join top-k (q18).
+
+These exercise the relational surface the reference exposes through its
+guarded ad-hoc SELECT executor (J5, reference backend/utils/sql_safety.py:
+184-231 — arbitrary validated SELECTs incl. joins run through SQLAlchemy):
+a user of the reference can run exactly these shapes, so the engine must
+plan them well.
+
+All money math is fixed-point int64 (cents × percent-cents) so results
+hash-match the DuckDB oracle bit-for-bit; see operators/aggregates.py.
+
+Scale notes:
+- q5: dimension chain (region→nation) broadcasts; the two fact joins
+  (orders⋈customer on custkey+nationkey, lineitem⋈supplier) shuffle on
+  their keys; AQE picks the final strategy at runtime.
+- q6: single scan, every predicate pushed to parquet (row-group pruning on
+  shipdate/discount/quantity min-max stats), one partial+final agg — the
+  cheapest possible plan at any scale.
+- q18: the HAVING subquery is a self-aggregation of lineitem reused via a
+  semi-join on orderkey — no correlated subquery, no second scan of the
+  big side after the aggregate's shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+_Q18_QTY_THRESHOLD = 150
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> DataFrame:
+    """Q5 local-supplier revenue: 6-table star join, grouped by nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    revenue_units = price * (F.lit(100) - disc)
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(broadcast(reg), nation.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(revenue_units) / 1e6, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecasting revenue change: pure scan-filter-agg, all predicates
+    pushed to the parquet reader."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(price * disc) / 1e4, 4).alias("revenue"))
+    )
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str, top_n: int = 100) -> DataFrame:
+    """Q18 large-volume customers: HAVING-filtered aggregate semi-joined
+    back to orders⋈customer, top-N by totalprice."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_units = F.round(F.col("l_quantity") * 100).cast("long")
+
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_units).alias("qty_units"))
+        .filter(F.col("qty_units") > _Q18_QTY_THRESHOLD * 100)
+    )
+    return (
+        orders.join(big_orders, orders.o_orderkey == big_orders.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("qty_units") / 100.0, 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(top_n)
+    )
+
+
+ORACLES: dict[str, str] = {
+    "tpch_q5": """
+        SELECT n_name AS nation,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 1e6,
+                     4) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= '1994-01-01' AND o_orderdate < '1995-01-01'
+        GROUP BY 1
+        ORDER BY revenue DESC, nation
+    """,
+    "tpch_q6": """
+        SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT)) / 1e4,
+                     4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "tpch_q18": f"""
+        WITH big_orders AS (
+            SELECT l_orderkey,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_units
+            FROM lineitem GROUP BY 1
+            HAVING qty_units > {_Q18_QTY_THRESHOLD * 100})
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(qty_units / 100.0, 2) AS total_qty
+        FROM orders
+        JOIN big_orders ON o_orderkey = l_orderkey
+        JOIN customer   ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100
+    """,
+}
+
+QUERIES = {
+    "tpch_q5": tpch_q5,
+    "tpch_q6": tpch_q6,
+    "tpch_q18": tpch_q18,
+}

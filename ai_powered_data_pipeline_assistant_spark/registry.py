@@ -23,6 +23,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     relational,
     scalar_ops,
     text_analysis,
+    tpch,
     vector,
     windows,
 )
@@ -39,6 +40,7 @@ _MODULES = [
     scalar_ops,
     multimodal,
     embedding_pipeline,
+    tpch,
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -70,3 +70,29 @@ def test_ttl_cache_expiry():
     assert c.get(k, now=11.0) is None        # expired
     assert c.stats.hits == 1 and c.stats.misses == 1 and c.stats.evictions == 1
     assert 0 < c.stats.hit_rate < 1
+
+
+def test_generate_sql_templates(registry):
+    """U5: NL→SQL template generation, gated by the P9 safety validator."""
+    res = registry.execute(
+        "generate_sql", {"request": "count orders by o_orderstatus"},
+        role="data_engineer",
+    )
+    assert res.success and len(res.data) == 3
+    top = registry.execute(
+        "generate_sql", {"request": "top 5 customer by c_acctbal"},
+        role="data_engineer",
+    )
+    assert top.success and len(top.data) == 5
+    bals = [r["c_acctbal"] for r in top.data]
+    assert bals == sorted(bals, reverse=True)
+    bad = registry.execute(
+        "generate_sql", {"request": "drop everything please"},
+        role="data_engineer",
+    )
+    assert not bad.success and "no SQL template" in bad.error
+
+
+def test_schedule_pipeline_tool(registry):
+    res = registry.execute("schedule_pipeline", role="data_engineer")
+    assert res.success and len(res.data) > 0
