@@ -94,7 +94,54 @@ def anti_join_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_skew_join(spark: SparkSession, sf_dir: str, n_salts: int = 8) -> DataFrame:
+    """Explicit salting for a skew-dominated join — the manual fallback when
+    AQE's skew splitting isn't available (e.g. a non-shuffle join input or a
+    storage-partitioned join).
+
+    `events` has only a handful of distinct event_type values, so joining a
+    per-type dimension on event_type hash-partitions 100k+ rows onto ~4
+    reducers no matter how many partitions are configured — the canonical
+    skew pathology. Fix: explode the SMALL side n_salts× (one row per salt),
+    add a deterministic salt (event_id % n_salts, NOT rand() — keeps
+    retries/oracle deterministic) to the big side, and join on
+    (key, salt) → every reducer gets ~1/n_salts of each hot key.
+
+    Result is identical to the unsalted join; the oracle is the plain join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    type_dim = (
+        events.groupBy("event_type")
+        .agg(F.count("*").alias("type_total"))
+    )
+    dim_salted = type_dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    fact_salted = events.withColumn("salt", (F.col("event_id") % n_salts).cast("int"))
+    # hint forces the shuffle join the pattern exists for — at test scale
+    # Catalyst would broadcast the tiny dim and no skew would ever occur;
+    # at 100 TB the dim that needs salting is precisely the one too big to
+    # broadcast.
+    return (
+        fact_salted.join(dim_salted.hint("shuffle_hash"), ["event_type", "salt"])
+        .groupBy("event_type", "type_total")
+        .agg(
+            F.count("*").alias("joined_cnt"),
+            F.sum(F.col("user_id")).alias("user_id_sum"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "salted_skew_join": """
+        WITH type_dim AS (
+            SELECT event_type, count(*) AS type_total FROM events GROUP BY 1)
+        SELECT e.event_type, d.type_total,
+               count(*) AS joined_cnt,
+               sum(e.user_id) AS user_id_sum
+        FROM events e JOIN type_dim d ON e.event_type = d.event_type
+        GROUP BY 1, 2
+    """,
     "fk_join_rollup": """
         SELECT r_name AS region_name,
                count(*) AS customer_cnt,
@@ -138,4 +185,5 @@ QUERIES = {
     "tpch_q3": tpch_q3,
     "semi_join_active": semi_join_active,
     "anti_join_new_docs": anti_join_new_docs,
+    "salted_skew_join": salted_skew_join,
 }
