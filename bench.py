@@ -20,6 +20,9 @@ from ai_powered_data_pipeline_assistant_spark.session import get_spark
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
     "grouped_stats",
     "rate_window_counts",
     "cosine_topk",
