@@ -329,20 +329,51 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_frame(spark, sf_dir)
 
 
+SIMHASH_BANDS = 4  # 4 bands × 8 bits; hamming ≤ 3 ⇒ ≥1 identical band
+
+
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ max_hamming.
 
-    All-pairs xor+popcount at test scale; at 100 TB, block on 8-bit prefix
-    bands first (pigeonhole: hamming ≤ 3 over 4 bands ⇒ ≥1 identical band).
+    Banded blocking, not all-pairs: each fingerprint is exploded into 4
+    8-bit band keys; candidate pairs come from an equality self-join on
+    (band, band_key). By pigeonhole, ≤ max_hamming (3) differing bits over
+    4 bands leaves at least one band identical, so blocking loses NOTHING —
+    the result is exactly the all-pairs answer (the oracle stays the plain
+    all-pairs SQL), while the join cost drops from O(n²) to Σ bucket².
     """
-    s = _simhash_frame(spark, sf_dir)
-    a = s.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"))
-    b = s.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"))
+    assert max_hamming < SIMHASH_BANDS, "pigeonhole exactness needs hamming < bands"
+    s = _simhash_frame(spark, sf_dir).persist()
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("band_key"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"), "band", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"), "band", "band_key"
+    )
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("hamming", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))))
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "hamming")
+        .distinct()  # a pair can share several bands
     )
 
 
