@@ -34,6 +34,8 @@ def get_spark(app_name: str = "ai-pipeline-spark", master: str | None = None) ->
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # managed tables (bucketed layouts) land in /tmp, not the repo
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Test parquet stores TIMESTAMP(NANOS) which Spark has no native

@@ -1,0 +1,63 @@
+"""Physical layout: partition pruning and shuffle-free bucketed joins —
+the plan-level proof that layout replaces the reference's B-tree indexes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.sources.layout import (
+    bucketed_join,
+    read_pruned,
+    write_bucketed,
+    write_partitioned_events,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_part")
+    write_partitioned_events(spark, sf_dir, out)
+
+    # pick a (type, day) that exists
+    sample = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("day"))
+        .first()
+    )
+    df = read_pruned(spark, out, sample["event_type"], str(sample["day"]))
+    plan = _plan(df)
+    # both predicates must be PartitionFilters (directory pruning), leaving
+    # nothing for a row-level Filter over data columns
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pf and "day" in pf, plan
+
+    # pruned read returns exactly the rows a full-scan filter would
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == sample["event_type"])
+            & (F.to_date("ts") == sample["day"])
+        )
+        .count()
+    )
+    assert df.count() == expected > 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    write_bucketed(spark, sf_dir, "orders_bucketed")
+    joined = bucketed_join(spark, "orders_bucketed", "orders_bucketed")
+    plan = _plan(joined)
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    # sanity: result matches a plain self-aggregation join
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").count()
+    assert joined.count() == orders.join(agg, "o_custkey").count()
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
