@@ -55,7 +55,61 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str, window_s: int = 60) 
     )
 
 
+def sessionize(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame:
+    """Sessionization: split each user's event stream into sessions separated
+    by ≥ gap_s of inactivity (lag → gap flag → running sum = session index),
+    then summarize per session.
+
+    The standard training-data/web-analytics primitive (no reference parity
+    row; north-star extension). The batch formulation here is the classic
+    two-window plan — one shuffle on user_id, both windows reuse the same
+    partitioning (Catalyst plans a single Exchange + one sort). Streaming
+    equivalent: groupBy(session_window(ts, gap)) with watermark.
+    """
+    events = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_flag = F.when(
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(order)) >= gap_s,
+        1,
+    ).otherwise(0)
+    with_session = events.withColumn(
+        "session_idx", F.sum(gap_flag).over(order)
+    )
+    return (
+        with_session.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("event_cnt"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+                "duration_s"
+            ),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "sessionize": """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+                        THEN 1 ELSE 0 END AS gap_flag
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+            SELECT user_id, ts,
+                   sum(gap_flag) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS session_idx
+            FROM flagged)
+        SELECT user_id, session_idx,
+               count(*) AS event_cnt,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               CAST(floor(epoch(max(ts))) AS BIGINT)
+                   - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+        FROM sessions GROUP BY 1, 2
+    """,
     "retention_last_n": """
         WITH kept AS (
             SELECT * FROM (
@@ -84,4 +138,5 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "retention_last_n": retention_last_n,
     "sliding_window_counts": sliding_window_counts,
+    "sessionize": sessionize,
 }
