@@ -85,3 +85,41 @@ def test_sliding_rate_limit_counts(spark):
     assert over.filter(F.col("user_id") == 1).count() == 5  # events 41-45
     max_trailing = counted.agg(F.max("trailing_cnt")).first()[0]
     assert max_trailing == 45
+
+
+def test_windowed_counts_stream(spark, tmp_path):
+    """Event-time sliding-window counts over a real stream: a 45-event burst
+    in one minute must produce a window holding all 45 events; late data
+    beyond the watermark is handled by the engine (append not tested here —
+    update mode surfaces every window)."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.ratelimit import (
+        windowed_counts_stream,
+    )
+
+    burst = spark.range(45).select(
+        F.lit(1).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+    )
+    src = str(tmp_path / "rl_src")
+    burst.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(burst.schema).parquet(src)
+    q = (
+        windowed_counts_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rl_windows")
+        .option("checkpointLocation", str(tmp_path / "rl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM rl_windows").collect()
+    assert rows, "no windows emitted"
+    # sliding 60s/10s windows: the one fully covering the burst counts all 45
+    assert max(r["count"] for r in rows) == 45
+    # every window is user-keyed and at most window_s wide
+    assert all(r["user_id"] == 1 for r in rows)
+    assert all(
+        (r["window"]["end"] - r["window"]["start"]).total_seconds() == 60
+        for r in rows
+    )
