@@ -111,7 +111,83 @@ def tpch_q18(spark: SparkSession, sf_dir: str, top_n: int = 100) -> DataFrame:
     )
 
 
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion effect: lineitem ⋈ part (broadcast dim) with a
+    conditional aggregate — promo revenue share for one ship month."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = price * (F.lit(100) - disc)
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+                * 100.0
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def supplier_balance_rank(spark: SparkSession, sf_dir: str, top_n: int = 20) -> DataFrame:
+    """Supplier account-balance leaderboard per nation (dense_rank window) —
+    uses the supplier dim end-to-end with a broadcast nation join."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    w = Window.partitionBy("nation").orderBy(F.desc("bal_cents"), "s_suppkey")
+    return (
+        supp.join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            cents.alias("bal_cents"),
+        )
+        .withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "nation",
+            "rk",
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("bal_cents") / 100.0, 2).alias("acctbal"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "tpch_q14": """
+        SELECT round(
+                 sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                          ELSE 0 END) * 100.0
+                 / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))),
+                 6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'
+    """,
+    "supplier_balance_rank": """
+        SELECT nation, rk, s_suppkey, s_name,
+               round(bal_cents / 100.0, 2) AS acctbal
+        FROM (
+            SELECT s_suppkey, s_name, n_name AS nation,
+                   CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+                   dense_rank() OVER (PARTITION BY n_name
+                                      ORDER BY CAST(round(s_acctbal * 100) AS BIGINT) DESC,
+                                               s_suppkey) AS rk
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        WHERE rk <= 3
+    """,
     "tpch_q5": """
         SELECT n_name AS nation,
                round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -157,4 +233,6 @@ QUERIES = {
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
     "tpch_q18": tpch_q18,
+    "tpch_q14": tpch_q14,
+    "supplier_balance_rank": supplier_balance_rank,
 }
