@@ -125,6 +125,44 @@ def quality_metrics_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (no reference parity row — the engine
+    capability behind uniqueness metrics). Expands to two-phase aggregation:
+    partial distinct on (type, user) then final count — shuffle bounded by
+    the distinct pair count, not the event count."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("distinct_users"),
+        F.count("*").alias("event_cnt"),
+    )
+
+
+def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB variant: HyperLogLog++ sketch (`approx_count_distinct`,
+    default 5% rsd) — constant memory per group, single-pass, mergeable
+    across partitions; rows-only check (sketch estimates differ by engine)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_distinct_users")
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group on fixed-point cents — the
+    quartile summary a quality dashboard needs. Quartile fractions (k/4) are
+    exact in binary, so linear interpolation over int64 cents is
+    bit-reproducible across engines. At 100 TB swap for approx_percentile
+    (t-digest) — exact percentile materializes each group's values."""
+    events = load_table(spark, sf_dir, "events")
+    cents = _cents("value")
+    grouped = events.groupBy("event_type")
+    return grouped.agg(
+        F.round(F.percentile(cents, 0.25) / 100.0, 4).alias("p25"),
+        F.round(F.percentile(cents, 0.5) / 100.0, 4).alias("p50"),
+        F.round(F.percentile(cents, 0.75) / 100.0, 4).alias("p75"),
+    )
+
+
 def rate_window_counts(spark: SparkSession, sf_dir: str, window_s: int = 60, threshold: int = 3) -> DataFrame:
     """A7/T4 (batch form): per-user tumbling-window request counts, flag
     windows over the limit — the rate-limit aggregation shape.
@@ -214,6 +252,19 @@ ORACLES: dict[str, str] = {
                max(n_chars) AS max_chars
         FROM documents
     """,
+    "distinct_users": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS distinct_users,
+               count(*) AS event_cnt
+        FROM events GROUP BY 1
+    """,
+    "value_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) / 100.0, 4) AS p25,
+               round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0, 4) AS p50,
+               round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) / 100.0, 4) AS p75
+        FROM events GROUP BY 1
+    """,
     "rate_window_counts": """
         SELECT user_id,
                CAST(floor(epoch(ts) / 60) AS BIGINT) AS window_bucket,
@@ -247,6 +298,9 @@ QUERIES = {
     "rollup_counts": rollup_counts,
     "grouped_stats": grouped_stats,
     "quality_metrics": quality_metrics,
+    "distinct_users": distinct_users,
+    "distinct_users_approx": distinct_users_approx,
+    "value_percentiles": value_percentiles,
     "rate_window_counts": rate_window_counts,
     "tpch_q1": tpch_q1,
 }
