@@ -41,3 +41,24 @@ def test_lsh_recall(spark, sf_dir):
     assert self_pairs <= approx
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_hll_estimate_close_to_exact(spark, sf_dir):
+    """approx_count_distinct (HLL++, 5% default rsd) must land within 10%
+    of the exact distinct count per group."""
+    from ai_powered_data_pipeline_assistant_spark.operators.aggregates import (
+        distinct_users,
+        distinct_users_approx,
+    )
+
+    exact = {
+        r["event_type"]: r["distinct_users"]
+        for r in distinct_users(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_distinct_users"]
+        for r in distinct_users_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(2, 0.1 * ex), (k, ex, approx[k])
