@@ -32,7 +32,8 @@ from ai_powered_data_pipeline_assistant_spark.functions.vector_math import (
 
 
 def _query_vectors(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
-    """Deterministic query set: the first ``n`` stored vectors."""
+    """Deterministic query set: the first ``n`` stored vectors (no
+    repartition — this tiny frame feeds a broadcast)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.filter(F.col("vec_id") < n).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -45,7 +46,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     Query vector = stored vector 0 (deterministic); scored JVM-side,
     TakeOrderedAndProject for the top-k.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     q = _query_vectors(spark, sf_dir, 1).select("query_vec")
     scored = emb.crossJoin(broadcast(q)).select(
         "vec_id",
@@ -58,7 +59,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
 def cosine_topk_filtered(spark: SparkSession, sf_dir: str, k: int = 10, label: int = 3) -> DataFrame:
     """P5: top-k with an optional source filter (filter_source IS NULL OR ...)
     — predicate pushes into the scan before scoring."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") == label)
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).filter(F.col("label") == label)
     q = _query_vectors(spark, sf_dir, 1).select("query_vec")
     scored = emb.crossJoin(broadcast(q)).select(
         "vec_id",
@@ -71,7 +72,7 @@ def cosine_topk_filtered(spark: SparkSession, sf_dir: str, k: int = 10, label: i
 def ann_brute_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5) -> DataFrame:
     """Batch-of-queries exact ANN baseline: broadcast the query set, score
     every (query, vector) pair, keep per-query top-k via window."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = _query_vectors(spark, sf_dir, n_queries)
     scored = emb.join(broadcast(queries)).select(
         "query_id",
@@ -97,7 +98,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 
     """
     n_planes = 4
     dim = 64
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = _query_vectors(spark, sf_dir, n_queries)
 
     # Deterministic hyperplane matrix via integer hashing of (plane, dim).
@@ -152,7 +153,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 
     partitions at the scan (predicate `list_id IN (...)` → partition
     pruning), giving the same I/O shape as pgvector's inverted lists.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     centroids = emb.filter(F.col("vec_id") < n_lists).select(
         F.col("vec_id").alias("list_id"), F.col("embedding").alias("centroid")
     )
@@ -196,7 +197,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float =
     At scale, route through `ann_lsh_topk`-style buckets first (same-bucket
     pairs only) — the LSH candidate set bounds the quadratic blowup.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
     b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
     pairs = a.join(b, F.col("a_id") < F.col("b_id"))
