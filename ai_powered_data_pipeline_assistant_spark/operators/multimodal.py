@@ -146,6 +146,92 @@ def media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+        StructField("resized_bytes", LongType()),
+        StructField("resized_checksum", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+_TARGET_DIM = 32
+_N_FRAMES = 4
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Image 'resize' stub: a real implementation decodes with PIL and
+    interpolates; this deterministic fake strided-samples the payload bytes
+    down to ≤ 32×32 'pixels' — same batch shape, same Arrow path."""
+    import numpy as np
+
+    target = _TARGET_DIM * _TARGET_DIM
+
+    def resize(b: bytes) -> tuple[int, int]:
+        arr = np.frombuffer(b, dtype=np.uint8)
+        stride = max(1, len(arr) // target)
+        out = arr[::stride][:target].astype(np.int64)
+        return len(out), int(out.sum() % 1_000_000_007)
+
+    for pdf in batches:
+        res = pdf["payload"].map(resize)
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "out_width": _TARGET_DIM,
+                "out_height": _TARGET_DIM,
+                "resized_bytes": res.map(lambda t: t[0]),
+                "resized_checksum": res.map(lambda t: t[1]),
+            }
+        )
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Video frame-sample stub: emits one ROW PER FRAME (a flatMap-shaped
+    mapInPandas — output rows ≠ input rows), sampling _N_FRAMES evenly
+    spaced offsets; a real implementation seeks keyframes with ffmpeg."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "media_id": [], "frame_idx": [], "frame_offset": [], "frame_checksum": []
+        }
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            n = max(len(arr), 1)
+            for i in range(_N_FRAMES):
+                off = (n * i) // _N_FRAMES
+                chunk = arr[off : off + max(1, n // _N_FRAMES)]
+                out["media_id"].append(media_id)
+                out["frame_idx"].append(i)
+                out["frame_offset"].append(off)
+                out["frame_checksum"].append(int(chunk.sum() % 1_000_000_007))
+        yield pd.DataFrame(out)
+
+
+def resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over image-modality rows only — the modality filter
+    prunes BEFORE the Python stage so audio/video bytes never cross Arrow."""
+    media = media_table(spark, sf_dir).filter(F.col("modality") == "image")
+    return media.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage over video rows (1 input row → N output rows)."""
+    media = media_table(spark, sf_dir).filter(F.col("modality") == "video")
+    return media.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
+
+
 ORACLES: dict[str, str] = {
     # The media table itself is SQL-expressible; features come from the
     # mapInPandas stage, whose byte-level fake is mirrored here exactly:
@@ -168,4 +254,6 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "extract_features": extract_features,  # rows-only (mapInPandas stage)
     "media_summary": media_summary,
+    "resize_images": resize_images,  # rows-only (stubbed decode)
+    "sample_frames": sample_frames,  # rows-only (stubbed decode)
 }

@@ -106,3 +106,35 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert all(f["payload_bytes"] > 0 and f["feature_dim"] == 8 for f in feats)
     with pytest.raises(NotImplementedError):
         decode_media(b"bytes", "image")
+
+
+def test_resize_and_frame_sample(spark, sf_dir):
+    """Multimodal resize / frame-sample plumbing: modality pruning before the
+    Python stage, flatMap-shaped output, deterministic across runs."""
+    from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
+        _N_FRAMES,
+        media_table,
+        resize_images,
+        sample_frames,
+    )
+
+    media = media_table(spark, sf_dir)
+    n_images = media.filter(F.col("modality") == "image").count()
+    n_videos = media.filter(F.col("modality") == "video").count()
+
+    resized = resize_images(spark, sf_dir)
+    r1 = sorted(tuple(r) for r in resized.collect())
+    assert len(r1) == n_images
+    assert all(r[1] == 32 and r[2] == 32 and 0 < r[3] <= 32 * 32 for r in r1)
+    r2 = sorted(tuple(r) for r in resize_images(spark, sf_dir).collect())
+    assert r1 == r2  # deterministic
+
+    frames = sample_frames(spark, sf_dir).collect()
+    assert len(frames) == n_videos * _N_FRAMES  # 1 row in → N rows out
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for rows in by_media.values():
+        assert sorted(r["frame_idx"] for r in rows) == list(range(_N_FRAMES))
+        offs = [r["frame_offset"] for r in sorted(rows, key=lambda r: r["frame_idx"])]
+        assert offs == sorted(offs)  # evenly spaced, monotonic
