@@ -61,6 +61,47 @@ def answer_requests(requests: DataFrame, kb: DataFrame) -> DataFrame:
     )
 
 
+def publish_channels(answered: DataFrame, base_path: str, checkpoint: str):
+    """T1: one stream fanned out to the reference's channel set — each
+    micro-batch lands a `job-responses` row plus derived `tasks` and `logs`
+    events (reference publishes to chat/tasks/logs channels per message,
+    backend/api/routes/chat.py:159-221). One foreachBatch writes all three:
+    the batch is computed once, and each channel write is isolated so a
+    failing channel can't poison the others (T7 fire-and-forget)."""
+
+    def _publish(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            channels = {
+                "job_responses": batch_df,
+                "tasks": batch_df.select(
+                    F.col("request_id").alias("task_name"),
+                    F.lit("completed").alias("status"),
+                    F.col("ts"),
+                ),
+                "logs": batch_df.select(
+                    F.col("ts").alias("time"),
+                    F.lit("INFO").alias("level"),
+                    F.concat(F.lit("answered "), "request_id").alias("message"),
+                ),
+            }
+            for channel, frame in channels.items():
+                try:
+                    frame.write.mode("append").parquet(f"{base_path}/{channel}")
+                except Exception:  # noqa: BLE001 — per-channel isolation (T7)
+                    pass
+        finally:
+            batch_df.unpersist()
+
+    return (
+        answered.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_publish)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_job_stream(requests_stream: DataFrame, kb: DataFrame, out_path: str, checkpoint: str):
     """Wire the full stream: dedup → answer → append sink via foreachBatch
     (per-batch error isolation à la the reference's fire-and-forget publish)."""

@@ -123,3 +123,30 @@ def test_windowed_counts_stream(spark, tmp_path):
         (r["window"]["end"] - r["window"]["start"]).total_seconds() == 60
         for r in rows
     )
+
+
+def test_publish_channels_fanout(spark, sf_dir, tmp_path):
+    """One answered stream fans out to job_responses/tasks/logs channel
+    tables in a single foreachBatch (T1 multi-channel publish)."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
+        publish_channels,
+    )
+
+    fixture = job_requests(spark, n=30, dup_every=10, late_dup_every=30)
+    src = str(tmp_path / "pub_src")
+    fixture.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(fixture.schema).parquet(src)
+    kb = load_table(spark, sf_dir, "documents")
+    answered = answer_requests(dedup_requests(stream), kb)
+    base = str(tmp_path / "channels")
+    q = publish_channels(answered, base, str(tmp_path / "pub_ckpt"))
+    q.awaitTermination(120)
+
+    responses = spark.read.parquet(f"{base}/job_responses")
+    tasks = spark.read.parquet(f"{base}/tasks")
+    logs = spark.read.parquet(f"{base}/logs")
+    n = responses.count()
+    assert n == 30  # deduped
+    assert tasks.count() == n and logs.count() == n
+    assert set(tasks.columns) == {"task_name", "status", "ts"}
+    assert logs.filter(F.col("message").startswith("answered ")).count() == n
