@@ -15,7 +15,7 @@ use a broadcast hash join with only the key column shipped.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -132,7 +132,59 @@ def salted_skew_join(spark: SparkSession, sf_dir: str, n_salts: int = 8) -> Data
     )
 
 
+def asof_join(spark: SparkSession, sf_dir: str,
+              left_type: str = "purchase", right_type: str = "click") -> DataFrame:
+    """As-of join — for every `purchase` event, the latest same-user `click`
+    at or before it. Spark has no ASOF JOIN operator; this is the standard
+    composition: tag both streams, union, one per-user ordered window, and
+    `last(..., ignorenulls)` carries the most recent right-side id forward.
+
+    One shuffle on user_id total — versus the naive range-join
+    (left ⋈ right ON user AND r.ts <= l.ts + per-pair max) whose
+    intermediate is quadratic per user. Ordering puts the right side first
+    at equal timestamps (asof is `<=`), with event_id as the deterministic
+    final tie-break.
+    """
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == left_type).select(
+        "user_id", "ts", F.lit(1).alias("is_l"),
+        F.col("event_id").alias("l_id"), F.lit(None).cast("long").alias("r_id"),
+    )
+    right = events.filter(F.col("event_type") == right_type).select(
+        "user_id", "ts", F.lit(0).alias("is_l"),
+        F.lit(None).cast("long").alias("l_id"), F.col("event_id").alias("r_id"),
+    )
+    u = left.unionByName(right)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_l", F.coalesce("r_id", "l_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("asof_event_id", F.last("r_id", ignorenulls=True).over(w))
+        .filter(F.col("is_l") == 1)
+        .select(F.col("l_id").alias("event_id"), "user_id", "ts", "asof_event_id")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "asof_join": """
+        WITH u AS (
+            SELECT user_id, ts, 1 AS is_l, event_id AS l_id,
+                   CAST(NULL AS BIGINT) AS r_id
+            FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT user_id, ts, 0, NULL, event_id
+            FROM events WHERE event_type = 'click')
+        SELECT l_id AS event_id, user_id, ts, asof_event_id
+        FROM (
+            SELECT *, last_value(r_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, is_l, coalesce(r_id, l_id)
+                       ROWS UNBOUNDED PRECEDING) AS asof_event_id
+            FROM u)
+        WHERE is_l = 1
+    """,
     "salted_skew_join": """
         WITH type_dim AS (
             SELECT event_type, count(*) AS type_total FROM events GROUP BY 1)
@@ -186,4 +238,5 @@ QUERIES = {
     "semi_join_active": semi_join_active,
     "anti_join_new_docs": anti_join_new_docs,
     "salted_skew_join": salted_skew_join,
+    "asof_join": asof_join,
 }
