@@ -167,7 +167,61 @@ def asof_join(spark: SparkSession, sf_dir: str,
     )
 
 
+def range_join(spark: SparkSession, sf_dir: str, window_s: int = 300) -> DataFrame:
+    """Range (interval) join — Spark has no native range-join operator
+    either: for every `error` event, the same-user `view` events inside the
+    following ``window_s`` seconds.
+
+    Scale path: BUCKETED equi-join, not the naive inequality join (which
+    Catalyst can only plan as a broadcast-nested-loop + filter — quadratic
+    per user). Each error interval [t, t+w) is exploded onto its covered
+    w-second epoch buckets (≤ 2 for a window ≤ bucket width); each view
+    lands in exactly one bucket; the join is then a plain equi-join on
+    (user_id, bucket) refined by the exact interval predicate. Work is
+    Σ per-bucket products — linear-ish, shuffle on (user, bucket).
+    """
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("t0"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("tv"),
+    )
+    err_buckets = errors.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("t0") / window_s).cast("long"),
+                ((F.col("t0") + window_s - 1) / window_s).cast("long"),
+            )
+        ),
+    )
+    view_buckets = views.withColumn("bucket", (F.col("tv") / window_s).cast("long"))
+    return (
+        err_buckets.join(view_buckets, ["user_id", "bucket"])
+        .filter((F.col("tv") >= F.col("t0")) & (F.col("tv") < F.col("t0") + window_s))
+        .select("error_id", "view_id", "user_id", (F.col("tv") - F.col("t0")).alias("lag_s"))
+        .distinct()
+    )
+
+
 ORACLES: dict[str, str] = {
+    "range_join": """
+        SELECT e.event_id AS error_id, v.event_id AS view_id, e.user_id,
+               CAST(floor(epoch(v.ts)) AS BIGINT)
+                   - CAST(floor(epoch(e.ts)) AS BIGINT) AS lag_s
+        FROM events e
+        JOIN events v
+          ON e.user_id = v.user_id
+         AND v.event_type = 'view'
+         AND CAST(floor(epoch(v.ts)) AS BIGINT) >= CAST(floor(epoch(e.ts)) AS BIGINT)
+         AND CAST(floor(epoch(v.ts)) AS BIGINT) < CAST(floor(epoch(e.ts)) AS BIGINT) + 300
+        WHERE e.event_type = 'error'
+    """,
     "asof_join": """
         WITH u AS (
             SELECT user_id, ts, 1 AS is_l, event_id AS l_id,
@@ -239,4 +293,5 @@ QUERIES = {
     "anti_join_new_docs": anti_join_new_docs,
     "salted_skew_join": salted_skew_join,
     "asof_join": asof_join,
+    "range_join": range_join,
 }
