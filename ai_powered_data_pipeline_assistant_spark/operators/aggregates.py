@@ -125,6 +125,43 @@ def quality_metrics_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube/rollup): totals
+    by (status, priority), by status alone, and grand total — one scan, one
+    shuffle, versus three unioned aggregations."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               count(*) AS cnt
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per user shard with one column per event type.
+    Spark's groupBy().pivot() with an EXPLICIT value list — without it the
+    engine runs an extra distinct-scan to discover the columns, and the
+    output schema becomes data-dependent (a schema-stability bug at scale)."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        events.groupBy((F.col("user_id") % 10).alias("user_shard"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    # prefix the data-derived column names (SQL-reserved words like `view`
+    # make unprefixed pivots fragile downstream)
+    return pivoted.select(
+        "user_shard", *[F.col(t).alias(f"evt_{t}") for t in types]
+    )
+
+
 def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count per group (no reference parity row — the engine
     capability behind uniqueness metrics). Expands to two-phase aggregation:
@@ -252,6 +289,22 @@ ORACLES: dict[str, str] = {
                max(n_chars) AS max_chars
         FROM documents
     """,
+    "grouping_sets_counts": """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               count(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """,
+    "pivot_counts": """
+        SELECT user_id % 10 AS user_shard,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS evt_click,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS evt_view,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS evt_purchase,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS evt_signup,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS evt_error
+        FROM events GROUP BY 1
+    """,
     "distinct_users": """
         SELECT event_type,
                count(DISTINCT user_id) AS distinct_users,
@@ -298,6 +351,8 @@ QUERIES = {
     "rollup_counts": rollup_counts,
     "grouped_stats": grouped_stats,
     "quality_metrics": quality_metrics,
+    "grouping_sets_counts": grouping_sets_counts,
+    "pivot_counts": pivot_counts,
     "distinct_users": distinct_users,
     "distinct_users_approx": distinct_users_approx,
     "value_percentiles": value_percentiles,

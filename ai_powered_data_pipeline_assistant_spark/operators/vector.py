@@ -211,9 +211,39 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float =
     )
 
 
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface: per-vector min/max/fixed-point
+    sum/positive-count computed INSIDE the array column (transform/filter/
+    aggregate) — no explode, no shuffle; the whole thing rides the scan."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    scaled = F.expr(
+        "aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS LONG)), "
+        "CAST(0 AS LONG), (acc, v) -> acc + v)"
+    )
+    n_pos = F.size(F.filter("embedding", lambda x: x > 0))
+    return emb.select(
+        "vec_id",
+        F.array_min("embedding").alias("vmin"),
+        F.array_max("embedding").alias("vmax"),
+        scaled.alias("sum_scaled"),
+        n_pos.alias("n_positive"),
+        F.size("embedding").alias("dim"),
+    )
+
+
 _COS_SQL = cosine_similarity_sql("e.embedding", "q.embedding")
 
 ORACLES: dict[str, str] = {
+    "embedding_array_stats": """
+        SELECT vec_id,
+               list_min(embedding) AS vmin,
+               list_max(embedding) AS vmax,
+               list_sum(list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))) AS sum_scaled,
+               len(list_filter(embedding, x -> x > 0)) AS n_positive,
+               len(embedding) AS dim
+        FROM embeddings
+    """,
     "cosine_topk": f"""
         SELECT e.vec_id, e.label, {_COS_SQL} AS similarity
         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
@@ -253,4 +283,5 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_array_stats": embedding_array_stats,
 }
