@@ -425,7 +425,7 @@ ORACLES: dict[str, str] = {
                          for i in range(1, len(toks) - 3)]) AS fingerprint
         FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
     """,
-    "redact_docs": None,  # regex dialects differ; verified by pytest vs Python re instead
+    "redact_docs": None,  # filled below (generated from REDACTION_RULES)
     "snippet_truncate": """
         SELECT doc_id,
                CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || '...'
@@ -476,9 +476,27 @@ def _lang_id_sql() -> str:
 
 
 ORACLES["lang_id"] = _lang_id_sql()
-# redact_docs: regex dialects differ between engines; pytest verifies the
-# chain against Python `re` instead of the SQL oracle (rows-only for driver).
-del ORACLES["redact_docs"]
+
+
+def _redact_docs_sql() -> str:
+    """The same ordered redaction chain in DuckDB (RE2). The rule set uses
+    no feature where Java and RE2 diverge (no backrefs/lookaround), so the
+    chain is oracle-checkable after all; pytest additionally verifies both
+    against Python `re`."""
+    from ai_powered_data_pipeline_assistant_spark.functions.text import REDACTION_RULES
+
+    expr = (
+        "text || ' contact: user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    for pat, rep in REDACTION_RULES:
+        expr = "regexp_replace({e}, '{p}', '{r}', 'g')".format(
+            e=expr, p=pat.replace("'", "''"), r=rep
+        )
+    return f"SELECT doc_id, md5({expr}) AS redacted_md5 FROM documents"
+
+
+ORACLES["redact_docs"] = _redact_docs_sql()
 
 QUERIES = {
     "lang_id": lang_id,
