@@ -377,6 +377,28 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3
     )
 
 
+def set_ops_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT between two corpus slices (docs seen by source A
+    vs source B, keyed by content hash). The reference has no set ops
+    (SURVEY §2.7); the engine supports them as first-class — both compile
+    to aggregate/anti-join shapes with one shuffle on the compared columns.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "h", F.sha2("text", 256)
+    )
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("h")
+    b = docs.filter(F.col("doc_id") % 3 == 0).select("h")
+    rows = [
+        a.intersect(b).select(F.lit("a_intersect_b").alias("op"), "h"),
+        a.exceptAll(b).select(F.lit("a_except_b").alias("op"), "h"),
+        b.exceptAll(a).select(F.lit("b_except_a").alias("op"), "h"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("op").agg(F.count("*").alias("cnt"))
+
+
 # ---------------------------------------------------------------- oracles
 def _minhash_sig_sql() -> str:
     mins = ", ".join(
@@ -469,6 +491,17 @@ ORACLES: dict[str, str] = {
         {_PAIR_JACCARD_SQL}
         SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
+    "set_ops_summary": """
+        WITH a AS (SELECT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
+             b AS (SELECT sha256(text) AS h FROM documents WHERE doc_id % 3 = 0),
+        u AS (
+            SELECT 'a_intersect_b' AS op, h FROM (SELECT h FROM a INTERSECT SELECT h FROM b)
+            UNION ALL
+            SELECT 'a_except_b', h FROM (SELECT h FROM a EXCEPT ALL SELECT h FROM b)
+            UNION ALL
+            SELECT 'b_except_a', h FROM (SELECT h FROM b EXCEPT ALL SELECT h FROM a))
+        SELECT op, count(*) AS cnt FROM u GROUP BY 1
+    """,
     "minhash_signatures": _minhash_sig_sql(),
     "minhash_lsh_pairs": _minhash_lsh_sql(),
     "simhash_fingerprints": _simhash_sql(),
@@ -491,4 +524,5 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_neardup_pairs": simhash_neardup_pairs,
+    "set_ops_summary": set_ops_summary,
 }
