@@ -211,6 +211,72 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float =
     )
 
 
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.45,
+                          n_planes: int = 8, n_bands: int = 4) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH banding
+    before exact scoring (the `minhash_lsh_pairs` pattern on vectors).
+
+    Each vector gets ``n_planes`` sign bits split into ``n_bands`` bands;
+    pairs sharing ANY band are candidates (for sign-bit LSH, P[bit match] =
+    1 - θ/π, so near-duplicates share a band with high probability); exact
+    cosine then verifies ONLY candidates. Recall < 1 by construction →
+    rows-only oracle; pytest measures recall vs the exact all-pairs baseline.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    bits_per_band = n_planes // n_bands
+
+    def plane_component(p: int, d: int) -> float:
+        v = (1103515245 * (p * 64 + d + 1) + 12345) % 2147483648
+        return (v / 1073741824.0) - 1.0
+
+    def band_cols(vec: str) -> list:
+        cols = []
+        for band in range(n_bands):
+            acc = None
+            for j in range(bits_per_band):
+                p = band * bits_per_band + j
+                plane = F.array(*[F.lit(plane_component(p, d)) for d in range(64)])
+                dot = F.aggregate(
+                    F.zip_with(F.col(vec), plane, lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda acc_, v: acc_ + v,
+                )
+                bit = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+                acc = bit if acc is None else acc + bit
+            cols.append(
+                F.struct(F.lit(band).alias("band"), acc.alias("band_key"))
+            )
+        return cols
+
+    banded = emb.select(
+        "vec_id", "embedding", F.explode(F.array(*band_cols("embedding"))).alias("bk")
+    ).select(
+        "vec_id", "embedding",
+        F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"),
+    )
+    a = banded.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"),
+        "band", "band_key",
+    )
+    b = banded.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"),
+        "band", "band_key",
+    )
+    candidates = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_vec", "b_vec")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        candidates.select(
+            "a_id", "b_id",
+            cosine_similarity(F.col("a_vec"), F.col("b_vec")).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= threshold)
+    )
+
+
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order-function surface: per-vector min/max/fixed-point
     sum/positive-count computed INSIDE the array column (transform/filter/
@@ -283,5 +349,6 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_neardup_lsh": embedding_neardup_lsh,  # rows-only (approx)
     "embedding_array_stats": embedding_array_stats,
 }

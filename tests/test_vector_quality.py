@@ -62,3 +62,24 @@ def test_hll_estimate_close_to_exact(spark, sf_dir):
     assert set(exact) == set(approx)
     for k, ex in exact.items():
         assert abs(approx[k] - ex) <= max(2, 0.1 * ex), (k, ex, approx[k])
+
+
+def test_embedding_neardup_lsh_recall(spark, sf_dir):
+    """LSH-blocked near-dup must (a) return a subset of the exact pairs
+    (no false positives — exact verify runs on every candidate) and
+    (b) recall most of them."""
+    from ai_powered_data_pipeline_assistant_spark.operators.vector import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    exact = {
+        (r["a_id"], r["b_id"]) for r in embedding_neardup_pairs(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["a_id"], r["b_id"]) for r in embedding_neardup_lsh(spark, sf_dir).collect()
+    }
+    assert approx <= exact, "LSH produced a pair the exact baseline lacks"
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.5, f"LSH recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
