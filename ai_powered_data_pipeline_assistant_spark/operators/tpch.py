@@ -163,7 +163,70 @@ def supplier_balance_rank(spark: SparkSession, sf_dir: str, top_n: int = 20) -> 
     )
 
 
+def below_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (TPC-H q2/q17 family): suppliers whose
+    balance is below their nation's average. Spark decorrelates this to a
+    window (avg over nation partition) — one shuffle, no re-scan, versus
+    the naive per-row subquery."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    w = Window.partitionBy("nation")
+    return (
+        supp.join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"), cents.alias("bal"))
+        .withColumn("nation_avg", F.avg("bal").over(w))
+        .filter(F.col("bal") < F.col("nation_avg"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "nation",
+            F.round(F.col("bal") / 100.0, 2).alias("acctbal"),
+            F.round(F.col("nation_avg") / 100.0, 4).alias("nation_avg_bal"),
+        )
+    )
+
+
+def urgent_no_fail_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21-family combined existential shape: customers with ≥1 urgent open
+    order (semi-join) AND no failed order (anti-join) — both joins ship only
+    the key column and compose without row duplication."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O")
+    ).select("o_custkey")
+    failed = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .join(failed, cust.c_custkey == failed.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "below_nation_avg": """
+        SELECT s_suppkey, s_name, nation,
+               round(bal / 100.0, 2) AS acctbal,
+               round(nation_avg / 100.0, 4) AS nation_avg_bal
+        FROM (
+            SELECT s_suppkey, s_name, n_name AS nation,
+                   CAST(round(s_acctbal * 100) AS BIGINT) AS bal,
+                   avg(CAST(round(s_acctbal * 100) AS BIGINT))
+                       OVER (PARTITION BY n_name) AS nation_avg
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        WHERE bal < nation_avg
+    """,
+    "urgent_no_fail_customers": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'F')
+    """,
     "tpch_q14": """
         SELECT round(
                  sum(CASE WHEN p_type = 'PROMO'
@@ -235,4 +298,6 @@ QUERIES = {
     "tpch_q18": tpch_q18,
     "tpch_q14": tpch_q14,
     "supplier_balance_rank": supplier_balance_rank,
+    "below_nation_avg": below_nation_avg,
+    "urgent_no_fail_customers": urgent_no_fail_customers,
 }
