@@ -206,7 +206,38 @@ def urgent_no_fail_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped EXISTS with date arithmetic: orders from 1995H1 having at
+    least one line shipped > 60 days after the order date, counted per
+    priority. The EXISTS compiles to a left-semi join whose condition mixes
+    the key equality with the date comparison — only the key and two dates
+    shuffle."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    # interval add, not date_add: date_add would truncate the timestamp to a
+    # date, silently changing semantics for any non-midnight order time
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("order_cnt"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "tpch_q4": """
+        SELECT o_orderpriority AS priority, count(*) AS order_cnt
+        FROM orders o
+        WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1
+    """,
     "below_nation_avg": """
         SELECT s_suppkey, s_name, nation,
                round(bal / 100.0, 2) AS acctbal,
@@ -300,4 +331,5 @@ QUERIES = {
     "supplier_balance_rank": supplier_balance_rank,
     "below_nation_avg": below_nation_avg,
     "urgent_no_fail_customers": urgent_no_fail_customers,
+    "tpch_q4": tpch_q4,
 }
