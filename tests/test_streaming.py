@@ -150,3 +150,54 @@ def test_publish_channels_fanout(spark, sf_dir, tmp_path):
     assert tasks.count() == n and logs.count() == n
     assert set(tasks.columns) == {"task_name", "status", "ts"}
     assert logs.filter(F.col("message").startswith("answered ")).count() == n
+
+
+def test_append_mode_emits_only_closed_windows(spark, tmp_path):
+    """Append-mode windowed aggregation must emit a window only after the
+    watermark passes its end. Two micro-batches (maxFilesPerTrigger=1):
+    batch 1 fills an early window, batch 2 advances event time far enough
+    to close it — the closed window appears, the still-open one does not."""
+    import glob
+
+    early = spark.range(10).select(
+        F.lit(1).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+    )
+    late = spark.range(5).select(
+        F.lit(1).cast("long").alias("user_id"),
+        # +10 min: watermark (2*60 s delay) moves past the first window end
+        F.timestamp_seconds(F.lit(1700000600) + F.col("id")).alias("ts"),
+    )
+    src = str(tmp_path / "wm_src")
+    early.coalesce(1).write.mode("overwrite").parquet(src)
+    # second file written after the first so both exist before the stream runs;
+    # maxFilesPerTrigger=1 forces them into separate micro-batches
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(early.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    windowed = (
+        stream.withWatermark("ts", "120 seconds")
+        .groupBy(F.window("ts", "60 seconds"))
+        .count()
+    )
+    q = (
+        windowed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_append")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM wm_append").collect()
+    starts = sorted(r["window"]["start"].timestamp() for r in rows)
+    # the early window (1700000000-ish) closed and emitted with all 10 events
+    assert any(abs(s - 1699999980) < 120 for s in starts) or rows, rows
+    counts = {r["window"]["start"].timestamp(): r["count"] for r in rows}
+    assert 10 in set(counts.values()), f"early window not finalized: {counts}"
+    # the late window (1700000600+) is still open → must NOT have emitted
+    assert all(s < 1700000600 for s in counts), f"open window emitted: {counts}"
