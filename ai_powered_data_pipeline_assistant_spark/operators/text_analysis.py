@@ -115,6 +115,36 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 5  # k-gram width (words)
+WINNOW_W = 4  # winnowing window (hashes per window)
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full winnowing (Schleimer et al. 2003, public algorithm): the
+    DISTINCT minima of every w-window of k-gram hashes, as a per-doc sorted
+    fingerprint set — guarantees any match of length ≥ w+k-1 words shares a
+    fingerprint. All array-level (transform/slice/array_min), no explode
+    shuffle; one row per doc in and out."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(0, size(toks) - {WINNOW_K}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {WINNOW_K})))"
+    )
+    hashes = F.transform(grams, lambda g: md5_int(g))
+    mins = F.expr(
+        f"transform(sequence(0, size(hashes) - {WINNOW_W}), "
+        f"i -> array_min(slice(hashes, i + 1, {WINNOW_W})))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", hashes.alias("hashes"))
+        .select("doc_id", F.array_sort(F.array_distinct(mins)).alias("fingerprints"))
+        .select("doc_id", F.size("fingerprints").alias("n_fingerprints"),
+                F.col("fingerprints"))
+    )
+
+
 def redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4: redaction chain over content seeded with synthetic PII, so the
     regexes demonstrably fire (the corpus itself is clean)."""
@@ -425,6 +455,19 @@ ORACLES: dict[str, str] = {
                          for i in range(1, len(toks) - 3)]) AS fingerprint
         FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
     """,
+    "winnow_fingerprints": f"""
+        SELECT doc_id, len(fps) AS n_fingerprints, fps AS fingerprints
+        FROM (
+          SELECT doc_id,
+                 list_sort(list_distinct(
+                     [list_min(hashes[i:i+{WINNOW_W - 1}])
+                      for i in range(1, len(hashes) - {WINNOW_W - 2})])) AS fps
+          FROM (
+            SELECT doc_id,
+                   [{md5_int_sql("array_to_string(toks[i:i+" + str(WINNOW_K - 1) + "], ' ')")}
+                    for i in range(1, len(toks) - {WINNOW_K - 2})] AS hashes
+            FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)))
+    """,
     "redact_docs": None,  # filled below (generated from REDACTION_RULES)
     "snippet_truncate": """
         SELECT doc_id,
@@ -503,6 +546,7 @@ QUERIES = {
     "quality_score": quality_score,
     "token_stats": token_stats,
     "doc_fingerprint": doc_fingerprint,
+    "winnow_fingerprints": winnow_fingerprints,
     "redact_docs": redact_docs,
     "snippet_truncate": snippet_truncate,
     "json_extract_agg": json_extract_agg,
