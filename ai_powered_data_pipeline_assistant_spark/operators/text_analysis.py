@@ -183,6 +183,21 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 map surface: parse the JSONB-style `props` column into a typed
+    map, then key lookup / cardinality / key-set — the MapType equivalent
+    of the reference's metadata JSONB access. from_json with an explicit
+    schema (never schema inference in the hot path)."""
+    events = load_table(spark, sf_dir, "events")
+    props = F.from_json("props", "map<string,string>")
+    return events.select(
+        "event_id",
+        F.size(props).alias("n_keys"),
+        F.array_sort(F.map_keys(props)).alias("keys"),
+        F.element_at(props, "k").cast("long").alias("k_value"),
+    )
+
+
 def timestamp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9: parse/format/convert — hour truncation + formatted string key."""
     events = load_table(spark, sf_dir, "events")
@@ -455,6 +470,13 @@ ORACLES: dict[str, str] = {
                          for i in range(1, len(toks) - 3)]) AS fingerprint
         FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
     """,
+    "map_column_ops": """
+        SELECT event_id,
+               len(json_keys(props)) AS n_keys,
+               list_sort(json_keys(props)) AS keys,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        FROM events
+    """,
     "winnow_fingerprints": f"""
         SELECT doc_id, len(fps) AS n_fingerprints, fps AS fingerprints
         FROM (
@@ -547,6 +569,7 @@ QUERIES = {
     "token_stats": token_stats,
     "doc_fingerprint": doc_fingerprint,
     "winnow_fingerprints": winnow_fingerprints,
+    "map_column_ops": map_column_ops,
     "redact_docs": redact_docs,
     "snippet_truncate": snippet_truncate,
     "json_extract_agg": json_extract_agg,
