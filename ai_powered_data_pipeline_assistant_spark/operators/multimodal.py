@@ -102,13 +102,17 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     Python `for byte in payload` loop here costs seconds per million bytes
     and defeats the point of the Arrow batch transfer.
     """
+    import hashlib
+
     import numpy as np
 
     dim = 8
 
     def row_feats(b: bytes) -> tuple[int, int]:
+        # md5-prefix checksum: equally deterministic as a byte-sum but
+        # cheaply verifiable in the SQL oracle (md5 is built in everywhere)
+        checksum = int(hashlib.md5(b).hexdigest()[:15], 16) % 1_000_000_007
         arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
-        checksum = int(arr.sum() % 1_000_000_007)
         pad = (-len(arr)) % dim
         if pad:
             arr = np.concatenate([arr, np.zeros(pad, dtype=np.int64)])
@@ -235,17 +239,15 @@ def sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     # The media table itself is SQL-expressible; features come from the
     # mapInPandas stage, whose byte-level fake is mirrored here exactly:
-    # payload == utf-8 text bytes → checksum = sum of bytes mod p.
-    # Corpus text is pure ASCII (verified: octet_length(encode(text)) ==
-    # length(text) for every row), so byte values == code points and the
-    # checksum is expressible with ord() over characters.
+    # payload == utf-8 text bytes → checksum = md5-prefix-int of the payload
+    # mod p, which DuckDB computes directly on the string (same bytes).
     "media_summary": """
         SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS modality,
                count(*) AS cnt,
                sum(length(text)) AS total_bytes,
-               sum(list_sum([ord(text[i]) for i in range(1, length(text)+1)])
+               sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
                    % 1000000007) AS checksum_sum
         FROM documents GROUP BY 1
     """,

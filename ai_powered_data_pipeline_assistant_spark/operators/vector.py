@@ -28,6 +28,9 @@ from ai_powered_data_pipeline_assistant_spark.catalog import load_table
 from ai_powered_data_pipeline_assistant_spark.functions.vector_math import (
     cosine_similarity,
     cosine_similarity_sql,
+    dot_scaled,
+    dot_scaled_sql,
+    norm_sq_scaled,
 )
 
 
@@ -197,16 +200,29 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float =
     At scale, route through `ann_lsh_topk`-style buckets first (same-bucket
     pairs only) — the LSH candidate set bounds the quadratic blowup.
     """
-    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id",
+        "embedding",
+        # norms hoisted to the n-row side — recomputing them per PAIR would
+        # triple the O(n²) stage's work (both engines factor identically)
+        norm_sq_scaled(F.col("embedding")).alias("nsq"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"),
+        F.col("nsq").alias("a_nsq"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"),
+        F.col("nsq").alias("b_nsq"),
+    )
     pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    sim = F.round(
+        dot_scaled(F.col("a_vec"), F.col("b_vec"))
+        / F.sqrt(F.col("a_nsq").cast("double") * F.col("b_nsq").cast("double")),
+        6,
+    )
     return (
-        pairs.select(
-            "a_id",
-            "b_id",
-            cosine_similarity(F.col("a_vec"), F.col("b_vec")).alias("similarity"),
-        )
+        pairs.select("a_id", "b_id", sim.alias("similarity"))
         .filter(F.col("similarity") >= threshold)
     )
 
@@ -333,11 +349,17 @@ ORACLES: dict[str, str] = {
         ) WHERE rk <= 5
     """,
     "embedding_neardup_pairs": """
-        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-               {cos} AS similarity
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {cos} >= 0.45
-    """.format(cos=cosine_similarity_sql("a.embedding", "b.embedding")),
+        WITH e AS (SELECT vec_id, embedding, {nsq} AS nsq FROM embeddings)
+        SELECT a_id, b_id, similarity FROM (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round({dot} / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)), 6)
+                       AS similarity
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        WHERE similarity >= 0.45
+    """.format(
+        nsq=dot_scaled_sql("embedding", "embedding"),
+        dot=dot_scaled_sql("a.embedding", "b.embedding"),
+    ),
     # ann_lsh_topk / ann_ivf_topk: approximate by construction → no SQL
     # oracle (rows-only); pytest checks recall vs the brute-force baseline.
 }
