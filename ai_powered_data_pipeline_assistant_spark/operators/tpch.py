@@ -228,7 +228,28 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped supplier-variety count: distinct suppliers per
+    (brand, type, size) — grouped COUNT(DISTINCT) over a fact⋈dim join
+    (part broadcast; the distinct expands to a two-phase agg on the
+    grouping keys + suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 9, 13))
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size IN (1, 5, 9, 13)
+        GROUP BY 1, 2, 3
+    """,
     "tpch_q4": """
         SELECT o_orderpriority AS priority, count(*) AS order_cnt
         FROM orders o
@@ -332,4 +353,5 @@ QUERIES = {
     "below_nation_avg": below_nation_avg,
     "urgent_no_fail_customers": urgent_no_fail_customers,
     "tpch_q4": tpch_q4,
+    "tpch_q16": tpch_q16,
 }

@@ -201,3 +201,41 @@ def test_append_mode_emits_only_closed_windows(spark, tmp_path):
     assert 10 in set(counts.values()), f"early window not finalized: {counts}"
     # the late window (1700000600+) is still open → must NOT have emitted
     assert all(s < 1700000600 for s in counts), f"open window emitted: {counts}"
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Restarting a stream from its checkpoint must process only NEW input:
+    run 1 handles batch A; after new files land, run 2 (same checkpoint)
+    appends only batch B — no reprocessing, no duplicates."""
+    src = str(tmp_path / "ck_src")
+    out = str(tmp_path / "ck_out")
+    ckpt = str(tmp_path / "ck_ckpt")
+    kb = load_table(spark, sf_dir, "documents")
+
+    batch_a = job_requests(spark, n=20, dup_every=100, late_dup_every=100)
+    batch_a.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(batch_a.schema).parquet(src)
+        q = run_job_stream(stream, kb, out, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out)
+    n_first = first.count()
+    assert n_first == 20
+
+    # second wave: 10 new request_ids, event time AFTER wave 1 (the restored
+    # watermark would otherwise drop same-timestamp rows as late arrivals)
+    batch_b = (
+        job_requests(spark, n=10, dup_every=100, late_dup_every=100)
+        .withColumn("request_id", F.concat(F.lit("wave2-"), F.col("request_id")))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    batch_b.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    final = spark.read.parquet(out)
+    assert final.count() == n_first + 10, "restart reprocessed or dropped data"
+    ids = [r["request_id"] for r in final.select("request_id").collect()]
+    assert len(ids) == len(set(ids)), "duplicates after checkpoint recovery"
