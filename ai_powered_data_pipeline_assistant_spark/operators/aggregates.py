@@ -351,6 +351,7 @@ QUERIES = {
     "rollup_counts": rollup_counts,
     "grouped_stats": grouped_stats,
     "quality_metrics": quality_metrics,
+    "quality_metrics_approx": quality_metrics_approx,  # rows-only (HLL sketch)
     "grouping_sets_counts": grouping_sets_counts,
     "pivot_counts": pivot_counts,
     "distinct_users": distinct_users,
