@@ -242,7 +242,49 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q10(spark: SparkSession, sf_dir: str, top_n: int = 20) -> DataFrame:
+    """Q10 returned-item revenue: customer ⋈ orders ⋈ lineitem(R) ⋈ nation,
+    revenue per customer, top-20 — the classic 4-table agg + TakeOrdered."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = price * (F.lit(100) - disc)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "c_custkey", "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("c_acctbal"),
+        )
+        .agg(F.round(F.sum(rev) / 1e6, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(top_n)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "tpch_q10": """
+        SELECT c_custkey, c_name, n_name AS nation, c_acctbal,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 1e6,
+                     4) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= '1995-10-01' AND o_orderdate < '1996-01-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
     "tpch_q16": """
         SELECT p_brand, p_type, p_size,
                count(DISTINCT l_suppkey) AS supplier_cnt
@@ -353,5 +395,6 @@ QUERIES = {
     "below_nation_avg": below_nation_avg,
     "urgent_no_fail_customers": urgent_no_fail_customers,
     "tpch_q4": tpch_q4,
+    "tpch_q10": tpch_q10,
     "tpch_q16": tpch_q16,
 }
