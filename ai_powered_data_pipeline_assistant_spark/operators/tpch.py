@@ -269,7 +269,36 @@ def tpch_q10(spark: SparkSession, sf_dir: str, top_n: int = 20) -> DataFrame:
     )
 
 
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped conditional bucket agg: per return flag, how many
+    late-shipped lines belong to high- vs low-priority orders — the
+    CASE-inside-SUM over a fact join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1996-01-01"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_cnt"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_cnt"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "tpch_q12": """
+        SELECT l_returnflag AS flag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_priority_cnt,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_priority_cnt
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= '1996-01-01'
+        GROUP BY 1
+    """,
     "tpch_q10": """
         SELECT c_custkey, c_name, n_name AS nation, c_acctbal,
                round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -396,5 +425,6 @@ QUERIES = {
     "urgent_no_fail_customers": urgent_no_fail_customers,
     "tpch_q4": tpch_q4,
     "tpch_q10": tpch_q10,
+    "tpch_q12": tpch_q12,
     "tpch_q16": tpch_q16,
 }

@@ -88,7 +88,40 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame
     )
 
 
+def value_ntiles(spark: SparkSession, sf_dir: str, n: int = 4) -> DataFrame:
+    """NTILE quantile sharding per group — the training-data trick of
+    splitting a corpus into equal-size quality shards. Deterministic
+    because the ordering key (value, event_id) is unique."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.round(F.col("value") * 100).cast("long"), "event_id"
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.withColumn("tile", F.ntile(n).over(w))
+        .groupBy("event_type", "tile")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min(cents) / 100.0, 4).alias("tile_min"),
+            F.round(F.max(cents) / 100.0, 4).alias("tile_max"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "value_ntiles": """
+        SELECT event_type, tile, count(*) AS cnt,
+               round(min(cents) / 100.0, 4) AS tile_min,
+               round(max(cents) / 100.0, 4) AS tile_max
+        FROM (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY CAST(round(value * 100) AS BIGINT),
+                                           event_id) AS tile
+            FROM events)
+        GROUP BY 1, 2
+    """,
     "sessionize": """
         WITH flagged AS (
             SELECT user_id, event_id, ts,
@@ -139,4 +172,5 @@ QUERIES = {
     "retention_last_n": retention_last_n,
     "sliding_window_counts": sliding_window_counts,
     "sessionize": sessionize,
+    "value_ntiles": value_ntiles,
 }
