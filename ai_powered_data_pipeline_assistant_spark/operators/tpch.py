@@ -288,7 +288,41 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped disjunctive predicate join: revenue over an OR-of-ANDs
+    condition mixing both sides (brand × size-range × quantity-range).
+    Catalyst extracts the common `l_partkey = p_partkey` conjunct as the
+    join key and leaves the disjunction as a post-join filter — the part
+    side still broadcasts and per-side conjuncts still push to the scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    joined = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & (F.col("p_size").between(1, 10))
+         & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#20") & (F.col("p_size").between(5, 25))
+           & (F.col("l_quantity").between(10, 35)))
+    )
+    return joined.filter(cond).agg(
+        F.count("*").alias("line_cnt"),
+        F.round(F.sum(price * (F.lit(100) - disc)) / 1e6, 4).alias("revenue"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "tpch_q19": """
+        SELECT count(*) AS line_cnt,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 1e6,
+                     4) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#20' AND p_size BETWEEN 5 AND 25
+               AND l_quantity BETWEEN 10 AND 35)
+    """,
     "tpch_q12": """
         SELECT l_returnflag AS flag,
                sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
@@ -426,5 +460,6 @@ QUERIES = {
     "tpch_q4": tpch_q4,
     "tpch_q10": tpch_q10,
     "tpch_q12": tpch_q12,
+    "tpch_q19": tpch_q19,
     "tpch_q16": tpch_q16,
 }
