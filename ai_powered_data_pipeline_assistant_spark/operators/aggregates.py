@@ -200,6 +200,25 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_users_collected(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Grouped array collection: the top-k users per event type gathered
+    into ONE array column per group (leaderboard-as-row). collect_list is
+    order-nondeterministic in a distributed shuffle, so entries are
+    pre-ranked, encoded as sortable fixed-width strings, and sort_array
+    makes the result reproducible cross-engine."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), "user_id")
+    ranked = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return ranked.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.format_string("%d|%05d|%05d", "rk", "user_id", "cnt"))
+        ).alias("top_users")
+    )
+
+
 def rate_window_counts(spark: SparkSession, sf_dir: str, window_s: int = 60, threshold: int = 3) -> DataFrame:
     """A7/T4 (batch form): per-user tumbling-window request counts, flag
     windows over the limit — the rate-limit aggregation shape.
@@ -318,6 +337,18 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) / 100.0, 4) AS p75
         FROM events GROUP BY 1
     """,
+    "top_users_collected": """
+        SELECT event_type,
+               list_sort(list(printf('%d|%05d|%05d', rk, user_id, cnt))) AS top_users
+        FROM (
+            SELECT event_type, user_id, cnt,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cnt DESC, user_id) AS rk
+            FROM (SELECT event_type, user_id, count(*) AS cnt
+                  FROM events GROUP BY 1, 2))
+        WHERE rk <= 3
+        GROUP BY 1
+    """,
     "rate_window_counts": """
         SELECT user_id,
                CAST(floor(epoch(ts) / 60) AS BIGINT) AS window_bucket,
@@ -357,6 +388,7 @@ QUERIES = {
     "distinct_users": distinct_users,
     "distinct_users_approx": distinct_users_approx,
     "value_percentiles": value_percentiles,
+    "top_users_collected": top_users_collected,
     "rate_window_counts": rate_window_counts,
     "tpch_q1": tpch_q1,
 }
