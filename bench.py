@@ -25,6 +25,10 @@ HEADLINE = [
     "tpch_q18",
     "grouped_stats",
     "rate_window_counts",
+    "asof_join",
+    "range_join",
+    "sessionize",
+    "salted_skew_join",
     "cosine_topk",
     "ann_brute_topk",
     "exact_dedup",
