@@ -311,7 +311,127 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped min-cost supplier: for each selected part, the supplier(s)
+    offering it at the minimum observed price (lineitem stands in for
+    partsupp — the testdata has no partsupp table; min sale price per
+    (part, supplier) is the supply-cost analog).
+
+    Q2's correlated scalar subquery (`ps_supplycost = (SELECT min(...)
+    WHERE ps_partkey = p_partkey)`, reference shape J5 via the guarded SQL
+    executor, backend/utils/sql_safety.py:184-231) decorrelates to a
+    window min over the part partition: one shuffle on the pre-aggregated
+    (part, supplier) offers instead of a per-row re-scan. The offers agg
+    itself shuffles on (partkey, suppkey) — far smaller than lineitem —
+    and part/nation broadcast."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 15, 25))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(F.min(price).alias("cost_cents"))
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("min_cost", F.min("cost_cents").over(w)).filter(
+        F.col("cost_cents") == F.col("min_cost")
+    )
+    return (
+        best.join(broadcast(part), best.l_partkey == part.p_partkey)
+        .join(supp, best.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_brand",
+            F.round(F.col("cost_cents") / 100.0, 2).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str, top_n: int = 100) -> DataFrame:
+    """Q21-shaped waiting-orders count: suppliers who were the SOLE late
+    shipper in a multi-supplier failed order ("late" = shipped > 60 days
+    after order date; the testdata lineitem has no commit/receipt dates).
+
+    The textbook q21 is a triple self-join of lineitem (base + EXISTS +
+    NOT EXISTS). This plan replaces it with ONE scan: per-(order, supplier)
+    late flags (shuffle 1, map-side combined), then order-level supplier /
+    late-supplier counts as window sums over the much smaller aggregate,
+    then the existential conditions become plain filters — `nsupp > 1`
+    ≙ EXISTS other supplier, `nlate = 1` ≙ NOT EXISTS other late one."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+
+    per_sup = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_sup.withColumn("nsupp", F.count("*").over(w))
+        .withColumn("nlate", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1))
+    )
+    return (
+        flagged.join(supp, flagged.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(top_n)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "tpch_q2": """
+        WITH offers AS (
+            SELECT l_partkey, l_suppkey,
+                   min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+            FROM lineitem GROUP BY 1, 2),
+        best AS (
+            SELECT *, min(cost_cents) OVER (PARTITION BY l_partkey) AS min_cost
+            FROM offers)
+        SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_brand,
+               round(cost_cents / 100.0, 2) AS supply_cost
+        FROM best
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE cost_cents = min_cost AND p_size IN (5, 15, 25)
+        ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+        LIMIT 100
+    """,
+    "tpch_q21": """
+        WITH per_sup AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END) AS late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY 1, 2),
+        flagged AS (
+            SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS nsupp,
+                      sum(late) OVER (PARTITION BY l_orderkey) AS nlate
+            FROM per_sup)
+        SELECT s_name, count(*) AS numwait
+        FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+        WHERE late = 1 AND nsupp > 1 AND nlate = 1
+        GROUP BY 1
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
     "tpch_q19": """
         SELECT count(*) AS line_cnt,
                round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -462,4 +582,6 @@ QUERIES = {
     "tpch_q12": tpch_q12,
     "tpch_q19": tpch_q19,
     "tpch_q16": tpch_q16,
+    "tpch_q2": tpch_q2,
+    "tpch_q21": tpch_q21,
 }
