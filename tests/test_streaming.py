@@ -239,3 +239,58 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     assert final.count() == n_first + 10, "restart reprocessed or dropped data"
     ids = [r["request_id"] for r in final.select("request_id").collect()]
     assert len(ids) == len(set(ids)), "duplicates after checkpoint recovery"
+
+
+def test_session_window_stream(spark, tmp_path):
+    """Gap-based streaming sessions: two bursts for one user separated by
+    more than the gap form two sessions; a far-future batch 2 advances the
+    watermark so both emit in append mode, each with end = last_ts + gap."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.sessions import (
+        session_counts_stream,
+    )
+
+    t0 = 1700000000
+    burst1 = spark.range(11).select(
+        F.lit(1).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(t0) + F.col("id")).alias("ts"),
+    )
+    burst2 = spark.range(3).select(
+        F.lit(1).cast("long").alias("user_id"),
+        # > gap (1800 s) after burst1 → a second session
+        F.timestamp_seconds(F.lit(t0 + 5000) + F.col("id")).alias("ts"),
+    )
+    closer = spark.range(1).select(
+        F.lit(2).cast("long").alias("user_id"),
+        # far future: watermark (3600 s delay) passes both sessions' ends
+        F.timestamp_seconds(F.lit(t0 + 100000)).alias("ts"),
+    )
+    src = str(tmp_path / "sess_src")
+    burst1.unionAll(burst2).coalesce(1).write.mode("overwrite").parquet(src)
+    closer.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(burst1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        session_counts_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions WHERE user_id = 1").collect()
+    counts = sorted(r["events"] for r in rows)
+    assert counts == [3, 11], f"expected two closed sessions, got {rows}"
+    for r in rows:
+        start = r["session_window"]["start"].timestamp()
+        end = r["session_window"]["end"].timestamp()
+        # session extends gap seconds past its last event
+        span = 10 if r["events"] == 11 else 2
+        assert end - start == span + 1800, (start, end, r["events"])
+    # user 2's session is still open (watermark hasn't passed it) → not emitted
+    assert not spark.sql("SELECT * FROM sessions WHERE user_id = 2").collect()
