@@ -52,6 +52,13 @@ def load_table(
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    try:
+        # Runtime-settable; required because the test parquet stores
+        # TIMESTAMP(NANOS), which Spark otherwise refuses to read. Set here
+        # (not only at session build) so externally-constructed sessions work.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # already set at session build, or conf locked — read will tell
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for ts_col in _TS_COLUMNS.get(name, ()):
         field = df.schema[ts_col]

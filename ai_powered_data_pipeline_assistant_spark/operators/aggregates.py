@@ -303,7 +303,7 @@ ORACLES: dict[str, str] = {
                round(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS text_completeness,
                round(count(DISTINCT text) / CAST(count(*) AS DOUBLE), 6) AS text_uniqueness,
                round(sum(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS lang_consistency,
-               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                min(n_chars) AS min_chars,
                max(n_chars) AS max_chars
         FROM documents

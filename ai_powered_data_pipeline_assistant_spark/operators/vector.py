@@ -308,8 +308,8 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("embedding").alias("vmin"),
         F.array_max("embedding").alias("vmax"),
         scaled.alias("sum_scaled"),
-        n_pos.alias("n_positive"),
-        F.size("embedding").alias("dim"),
+        n_pos.cast("long").alias("n_positive"),
+        F.size("embedding").cast("long").alias("dim"),
     )
 
 
@@ -320,10 +320,10 @@ ORACLES: dict[str, str] = {
         SELECT vec_id,
                list_min(embedding) AS vmin,
                list_max(embedding) AS vmax,
-               list_sum(list_transform(embedding,
-                   x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))) AS sum_scaled,
-               len(list_filter(embedding, x -> x > 0)) AS n_positive,
-               len(embedding) AS dim
+               CAST(list_sum(list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))) AS BIGINT) AS sum_scaled,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+               CAST(len(embedding) AS BIGINT) AS dim
         FROM embeddings
     """,
     "cosine_topk": f"""
