@@ -67,17 +67,21 @@ def _shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
     return (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        # docs shorter than k tokens yield no shingles (and would otherwise
+        # crash: sequence() descends and slice() rejects index 0); the oracle's
+        # range() is ascending-only so it naturally emits nothing for them
+        .filter(F.size("toks") >= SHINGLE_K)
         .select("doc_id", F.explode(sh).alias("shingle"))
         .select("doc_id", md5_int(F.col("shingle")).alias("h"))
         .distinct()
     )
 
 
-_SHINGLE_SQL = """
+_SHINGLE_SQL = r"""
     SELECT DISTINCT doc_id, {h} AS h
     FROM (SELECT doc_id,
                  array_to_string(toks[i:i+{k_minus_1}], ' ') AS shingle
-          FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
                LATERAL (SELECT unnest(range(1, len(toks) - {k_minus_2})) AS i))
 """.format(
     h=md5_int_sql("shingle"), k_minus_1=SHINGLE_K - 1, k_minus_2=SHINGLE_K - 2

@@ -28,9 +28,17 @@ MAX_ROWS = 1000
 # cheap gate; the plan walk below is the authoritative one.
 _DENY = re.compile(
     r"(?i)\b(insert|update|delete|drop|create|alter|truncate|grant|revoke|"
-    r"merge|call|exec|execute|copy|vacuum|analyze|refresh|set|reset|use)\b"
+    r"merge|call|exec|execute|copy|vacuum|analyze|refresh|set|reset|use|"
+    # Spark-specific escapes: arbitrary static-Java invocation built-ins can
+    # read env vars / system properties (exfiltration) — deny outright.
+    r"reflect|java_method)\b"
 )
 _SELECT_START = re.compile(r"(?is)^\s*(select|with)\b")
+
+# Authoritative post-analysis deny: expression/operator names as they appear
+# in the analyzed logical plan. Catches the escapes even if smuggled through
+# a view definition or unusual quoting that the text regex misses.
+_PLAN_DENY = re.compile(r"(?i)\b(?:reflect|java_method)\(|ScriptTransformation")
 
 
 class UnsafeQueryError(ValueError):
@@ -65,8 +73,19 @@ def safe_sql(spark: SparkSession, query: str, max_rows: int = MAX_ROWS) -> DataF
         raise UnsafeQueryError("only SELECT statements are allowed")
     if _DENY.search(query):
         raise UnsafeQueryError("query contains a forbidden keyword")
-    df = spark.sql(query)
-    stats = _plan_stats(df)
+    # Scope queries to registered views: with runSQLOnFiles off, direct
+    # file-path relations (parquet.`/path`, csv.`...`) fail analysis instead
+    # of granting arbitrary filesystem reads. Restored after analysis.
+    prev_run_on_files = spark.conf.get("spark.sql.runSQLOnFiles", "true")
+    spark.conf.set("spark.sql.runSQLOnFiles", "false")
+    try:
+        df = spark.sql(query)
+        stats = _plan_stats(df)  # forces analysis inside the guarded scope
+    finally:
+        spark.conf.set("spark.sql.runSQLOnFiles", prev_run_on_files)
+    plan_text = df._jdf.queryExecution().analyzed().toString()
+    if _PLAN_DENY.search(plan_text):
+        raise UnsafeQueryError("query plan contains a forbidden operation")
     if stats.joins > MAX_JOINS:
         raise UnsafeQueryError(f"too many joins: {stats.joins} > {MAX_JOINS}")
     if stats.subqueries > MAX_SUBQUERIES:

@@ -74,12 +74,22 @@ class ParquetTable:
             MERGE INTO target t USING source s ON t.{key} = s.{key}
             WHEN MATCHED THEN UPDATE SET *  WHEN NOT MATCHED THEN INSERT *
         """
+        src_total = source.count()
+        src_keys = source.select(key).distinct().count()
+        if src_keys != src_total:
+            # Delta/ANSI MERGE errors when multiple source rows match one
+            # target row; failing early keeps the stats below meaningful.
+            raise ValueError(
+                f"MERGE source has duplicate {key!r} values "
+                f"({src_total} rows, {src_keys} distinct keys)"
+            )
         target = self.read()
         matched = target.join(source.select(key), key, "left_semi").count()
+        inserted = source.join(target.select(key), key, "left_anti").count()
         kept = target.join(source.select(key), key, "left_anti")
         merged = kept.unionByName(source)
         self._rewrite(merged)
-        return {"updated": matched, "inserted": source.count() - matched}
+        return {"updated": matched, "inserted": inserted}
 
     def update_where(self, predicate, assignments: dict[str, "F.Column"]) -> int:
         """S12/S14: UPDATE SET ... WHERE predicate (predicate = Column)."""
@@ -94,8 +104,14 @@ class ParquetTable:
         return n
 
     def delete_where(self, predicate) -> int:
-        """S13: DELETE WHERE predicate; returns deleted row count."""
+        """S13: DELETE WHERE predicate; returns deleted row count.
+
+        SQL DELETE semantics: rows where the predicate evaluates to NULL are
+        retained, so survivors are ``NOT coalesce(pred, false)`` — a bare
+        ``~predicate`` would silently drop NULL-predicate rows.
+        """
         target = self.read()
-        n = target.filter(predicate).count()
-        self._rewrite(target.filter(~predicate))
+        pred = F.coalesce(predicate, F.lit(False))
+        n = target.filter(pred).count()
+        self._rewrite(target.filter(~pred))
         return n

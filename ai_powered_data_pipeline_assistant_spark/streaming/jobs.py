@@ -17,8 +17,12 @@ tests inject timestamps.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 DEDUP_WINDOW = "5 minutes"  # reference: 300 s TTL seen-map
 
@@ -88,8 +92,17 @@ def publish_channels(answered: DataFrame, base_path: str, checkpoint: str):
             for channel, frame in channels.items():
                 try:
                     frame.write.mode("append").parquet(f"{base_path}/{channel}")
-                except Exception:  # noqa: BLE001 — per-channel isolation (T7)
-                    pass
+                except Exception:  # noqa: BLE001 — ancillary-channel isolation (T7)
+                    if channel == "job_responses":
+                        # Primary channel must not be silently lost: re-raise
+                        # so the checkpoint does NOT commit and the batch
+                        # retries (exactly-once story stays intact).
+                        raise
+                    logger.exception(
+                        "batch %s: ancillary channel %r write failed (isolated)",
+                        batch_id,
+                        channel,
+                    )
         finally:
             batch_df.unpersist()
 
@@ -108,10 +121,9 @@ def run_job_stream(requests_stream: DataFrame, kb: DataFrame, out_path: str, che
     answered = answer_requests(dedup_requests(requests_stream), kb)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            batch_df.write.mode("append").parquet(out_path)
-        except Exception:  # noqa: BLE001 — fire-and-forget per reference T7
-            pass
+        # Primary sink: let failures propagate so the checkpoint doesn't
+        # commit a batch whose write was lost — the stream retries it.
+        batch_df.write.mode("append").parquet(out_path)
 
     return (
         answered.writeStream.outputMode("append")

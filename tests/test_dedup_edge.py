@@ -1,0 +1,38 @@
+"""Edge cases for the shingle-based dedup family: documents shorter than the
+shingle width must yield no postings (matching the oracle's ascending-only
+range()) instead of crashing the whole query."""
+
+from __future__ import annotations
+
+from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
+    SHINGLE_K,
+    _shingles,
+)
+
+
+def test_short_docs_yield_no_shingles(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "one"),
+            (2, "just two"),
+            (3, ""),
+            (4, "   "),
+            (5, "three token doc"),
+            (6, "a four token doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: 1 for r in _shingles(df).select("doc_id").distinct().collect()}
+    assert set(got) == {5, 6}
+
+
+def test_multispace_tokenization(spark):
+    # \s+ split: runs of whitespace separate tokens without empty strings.
+    df = spark.createDataFrame([(1, "a  b\tc")], ["doc_id", "text"])
+    rows = _shingles(df).collect()
+    assert len(rows) == 1  # exactly one k=3 shingle: "a b c"
+
+
+def test_shingle_count_per_doc(spark):
+    df = spark.createDataFrame([(1, "w1 w2 w3 w4 w5")], ["doc_id", "text"])
+    assert _shingles(df).count() == 5 - SHINGLE_K + 1

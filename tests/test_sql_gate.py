@@ -62,3 +62,28 @@ def test_too_long_rejected(spark):
 
 def test_row_cap(spark):
     assert safe_sql(spark, "SELECT * FROM lineitem").count() == MAX_ROWS
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT reflect('java.lang.System', 'getenv', 'PATH')",
+        "SELECT java_method('java.lang.System', 'getProperty', 'user.dir')",
+    ],
+)
+def test_java_escape_builtins_rejected(spark, bad):
+    with pytest.raises(UnsafeQueryError):
+        safe_sql(spark, bad)
+
+
+def test_file_path_relation_rejected(spark, sf_dir):
+    # Direct file-source relations bypass the registered-view scope; with
+    # runSQLOnFiles disabled during analysis they fail table resolution.
+    with pytest.raises(Exception):
+        safe_sql(spark, f"SELECT * FROM parquet.`{sf_dir}/orders.parquet`")
+
+
+def test_run_on_files_conf_restored(spark, sf_dir):
+    before = spark.conf.get("spark.sql.runSQLOnFiles", "true")
+    safe_sql(spark, "SELECT 1 AS one")
+    assert spark.conf.get("spark.sql.runSQLOnFiles", "true") == before
