@@ -62,15 +62,41 @@ def collapse_whitespace(col: Column, max_len: int = 200) -> Column:
     return F.substring(F.trim(F.regexp_replace(col, r"\s+", " ")), 1, max_len)
 
 
+# Common HTML entities, unescaped after tag-stripping (the reference ends
+# _clean_html with html.unescape, search_clients.py:91). &amp; must be LAST:
+# Python's unescape is single-pass, so "&amp;lt;" becomes "&lt;" not "<" —
+# with &amp; at the end of the chain no earlier literal can re-match, giving
+# the same single-pass result for this entity set.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def unescape_entities(col: Column) -> Column:
+    """Literal (non-regex) replace chain for the common HTML entities."""
+    out = col
+    for entity, char in HTML_ENTITIES:
+        out = F.replace(out, F.lit(entity), F.lit(char))
+    return out
+
+
 def strip_html(col: Column) -> Column:
-    """Drop <code>...</code> blocks then all tags (search_clients.py:83-91).
+    """Drop <code>...</code> blocks, then all tags, then unescape entities
+    (search_clients.py:83-91 — BeautifulSoup get_text + html.unescape).
 
     Regex-based, not a full parser — sufficient for snippet shaping; the
-    reference uses BeautifulSoup driver-side for the same purpose.
+    reference uses BeautifulSoup driver-side for the same purpose. Entities
+    unescape before whitespace collapse so &nbsp; folds like any space.
     """
     no_code = F.regexp_replace(col, r"(?s)<code>.*?</code>", " ")
     no_tags = F.regexp_replace(no_code, r"<[^>]+>", " ")
-    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+    unescaped = unescape_entities(no_tags)
+    return F.trim(F.regexp_replace(unescaped, r"\s+", " "))
 
 
 def snippet(col: Column, max_len: int = 500) -> Column:

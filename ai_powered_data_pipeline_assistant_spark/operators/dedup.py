@@ -47,6 +47,15 @@ PERM_B = [(j * j * 2654435761 + 97531) % HASH_MOD for j in range(N_PERMS)]
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 32
+# Document-frequency cap for the Jaccard postings self-join: shingles present
+# in more than this many docs are dropped BEFORE the self-join on both the
+# intersection and size sides. On a web corpus stop-word shingles ("of the
+# and", boilerplate) have posting lists of millions — the self-join cost is
+# Σ posting², so one hot shingle alone would dominate the whole job. The cap
+# bounds per-shingle join work at max_df² while near-dup pairs (which share
+# many RARE shingles) are unaffected. Chosen far above the test-corpus max
+# (7 at sf0.01, 25 at sf0.1) so small-SF results are bit-identical.
+MAX_SHINGLE_DF = 1000
 
 
 # ---------------------------------------------------------------- helpers
@@ -88,7 +97,9 @@ _SHINGLE_SQL = r"""
 )
 
 
-def _pair_jaccard(postings: DataFrame, min_jaccard: float) -> DataFrame:
+def _pair_jaccard(
+    postings: DataFrame, min_jaccard: float, max_shingle_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
     """All-pairs Jaccard from a (doc_id, h) postings frame.
 
     The postings frame feeds four consumers (both self-join sides and the
@@ -98,8 +109,22 @@ def _pair_jaccard(postings: DataFrame, min_jaccard: float) -> DataFrame:
     build a single-threaded multi-million-entry hash map; partitioning both
     sides on ``h`` builds 32 maps in parallel and is the only strategy that
     survives when postings stop fitting in one executor's memory.
+
+    Ultra-common shingles (doc freq > ``max_shingle_df``) are dropped before
+    the self-join — see MAX_SHINGLE_DF. The drop applies to BOTH the
+    intersection join and the set sizes, so the jaccard value is consistently
+    "jaccard over the rare-shingle sets" on both engines.
     """
     postings = postings.persist()
+    rare = (
+        postings.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("h")
+    )
+    # shuffle_hash: at scale `rare` is nearly as tall as the distinct shingle
+    # count — broadcasting it would build one giant driver-shipped map.
+    postings = postings.join(rare.hint("shuffle_hash"), "h", "left_semi")
     sizes = postings.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = postings.select(F.col("doc_id").alias("a_id"), "h")
     b = postings.select(F.col("doc_id").alias("b_id"), "h")
@@ -491,7 +516,11 @@ ORACLES: dict[str, str] = {
         FROM target FULL OUTER JOIN source ON t_hash = s_hash
     """,
     "ngram_jaccard_pairs": f"""
-        WITH postings AS ({_SHINGLE_SQL}),
+        WITH raw_postings AS ({_SHINGLE_SQL}),
+        postings AS (
+            SELECT p.* FROM raw_postings p
+            WHERE p.h IN (SELECT h FROM raw_postings
+                          GROUP BY h HAVING count(*) <= {MAX_SHINGLE_DF})),
         {_PAIR_JACCARD_SQL}
         SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
     """,

@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
 from ai_powered_data_pipeline_assistant_spark.functions.hashing import md5_int, md5_int_sql
-from ai_powered_data_pipeline_assistant_spark.functions.text import redact, snippet
+from ai_powered_data_pipeline_assistant_spark.functions.text import (
+    redact,
+    snippet,
+    strip_html,
+)
 
 # n-gram-heuristic language ID: tiny stopword lists per language. On real
 # text these are the highest-signal unigrams; on any corpus the argmax +
@@ -292,19 +296,19 @@ def profanity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F2: HTML strip (drop <code> blocks then all tags, collapse
-    whitespace — reference backend/services/search_clients.py:83-91) and
-    HTML escape (reference backend/utils/sanitization.py:38-72), both as
+    """F1/F2: HTML strip (drop <code> blocks, all tags, unescape common
+    entities, collapse whitespace — reference
+    backend/services/search_clients.py:83-91 incl. the final html.unescape)
+    and HTML escape (reference backend/utils/sanitization.py:38-72), both as
     regexp_replace/replace chains, no parser in the hot path."""
     docs = load_table(spark, sf_dir, "documents")
     html = F.concat(
         F.lit("<p>"),
         F.substring("text", 1, 80),
-        F.lit("</p> <code>internal = secret()</code> <b>tail</b>"),
+        F.lit("</p> <code>internal = secret()</code> <b>tail</b>"
+              " &amp;joined &lt;kept&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b"),
     )
-    no_code = F.regexp_replace(html, r"(?s)<code>.*?</code>", " ")
-    no_tags = F.regexp_replace(no_code, r"<[^>]+>", " ")
-    cleaned = F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+    cleaned = strip_html(html)
     raw = F.concat(F.lit("a<b>&\"c\" "), F.substring("text", 1, 20))
     escaped = F.regexp_replace(
         F.regexp_replace(
@@ -402,13 +406,18 @@ ORACLES: dict[str, str] = {
         WITH built AS (
             SELECT doc_id,
                    '<p>' || substr(text, 1, 80) ||
-                   '</p> <code>internal = secret()</code> <b>tail</b>' AS html,
+                   '</p> <code>internal = secret()</code> <b>tail</b>' ||
+                   ' &amp;joined &lt;kept&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b' AS html,
                    'a<b>&"c" ' || substr(text, 1, 20) AS raw
             FROM documents)
         SELECT doc_id,
-               trim(regexp_replace(regexp_replace(regexp_replace(html,
-                    '(?s)<code>.*?</code>', ' ', 'g'),
-                    '<[^>]+>', ' ', 'g'),
+               trim(regexp_replace(
+                    replace(replace(replace(replace(replace(replace(
+                        regexp_replace(regexp_replace(html,
+                            '(?s)<code>.*?</code>', ' ', 'g'),
+                            '<[^>]+>', ' ', 'g'),
+                        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
                     '\s+', ' ', 'g')) AS cleaned,
                regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
                     '&', '&amp;', 'g'),

@@ -73,6 +73,19 @@ def test_strip_html_and_snippet(spark):
     assert out[1]["snip"].endswith("...") and len(out[1]["snip"]) == 503
 
 
+def test_strip_html_unescapes_entities(spark):
+    import html as pyhtml
+
+    raw = "x &amp;amp; y &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b"
+    df = spark.createDataFrame([(raw,)], ["raw"])
+    got = df.select(strip_html(F.col("raw")).alias("clean")).collect()[0]["clean"]
+    # mirror the reference pipeline: tags gone, then single-pass unescape,
+    # then whitespace collapse (&nbsp; is \xa0 in python, folded to ' ')
+    want = re.sub(r"\s+", " ", pyhtml.unescape(raw).replace("\xa0", " ")).strip()
+    assert got == want
+    assert got == 'x &amp; y <tag> "q" \'s\' a b'
+
+
 def test_embedder_deterministic(spark):
     from ai_powered_data_pipeline_assistant_spark.functions.embedder import (
         EMBED_DIM,

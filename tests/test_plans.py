@@ -86,6 +86,16 @@ def test_exact_dedup_partial_aggregates(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_jaccard_selfjoin_has_shingle_df_cap(spark, sf_dir):
+    """The postings self-join must be preceded by a document-frequency drop
+    (left-semi against rare shingles) — without it one hot stop-word shingle
+    makes the join Σ posting² at web scale."""
+    plan = _initial_plan(QUERIES["ngram_jaccard_pairs"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    # the cap itself: an aggregate on h with a count filter feeds the semi-join
+    assert "df#" in plan or "count(1)" in plan, plan
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     """No oracle-checked operator may contain a CartesianProduct — every
     join is either keyed or an intentional broadcast of a tiny side."""
