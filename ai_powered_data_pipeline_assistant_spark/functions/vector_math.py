@@ -38,6 +38,41 @@ def cosine_similarity(a: Column, b: Column, decimals: int = 6) -> Column:
     return F.round(sim, decimals)
 
 
+# Per-VECTOR quantization grid for the block-matmul pair scorer. Unlike
+# dot_scaled (which rounds each elementwise PRODUCT — inherently per-pair
+# work that BLAS can't batch), quantizing each vector's elements once to an
+# integer grid makes the pairwise dot a plain integer matmul: products are
+# ≤ QUANT² = 1e12, so a float64 matmul is EXACT (all partial sums are
+# integers < 2^53) up to dim ≈ 9000. Quantization is O(n·d); scoring is one
+# BLAS call per block pair.
+QUANT = int(1e6)
+
+
+def np_quantize(m):
+    """Half-away-from-zero per-element quantization of a float matrix —
+    bit-identical to DuckDB round() and to np_round_half_up below."""
+    import numpy as np
+
+    s = m.astype(np.float64) * QUANT
+    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5))
+
+
+def np_round_half_up(v, decimals: int = 6):
+    """Half-away-from-zero rounding (NOT numpy's banker's rounding) —
+    matches DuckDB round(x, d) on the same float64 inputs."""
+    import numpy as np
+
+    s = v * (10.0 ** decimals)
+    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)) / (10.0 ** decimals)
+
+
+def quantize_sql(a: str) -> str:
+    """DuckDB mirror of np_quantize over a list column."""
+    return (
+        f"list_transform({a}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    )
+
+
 def dot_scaled_sql(a: str, b: str) -> str:
     """DuckDB oracle equivalent of :func:`dot_scaled`."""
     return (

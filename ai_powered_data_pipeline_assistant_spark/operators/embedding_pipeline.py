@@ -16,8 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
-from ai_powered_data_pipeline_assistant_spark.functions.embedder import _embed_one, embedding_column
-from ai_powered_data_pipeline_assistant_spark.functions.vector_math import cosine_similarity
+from ai_powered_data_pipeline_assistant_spark.functions.embedder import (
+    _embed_one,
+    cosine_to_query,
+    embedding_column,
+)
 
 
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,24 +37,21 @@ def embed_and_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame
     """Read path: embed a query string, cosine top-k against the embedded
     corpus (one shuffle-free scored scan + TakeOrderedAndProject).
 
-    The single query vector is embedded DRIVER-side and inlined as an array
-    literal: a 1-row pandas-UDF job + broadcast exchange just to produce 64
-    floats costs seconds of Python-worker spin-up and re-executes inside
-    every consumer of the broadcast. Same trick the reference's read path
-    uses — the query is embedded once, client-side, before the SQL RPC
-    (reference backend/services/search_service.py:219-270).
+    The query vector is embedded DRIVER-side (one vector — the exact
+    analogue of the reference embedding the query client-side before the
+    SQL RPC, backend/services/search_service.py:219-270) and closed over by
+    a vectorized pandas scorer. The scorer chains onto the embed UDF, so
+    Spark runs embed+score as one ArrowEvalPython pass: at dim=1536 the
+    per-element HOF cosine would be ~23M interpreted lambda evals for 5k
+    docs; the batch matmul is one BLAS call per Arrow batch (~10×).
     """
-    corpus = embed_documents(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     qvec = _embed_one("spark shuffle partition tuning")
-    query_lit = F.array(*[F.lit(float(v)) for v in qvec])
-    return (
-        corpus.select(
-            "doc_id",
-            cosine_similarity(F.col("embedding"), query_lit).alias("similarity"),
-        )
-        .orderBy(F.desc("similarity"), "doc_id")
-        .limit(k)
+    scored = docs.select(
+        "doc_id",
+        cosine_to_query(qvec)(embedding_column(F.col("text"))).alias("similarity"),
     )
+    return scored.orderBy(F.desc("similarity"), "doc_id").limit(k)
 
 
 ORACLES: dict[str, str] = {}  # hash-projection embeddings: rows-only checks

@@ -31,6 +31,7 @@ from ai_powered_data_pipeline_assistant_spark.functions.vector_math import (
     dot_scaled,
     dot_scaled_sql,
     norm_sq_scaled,
+    quantize_sql,
 )
 
 
@@ -140,51 +141,34 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 
     )
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5,
-                 n_lists: int = 8, n_probe: int = 2) -> DataFrame:
-    """IVF-style ANN: the reference's ivfflat index (lists=100, reference
-    Supabase/knowledge_base-RAG.sql:31-33) re-expressed for Spark.
-
-    Coarse centroids = the first ``n_lists`` stored vectors (deterministic;
-    a real deployment k-means them offline and broadcasts). Every vector is
-    assigned to its nearest centroid (one broadcast join + argmax, a single
-    scan); a query probes its ``n_probe`` nearest lists and scores only
-    those candidates. Approximate by construction → rows-only oracle;
-    pytest checks recall against the brute-force baseline.
-
-    At 100 TB: write the table partitioned by `list_id` so a probe prunes
-    partitions at the scan (predicate `list_id IN (...)` → partition
-    pruning), giving the same I/O shape as pgvector's inverted lists.
-    """
-    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
-    centroids = emb.filter(F.col("vec_id") < n_lists).select(
+def ivf_centroids(emb: DataFrame, n_lists: int) -> DataFrame:
+    """Deterministic coarse centroids = the first ``n_lists`` stored vectors
+    (a real deployment k-means them offline and broadcasts the result)."""
+    return emb.filter(F.col("vec_id") < n_lists).select(
         F.col("vec_id").alias("list_id"), F.col("embedding").alias("centroid")
     )
 
-    def assign(df: DataFrame, vec_col: str, out_col: str, keep: int) -> DataFrame:
-        scored = df.join(broadcast(centroids)).select(
-            *df.columns,
-            "list_id",
-            cosine_similarity(F.col(vec_col), F.col("centroid")).alias("c_sim"),
-        )
-        w = Window.partitionBy(*df.columns[:1]).orderBy(F.desc("c_sim"), "list_id")
-        return (
-            scored.withColumn("c_rk", F.row_number().over(w))
-            .filter(F.col("c_rk") <= keep)
-            .select(*df.columns, F.col("list_id").alias(out_col))
-        )
 
-    assigned = assign(emb.select("vec_id", "embedding"), "embedding", "list_id", 1)
-    queries = _query_vectors(spark, sf_dir, n_queries)
-    probed = assign(queries, "query_vec", "probe_list", n_probe)
-
-    candidates = assigned.join(
-        broadcast(probed), assigned.list_id == probed.probe_list
-    ).select(
-        "query_id",
-        "vec_id",
-        cosine_similarity(F.col("embedding"), F.col("query_vec")).alias("similarity"),
+def assign_lists(
+    df: DataFrame, vec_col: str, centroids: DataFrame, out_col: str, keep: int
+) -> DataFrame:
+    """Nearest-``keep`` centroid assignment: one broadcast join + window
+    argmax over the fixed-point similarity (deterministic tie-break on
+    list_id) — a single scan of ``df``, no shuffle of the vectors."""
+    scored = df.join(broadcast(centroids)).select(
+        *df.columns,
+        "list_id",
+        cosine_similarity(F.col(vec_col), F.col("centroid")).alias("c_sim"),
     )
+    w = Window.partitionBy(*df.columns[:1]).orderBy(F.desc("c_sim"), "list_id")
+    return (
+        scored.withColumn("c_rk", F.row_number().over(w))
+        .filter(F.col("c_rk") <= keep)
+        .select(*df.columns, F.col("list_id").alias(out_col))
+    )
+
+
+def _per_query_topk(candidates: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), "vec_id")
     return (
         candidates.withColumn("rk", F.row_number().over(w))
@@ -193,37 +177,152 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 
     )
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.45) -> DataFrame:
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5,
+                 n_lists: int = 8, n_probe: int = 2) -> DataFrame:
+    """IVF-style ANN: the reference's ivfflat index (lists=100, reference
+    Supabase/knowledge_base-RAG.sql:31-33) re-expressed for Spark.
+
+    Every vector is assigned to its nearest centroid (one broadcast join +
+    argmax, a single scan); a query probes its ``n_probe`` nearest lists and
+    scores only those candidates. Deterministic (fixed-point similarity,
+    list_id tie-break) → exact SQL oracle despite being approximate w.r.t.
+    the brute-force answer; pytest separately checks recall vs brute force.
+
+    See ``ann_ivf_pruned`` for the physical-layout variant where the probe
+    prunes partitions at the scan (the ivfflat I/O shape).
+    """
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    centroids = ivf_centroids(emb, n_lists)
+    assigned = assign_lists(
+        emb.select("vec_id", "embedding"), "embedding", centroids, "list_id", 1
+    )
+    queries = _query_vectors(spark, sf_dir, n_queries)
+    probed = assign_lists(queries, "query_vec", centroids, "probe_list", n_probe)
+
+    candidates = assigned.join(
+        broadcast(probed), assigned.list_id == probed.probe_list
+    ).select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("embedding"), F.col("query_vec")).alias("similarity"),
+    )
+    return _per_query_topk(candidates, k)
+
+
+def ann_ivf_pruned(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5,
+                   n_lists: int = 8, n_probe: int = 2) -> DataFrame:
+    """IVF ANN over the PHYSICAL inverted-list layout: embeddings stored
+    ``partitionBy(list_id)`` (sources/layout.write_ivf_layout), probe as a
+    literal ``list_id IN (...)`` predicate → partition pruning at the scan.
+
+    This is the same I/O shape as pgvector's ivfflat
+    (Supabase/knowledge_base-RAG.sql:31-33): only the probed lists' files
+    are ever opened — at 100 TB with 1000 lists and n_probe=2, the scan
+    reads 0.2% of the table. The probe-list computation is a bounded
+    driver-side step (n_queries × n_lists tiny broadcast argmax — the exact
+    analogue of the index's centroid lookup); results are identical to
+    ``ann_ivf_topk`` (same assignment, same probes, same scoring).
+    """
+    from ai_powered_data_pipeline_assistant_spark.sources.layout import (
+        ensure_ivf_layout,
+    )
+
+    layout_path = ensure_ivf_layout(spark, sf_dir, n_lists=n_lists)
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_centroids(emb, n_lists)
+    queries = _query_vectors(spark, sf_dir, n_queries)
+    probed = assign_lists(queries, "query_vec", centroids, "probe_list", n_probe).persist()
+    # Literal probe list → PartitionFilters on the layout scan. ≤ n_queries ×
+    # n_probe ints collected driver-side: this IS the index lookup, bounded.
+    probe_lists = sorted(
+        r["probe_list"] for r in probed.select("probe_list").distinct().collect()
+    )
+    stored = spark.read.parquet(layout_path).filter(F.col("list_id").isin(probe_lists))
+    candidates = stored.join(
+        broadcast(probed), stored.list_id == probed.probe_list
+    ).select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("embedding"), F.col("query_vec")).alias("similarity"),
+    )
+    return _per_query_topk(candidates, k)
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.45,
+                            n_blocks: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, similarity ≥ threshold).
 
-    Exact all-pairs via self-join — O(n²) scoring, the correctness baseline.
-    At scale, route through `ann_lsh_topk`-style buckets first (same-bucket
-    pairs only) — the LSH candidate set bounds the quadratic blowup.
+    Exact all-pairs, computed as a distributed BLOCK MATMUL instead of a
+    row-pair self-join: vectors are hashed into ``n_blocks`` blocks, every
+    row is shipped to each of its block-PAIR groups (n·n_blocks rows through
+    one shuffle — not n² pairs), and each (i, j) group scores its pairs with
+    ONE numpy matmul over Arrow-batched data (`applyInPandas`). Versus the
+    per-pair `zip_with`/`aggregate` HOF formulation this is ~10× at sf0.1 —
+    interpreted per-element lambdas become a BLAS call.
+
+    Cross-engine exactness: each vector is quantized ONCE to the 1e6 integer
+    grid (np_quantize ≙ oracle's list_transform+round); the pairwise integer
+    dot is then exact in a float64 matmul (partial sums < 2^53 for
+    dim ≤ ~9000), and similarity/rounding replicate DuckDB bit-for-bit.
+
+    Still O(n²) compute by design — the correctness baseline; at corpus
+    scale, route through `embedding_neardup_lsh` (candidate-only scoring).
+    n_blocks sizes the parallelism: ~n/n_blocks rows per group, n_blocks²/2
+    groups; at a real deployment pick n_blocks ≈ √(2·cores) per n that fits
+    executor memory.
     """
+    import numpy as np
+    import pandas as pd
+
+    from ai_powered_data_pipeline_assistant_spark.functions.vector_math import (
+        np_quantize,
+        np_round_half_up,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
-        "vec_id",
-        "embedding",
-        # norms hoisted to the n-row side — recomputing them per PAIR would
-        # triple the O(n²) stage's work (both engines factor identically)
-        norm_sq_scaled(F.col("embedding")).alias("nsq"),
+        "vec_id", "embedding", (F.col("vec_id") % n_blocks).cast("int").alias("blk")
     )
-    a = emb.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"),
-        F.col("nsq").alias("a_nsq"),
+    group_keys = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.least(F.col("blk"), F.lit(o)).alias("gi"),
+                    F.greatest(F.col("blk"), F.lit(o)).alias("gj"),
+                )
+                for o in range(n_blocks)
+            ]
+        )
     )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"),
-        F.col("nsq").alias("b_nsq"),
-    )
-    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
-    sim = F.round(
-        dot_scaled(F.col("a_vec"), F.col("b_vec"))
-        / F.sqrt(F.col("a_nsq").cast("double") * F.col("b_nsq").cast("double")),
-        6,
-    )
-    return (
-        pairs.select("a_id", "b_id", sim.alias("similarity"))
-        .filter(F.col("similarity") >= threshold)
+    exploded = emb.select(
+        "vec_id", "embedding", "blk", F.explode(group_keys).alias("g")
+    ).select("vec_id", "embedding", "blk", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"))
+
+    def score_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        a = pdf[pdf["blk"] == bi]
+        b = a if bi == bj else pdf[pdf["blk"] == bj]
+        if a.empty or b.empty:
+            return pd.DataFrame({"a_id": [], "b_id": [], "similarity": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "similarity": "float64"}
+            )
+        ma = np_quantize(np.stack(a["embedding"].to_numpy()))
+        mb = ma if bi == bj else np_quantize(np.stack(b["embedding"].to_numpy()))
+        dots = ma @ mb.T  # exact: integer-valued float64, sums < 2^53
+        na = (ma * ma).sum(axis=1)
+        nb = na if bi == bj else (mb * mb).sum(axis=1)
+        sim = np_round_half_up(dots / np.sqrt(np.outer(na, nb)), 6)
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        ii, jj = np.nonzero(sim >= threshold)
+        lo = np.minimum(ids_a[ii], ids_b[jj])
+        hi = np.maximum(ids_a[ii], ids_b[jj])
+        keep = lo < hi  # drops self-pairs and the duplicate orientation
+        return pd.DataFrame(
+            {"a_id": lo[keep], "b_id": hi[keep], "similarity": sim[ii, jj][keep]}
+        ).drop_duplicates(["a_id", "b_id"])
+
+    return exploded.groupBy("gi", "gj").applyInPandas(
+        score_block, schema="a_id long, b_id long, similarity double"
     )
 
 
@@ -348,21 +447,73 @@ ORACLES: dict[str, str] = {
             FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
         ) WHERE rk <= 5
     """,
+    # Quantize-once grid (see vector_math.QUANT): each vector's elements are
+    # rounded to the 1e6 integer grid, then the pairwise dot is a plain
+    # integer product-sum — the exact SQL mirror of the numpy block matmul.
     "embedding_neardup_pairs": """
-        WITH e AS (SELECT vec_id, embedding, {nsq} AS nsq FROM embeddings)
+        WITH e AS (SELECT vec_id, {q} AS qv FROM embeddings),
+        n AS (SELECT vec_id, qv,
+                     list_sum(list_transform(qv, x -> x * x)) AS nsq
+              FROM e)
         SELECT a_id, b_id, similarity FROM (
             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                   round({dot} / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)), 6)
-                       AS similarity
-            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+                   round(CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                                      p -> p[1] * p[2])) AS DOUBLE)
+                         / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)),
+                         6) AS similarity
+            FROM n a JOIN n b ON a.vec_id < b.vec_id)
         WHERE similarity >= 0.45
-    """.format(
-        nsq=dot_scaled_sql("embedding", "embedding"),
-        dot=dot_scaled_sql("a.embedding", "b.embedding"),
-    ),
-    # ann_lsh_topk / ann_ivf_topk: approximate by construction → no SQL
-    # oracle (rows-only); pytest checks recall vs the brute-force baseline.
+    """.format(q=quantize_sql("embedding")),
+    # ann_lsh_topk: bucket bits come from a FLOAT dot against hyperplanes —
+    # a last-ulp sign flip across engines could move a vector between
+    # buckets, so no SQL oracle (rows-only); pytest checks recall instead.
 }
+
+
+def _ivf_oracle_sql(n_queries: int = 5, k: int = 5, n_lists: int = 8,
+                    n_probe: int = 2) -> str:
+    """Exact DuckDB mirror of the IVF pipeline: deterministic centroid
+    assignment (fixed-point similarity, list_id tie-break), n_probe probing,
+    candidate-only scoring — the approximation is deterministic, so the
+    'approximate' operator still gets a bit-exact oracle."""
+    cos_ec = cosine_similarity_sql("e.embedding", "c.centroid")
+    cos_qc = cosine_similarity_sql("q.query_vec", "c.centroid")
+    cos_aq = cosine_similarity_sql("a.embedding", "p.query_vec")
+    return f"""
+        WITH centroids AS (
+            SELECT vec_id AS list_id, embedding AS centroid
+            FROM embeddings WHERE vec_id < {n_lists}),
+        assigned AS (
+            SELECT vec_id, embedding, list_id FROM (
+                SELECT e.vec_id, e.embedding, c.list_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cos_ec} DESC, c.list_id) AS crk
+                FROM embeddings e CROSS JOIN centroids c)
+            WHERE crk = 1),
+        queries AS (
+            SELECT vec_id AS query_id, embedding AS query_vec
+            FROM embeddings WHERE vec_id < {n_queries}),
+        probed AS (
+            SELECT query_id, query_vec, list_id AS probe_list FROM (
+                SELECT q.query_id, q.query_vec, c.list_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                                          ORDER BY {cos_qc} DESC, c.list_id) AS crk
+                FROM queries q CROSS JOIN centroids c)
+            WHERE crk <= {n_probe}),
+        cands AS (
+            SELECT p.query_id, a.vec_id, {cos_aq} AS similarity
+            FROM assigned a JOIN probed p ON a.list_id = p.probe_list)
+        SELECT query_id, vec_id, similarity, rk FROM (
+            SELECT query_id, vec_id, similarity,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY similarity DESC, vec_id) AS rk
+            FROM cands)
+        WHERE rk <= {k}
+    """
+
+
+ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
+ORACLES["ann_ivf_pruned"] = _ivf_oracle_sql()
 
 QUERIES = {
     "cosine_topk": cosine_topk,
@@ -370,6 +521,7 @@ QUERIES = {
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_pruned": ann_ivf_pruned,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_neardup_lsh": embedding_neardup_lsh,  # rows-only (approx)
     "embedding_array_stats": embedding_array_stats,

@@ -32,6 +32,10 @@ def get_spark(app_name: str = "ai-pipeline-spark", master: str | None = None) ->
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 1536-dim float32 embeddings are ~6 KB/row: cap Arrow batches at
+        # 1024 rows (~6 MB) so pandas-UDF workers stay memory-bounded; the
+        # default 10k rows would build 60 MB batches per worker.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # managed tables (bucketed layouts) land in /tmp, not the repo

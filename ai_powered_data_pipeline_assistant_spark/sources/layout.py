@@ -49,6 +49,46 @@ def read_pruned(
     return df.filter((F.col("event_type") == event_type) & (F.col("day") == day))
 
 
+def write_ivf_layout(
+    spark: SparkSession, sf_dir: str, out_path: str, n_lists: int = 8
+) -> None:
+    """Persist `embeddings` as an inverted-file layout: every vector assigned
+    to its nearest coarse centroid, written ``partitionBy(list_id)`` — the
+    lakehouse analogue of pgvector's ivfflat lists (reference
+    Supabase/knowledge_base-RAG.sql:31-33). A probe then reads only its
+    lists' directories (PartitionFilters), never touching the rest."""
+    from ai_powered_data_pipeline_assistant_spark.operators.vector import (
+        assign_lists,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    assigned = assign_lists(
+        emb.select("vec_id", "label", "embedding"),
+        "embedding",
+        ivf_centroids(emb, n_lists),
+        "list_id",
+        1,
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(out_path)
+
+
+def ensure_ivf_layout(
+    spark: SparkSession, sf_dir: str, n_lists: int = 8
+) -> str:
+    """Idempotently materialize the IVF layout for one sf_dir in a temp
+    location; returns the path. Cached on disk across calls (_SUCCESS
+    marker) — the layout is a write-once index build, not per-query work."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}_l{n_lists}")
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+        write_ivf_layout(spark, sf_dir, out, n_lists)
+    return out
+
+
 def write_bucketed(
     spark: SparkSession, sf_dir: str, table_name: str, n_buckets: int = 8
 ) -> None:

@@ -51,6 +51,27 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     assert df.count() == expected > 0
 
 
+def test_ivf_layout_prunes_partitions(spark, sf_dir):
+    """The IVF probe must reach the layout scan as PartitionFilters
+    (list_id IN ...) — only probed lists' directories are opened, the
+    ivfflat I/O shape — and the pruned result must equal the logical
+    (unpartitioned) IVF query exactly."""
+    from ai_powered_data_pipeline_assistant_spark.operators.vector import (
+        ann_ivf_pruned,
+        ann_ivf_topk,
+    )
+
+    df = ann_ivf_pruned(spark, sf_dir)
+    plan = _plan(df)
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "list_id" in pf and "IN" in pf.upper(), plan
+
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, ann_ivf_topk(spark, sf_dir).collect()))
+    assert got == want
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     write_bucketed(spark, sf_dir, "orders_bucketed")
     joined = bucketed_join(spark, "orders_bucketed", "orders_bucketed")
