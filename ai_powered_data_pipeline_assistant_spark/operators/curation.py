@@ -1,0 +1,114 @@
+"""Corpus curation pipeline — the composed training-data shape.
+
+One operator chaining the stages every LLM-data pipeline runs before
+training, each of which also exists standalone in this engine:
+
+1. language gate   — keep docs whose `lang` metadata is in the allowed set
+                     (the standalone heuristic classifier is `lang_id`)
+2. quality gate    — composite quality score ≥ threshold
+                     (text_analysis.quality_expr, shared with `quality_score`)
+3. exact dedup     — keep the lowest doc_id per sha256(text)
+                     (the `exact_dedup` shape, applied as a filter)
+4. near-dup dedup  — MinHash+LSH verified Jaccard pairs ≥ 0.5
+                     (dedup.minhash_lsh_pairs_for); greedy keep-first policy:
+                     any doc that is the HIGHER id of a verified pair is
+                     dropped. Deterministic and SQL-mirrorable; note it is
+                     not transitively closed (a→b, b→c drops both b and c).
+
+Scale shape: filters ride the scan (pushdown), exact dedup is one hash
+shuffle, the near-dup stage is the banded-LSH candidate pipeline (never
+all-pairs), and the final removal is a broadcast-able anti-join on the
+(small) drop set. No stage collects to the driver.
+
+The reference has no curation pipeline (its "quality" endpoint is a mock,
+reference backend/mcp_server/tools/data_tools.py:64-110); this operator is
+part of the engine's training-data surface (build brief: dedup + text
+analysis as first-class components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    minhash_lsh_cte,
+    minhash_lsh_pairs_for,
+)
+from ai_powered_data_pipeline_assistant_spark.operators.text_analysis import (
+    QUALITY_SQL,
+    quality_expr,
+)
+
+ALLOWED_LANGS = ("en", "de", "fr", "es")
+MIN_QUALITY = 0.6
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    langs: tuple[str, ...] = ALLOWED_LANGS,
+    min_quality: float = MIN_QUALITY,
+    jaccard: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Returns the curated corpus manifest: (doc_id, lang, n_tokens,
+    quality) for every surviving document."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    gated = (
+        docs.filter(F.col("lang").isin(*langs))
+        .withColumn("quality", quality_expr())
+        .filter(F.col("quality") >= min_quality)
+    )
+    # exact dedup: keep-first per content hash (one shuffle on the hash)
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    kept = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .persist()  # feeds both the LSH stage and the final anti-join
+    )
+    drops = (
+        minhash_lsh_pairs_for(kept.select("doc_id", "text"), threshold=jaccard)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    curated = kept.join(drops, "doc_id", "left_anti")
+    return curated.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        "quality",
+    )
+
+
+def _curate_sql() -> str:
+    langs = ", ".join(f"'{l}'" for l in ALLOWED_LANGS)
+    return f"""
+        WITH gated AS (
+            SELECT doc_id, lang, text, {QUALITY_SQL} AS quality
+            FROM documents
+            WHERE lang IN ({langs}) AND {QUALITY_SQL} >= {MIN_QUALITY}),
+        kept AS (
+            SELECT doc_id, lang, text, quality FROM (
+                SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                                             ORDER BY doc_id) AS rn
+                FROM gated)
+            WHERE rn = 1),
+        {minhash_lsh_cte("kept")},
+        drops AS (
+            SELECT DISTINCT p.b_id AS doc_id
+            FROM candidates c JOIN pairs p ON c.a_id = p.a_id AND c.b_id = p.b_id
+            WHERE p.jaccard >= {JACCARD_THRESHOLD})
+        SELECT k.doc_id, k.lang,
+               len(regexp_split_to_array(trim(k.text), '\\s+')) AS n_tokens,
+               k.quality
+        FROM kept k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM drops)
+    """
+
+
+ORACLES: dict[str, str] = {"curate_corpus": _curate_sql()}
+
+QUERIES = {"curate_corpus": curate_corpus}

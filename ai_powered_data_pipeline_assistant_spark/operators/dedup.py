@@ -86,15 +86,23 @@ def _shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
-_SHINGLE_SQL = r"""
+def _shingle_sql(source: str = "documents") -> str:
+    """Shingle-postings SQL over any relation exposing (doc_id, text)."""
+    return r"""
     SELECT DISTINCT doc_id, {h} AS h
     FROM (SELECT doc_id,
                  array_to_string(toks[i:i+{k_minus_1}], ' ') AS shingle
-          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM {source}),
                LATERAL (SELECT unnest(range(1, len(toks) - {k_minus_2})) AS i))
 """.format(
-    h=md5_int_sql("shingle"), k_minus_1=SHINGLE_K - 1, k_minus_2=SHINGLE_K - 2
-)
+        h=md5_int_sql("shingle"),
+        k_minus_1=SHINGLE_K - 1,
+        k_minus_2=SHINGLE_K - 2,
+        source=source,
+    )
+
+
+_SHINGLE_SQL = _shingle_sql()
 
 
 def _pair_jaccard(
@@ -270,6 +278,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       O(Σ posting²) to O(|candidates| · shingles/doc).
     """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return minhash_lsh_pairs_for(docs)
+
+
+def minhash_lsh_pairs_for(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash+LSH verified pairs over ANY (doc_id, text) frame — the
+    composable core behind `minhash_lsh_pairs` and the curation pipeline's
+    near-dup stage (operators/curation.py)."""
     postings = _shingles(docs).persist()
     h = F.col("h") % HASH_MOD
     aggs = [
@@ -329,7 +346,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -440,7 +457,12 @@ def _minhash_sig_sql() -> str:
     """
 
 
-def _minhash_lsh_sql() -> str:
+def minhash_lsh_cte(source: str = "documents") -> str:
+    """The full MinHash+LSH pipeline as a CTE chain (postings → sigs →
+    bands → candidates → sizes/inter/pairs) over any (doc_id, text)
+    relation — embeddable in a larger WITH clause (curation oracle reuses
+    it over its filtered `kept` CTE). Final verified pairs live in the
+    `pairs` CTE restricted to `candidates`."""
     mins = ", ".join(
         f"min(({PERM_A[j]} * (h % {HASH_MOD}) + {PERM_B[j]}) % {HASH_MOD}) AS m{j}"
         for j in range(N_PERMS)
@@ -455,7 +477,7 @@ def _minhash_lsh_sql() -> str:
         for band in range(N_BANDS)
     )
     return f"""
-        WITH postings AS ({_SHINGLE_SQL}),
+        postings AS ({_shingle_sql(source)}),
         sigs AS (SELECT doc_id, {mins} FROM postings GROUP BY doc_id),
         bands AS ({band_selects}),
         candidates AS (
@@ -463,6 +485,12 @@ def _minhash_lsh_sql() -> str:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
         {_PAIR_JACCARD_SQL}
+    """
+
+
+def _minhash_lsh_sql() -> str:
+    return f"""
+        WITH {minhash_lsh_cte("documents")}
         SELECT c.a_id, c.b_id, p.jaccard
         FROM candidates c JOIN pairs p ON c.a_id = p.a_id AND c.b_id = p.b_id
         WHERE p.jaccard >= {JACCARD_THRESHOLD}
@@ -477,7 +505,7 @@ def _simhash_sql() -> str:
     )
     return f"""
         WITH tokens AS (
-            SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+            SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
             FROM documents),
         hashed AS (SELECT doc_id, {h} AS h FROM tokens)
         SELECT doc_id, CAST({" + ".join(f"v{i}" for i in range(SIMHASH_BITS))} AS BIGINT) AS simhash

@@ -58,6 +58,30 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_expr() -> "F.Column":
+    """The composite quality score as a reusable column expression over a
+    `text` column (shared by quality_score and the curation pipeline)."""
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace("text", r"[A-Z]", ""))
+    punct_ratio = F.round(n_punct / n_chars.cast("double"), 6)
+    upper_ratio = F.round(n_upper / n_chars.cast("double"), 6)
+    return F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + (1 - punct_ratio) * 0.3
+        + (1 - upper_ratio) * 0.2,
+        6,
+    )
+
+
+# DuckDB mirror of quality_expr() (shared by the quality_score and
+# curate_corpus oracles).
+QUALITY_SQL = r"""round(least(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0) * 0.5
+      + (1 - round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / CAST(length(text) AS DOUBLE), 6)) * 0.3
+      + (1 - round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / CAST(length(text) AS DOUBLE), 6)) * 0.2, 6)"""
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features + composite score: token count, mean word
     length, punctuation ratio, uppercase ratio — the reference's data-quality
@@ -71,12 +95,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_word_len = F.round((n_chars - n_tokens + 1) / n_tokens.cast("double"), 6)
     punct_ratio = F.round(n_punct / n_chars.cast("double"), 6)
     upper_ratio = F.round(n_upper / n_chars.cast("double"), 6)
-    score = F.round(
-        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
-        + (1 - punct_ratio) * 0.3
-        + (1 - upper_ratio) * 0.2,
-        6,
-    )
+    score = quality_expr()
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -114,8 +133,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.expr(
         "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"
     )
+    # Docs shorter than the gram width have no fingerprint (NULL) — the
+    # guard also keeps sequence() from descending and crashing slice();
+    # DuckDB's ascending-only range + list_min([]) = NULL matches.
+    fp = F.when(
+        F.size("toks") >= 5, F.array_min(F.transform(grams, lambda g: md5_int(g)))
+    )
     return docs.select("doc_id", toks.alias("toks")).select(
-        "doc_id", F.array_min(F.transform(grams, lambda g: md5_int(g))).alias("fingerprint")
+        "doc_id", fp.alias("fingerprint")
     )
 
 
@@ -135,15 +160,23 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, size(toks) - {WINNOW_K}), "
         f"i -> concat_ws(' ', slice(toks, i + 1, {WINNOW_K})))"
     )
-    hashes = F.transform(grams, lambda g: md5_int(g))
+    empty = F.expr("CAST(array() AS array<bigint>)")
+    # short-doc guards (see doc_fingerprint): no k-grams / no windows →
+    # empty fingerprint set, same as DuckDB's ascending-only comprehensions
+    hashes = F.when(
+        F.size("toks") >= WINNOW_K, F.transform(grams, lambda g: md5_int(g))
+    ).otherwise(empty)
     mins = F.expr(
         f"transform(sequence(0, size(hashes) - {WINNOW_W}), "
         f"i -> array_min(slice(hashes, i + 1, {WINNOW_W})))"
     )
+    mins_guarded = F.when(F.size("hashes") >= WINNOW_W, mins).otherwise(empty)
     return (
         docs.select("doc_id", toks.alias("toks"))
         .select("doc_id", hashes.alias("hashes"))
-        .select("doc_id", F.array_sort(F.array_distinct(mins)).alias("fingerprints"))
+        .select(
+            "doc_id", F.array_sort(F.array_distinct(mins_guarded)).alias("fingerprints")
+        )
         .select("doc_id", F.size("fingerprints").alias("n_fingerprints"),
                 F.col("fingerprints"))
     )
@@ -452,18 +485,16 @@ ORACLES: dict[str, str] = {
                count(*) AS cnt
         FROM orders GROUP BY 1, 2, 3
     """,
-    "quality_score": """
+    "quality_score": r"""
         SELECT doc_id,
-               len(string_split(trim(text), ' ')) AS n_tokens,
-               round((length(text) - len(string_split(trim(text), ' ')) + 1)
-                     / CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 6) AS avg_word_len,
-               round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               round((length(text) - len(regexp_split_to_array(trim(text), '\s+')) + 1)
+                     / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6) AS avg_word_len,
+               round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
                      / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
                round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
                      / CAST(length(text) AS DOUBLE), 6) AS upper_ratio,
-               round(least(len(string_split(trim(text), ' ')) / 100.0, 1.0) * 0.5
-                     + (1 - round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE), 6)) * 0.3
-                     + (1 - round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / CAST(length(text) AS DOUBLE), 6)) * 0.2, 6) AS quality
+               """ + QUALITY_SQL + """ AS quality
         FROM documents
     """,
     "token_stats": """
@@ -473,11 +504,11 @@ ORACLES: dict[str, str] = {
                CAST(ceil(length(text) / 4.0) AS BIGINT) AS char_est_tokens
         FROM documents
     """,
-    "doc_fingerprint": f"""
+    "doc_fingerprint": rf"""
         SELECT doc_id,
                list_min([{md5_int_sql("array_to_string(toks[i:i+4], ' ')")}
                          for i in range(1, len(toks) - 3)]) AS fingerprint
-        FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
     """,
     "map_column_ops": """
         SELECT event_id,
@@ -497,7 +528,7 @@ ORACLES: dict[str, str] = {
             SELECT doc_id,
                    [{md5_int_sql("array_to_string(toks[i:i+" + str(WINNOW_K - 1) + "], ' ')")}
                     for i in range(1, len(toks) - {WINNOW_K - 2})] AS hashes
-            FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)))
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)))
     """,
     "redact_docs": None,  # filled below (generated from REDACTION_RULES)
     "snippet_truncate": """

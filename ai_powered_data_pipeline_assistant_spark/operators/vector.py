@@ -297,7 +297,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float =
         "vec_id", "embedding", "blk", F.explode(group_keys).alias("g")
     ).select("vec_id", "embedding", "blk", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"))
 
-    def score_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = int(key[0]), int(key[1])
         a = pdf[pdf["blk"] == bi]
         b = a if bi == bj else pdf[pdf["blk"] == bj]

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ai_powered_data_pipeline_assistant_spark.operators import (
     aggregates,
+    curation,
     dedup,
     embedding_pipeline,
     joins,
@@ -35,6 +36,7 @@ _MODULES = [
     vector,
     dedup,
     text_analysis,
+    curation,
     pipeline,
     windows,
     scalar_ops,

@@ -35,6 +35,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
+    "curate_corpus",
     "search_pipeline",
     "quality_score",
     "sliding_window_counts",

@@ -36,3 +36,30 @@ def test_multispace_tokenization(spark):
 def test_shingle_count_per_doc(spark):
     df = spark.createDataFrame([(1, "w1 w2 w3 w4 w5")], ["doc_id", "text"])
     assert _shingles(df).count() == 5 - SHINGLE_K + 1
+
+
+def test_fingerprints_short_docs(spark, tmp_path):
+    """doc_fingerprint / winnow_fingerprints on docs shorter than the gram
+    width: NULL / empty fingerprint set, no sequence()/slice() crash."""
+    from ai_powered_data_pipeline_assistant_spark.operators.text_analysis import (
+        doc_fingerprint,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "just two"),
+            (2, "only four words here"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    fp = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(spark, sf).collect()}
+    assert fp[1] is None and fp[2] is None and fp[3] is not None
+    wf = {
+        r["doc_id"]: r["n_fingerprints"]
+        for r in winnow_fingerprints(spark, sf).collect()
+    }
+    assert wf[1] == 0 and wf[2] == 0 and wf[3] >= 1
