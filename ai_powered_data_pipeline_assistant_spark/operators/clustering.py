@@ -1,0 +1,189 @@
+"""Embedding clustering + dataset-splitting operators for training-data
+pipelines.
+
+- `kmeans_embeddings`: Lloyd's k-means over the embedding column, pure
+  DataFrame iterations (broadcast centroids → argmin assign → per-dimension
+  mean via posexplode aggregation). This is the offline trainer for the IVF
+  coarse quantizer (`operators/vector.ann_ivf_*` uses deterministic seed
+  centroids so it stays oracle-checkable; a real deployment trains them
+  here). Iterative + float-sum order-dependent → rows-only driver check;
+  pytest asserts the Lloyd's invariant (inertia non-increasing).
+
+- `train_test_split` / `stratified_sample`: deterministic md5-arithmetic
+  splits (functions/hashing.md5_int) — reproducible across engines and
+  runs, no RNG state, exact SQL oracles. The standard "hash the key, bucket
+  the hash" split every large-scale data pipeline uses so membership is
+  stable under re-runs and appends.
+
+Scale notes: k-means per iteration is one broadcast join + one partial-
+aggregated groupBy over (cluster, dim) — no shuffle of the vectors
+themselves; only k·dim aggregate rows cross the wire. The k×dim centroid
+matrix itself is driver-held (bounded, same as Spark MLlib). Splits are
+pure column expressions on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
+    md5_int,
+    md5_int_sql,
+)
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def _assign_to_nearest(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Assign every vector to the nearest centroid (squared-L2 argmin).
+
+    Centroids are inlined as array literals (k·dim floats — a broadcast-
+    sized constant), so assignment is a single narrow projection over the
+    scan: no join, no shuffle.
+    """
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.lit(c),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias(f"_d{i}")
+        for i, c in enumerate(centroids)
+    ]
+    with_d = emb.select("vec_id", "embedding", *dists)
+    best = F.least(*[F.col(f"_d{i}") for i in range(len(centroids))])
+    # first-match tie-break: lowest cluster id wins (deterministic)
+    cluster = F.when(F.col("_d0") == best, F.lit(0))
+    for i in range(1, len(centroids)):
+        cluster = cluster.when(F.col(f"_d{i}") == best, F.lit(i))
+    return with_d.select(
+        "vec_id", "embedding", cluster.alias("cluster"), best.alias("dist_sq")
+    )
+
+
+def kmeans_embeddings(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Lloyd's k-means over `embeddings`; returns per-cluster size, inertia
+    contribution, and the trained centroid (array column).
+
+    Init = first k stored vectors (deterministic, same seeds as the IVF
+    operators). Each iteration: argmin-assign (narrow projection, centroids
+    inlined) → per-(cluster, dim) mean via posexplode + partial-aggregated
+    groupBy → k·dim tiny rows to the driver for the next round's literals.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    init_rows = (
+        emb.filter(F.col("vec_id") < k).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = [[float(v) for v in r["embedding"]] for r in init_rows]
+
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign_to_nearest(emb, centroids)
+        # per-dimension means: k·dim aggregate rows, map-side combined
+        means = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty clusters keep theirs
+        by_cluster: dict[int, list] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], []).append((r["pos"], r["mean"]))
+        for cid, vals in by_cluster.items():
+            new_centroids[cid] = [m for _, m in sorted(vals)]
+        centroids = new_centroids
+
+    final = _assign_to_nearest(emb, centroids)
+    stats = final.groupBy("cluster").agg(
+        F.count("*").alias("size"),
+        F.round(F.sum("dist_sq"), 4).alias("inertia"),
+    )
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], ["cluster", "centroid"]
+    )
+    return stats.join(broadcast(cent_df), "cluster").orderBy("cluster")
+
+
+def total_inertia(spark: SparkSession, sf_dir: str, k: int = KMEANS_K,
+                  iters: int = KMEANS_ITERS) -> float:
+    """Sum of squared distances to assigned centroids after ``iters``
+    rounds (test hook for the Lloyd's monotonicity property)."""
+    rows = kmeans_embeddings(spark, sf_dir, k=k, iters=iters).collect()
+    return float(sum(r["inertia"] for r in rows))
+
+
+# ---------------------------------------------------------------- splits
+SPLIT_BUCKETS = 100
+TRAIN_PCT = 80
+DEV_PCT = 10  # test = remainder
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split: bucket = md5(doc_id) % 100. Stable
+    under re-runs and appends (a doc's split never changes), reproducible
+    in any engine with md5 — the reason hash-splits beat rand() splits for
+    training corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_int(F.col("doc_id").cast("string")) % SPLIT_BUCKETS
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + DEV_PCT, F.lit("dev"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (md5 threshold per stratum):
+    keep 100% of low-resource langs, 40% of `en` — the data-mixing /
+    rebalancing shape. Same hash-bucket trick as `train_test_split`, with a
+    per-stratum keep-rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_int(F.concat(F.col("lang"), F.lit("|"), F.col("doc_id").cast("string"))) % 1000
+    rate = F.when(F.col("lang") == "en", F.lit(400)).otherwise(F.lit(1000))
+    return docs.filter(bucket < rate).select("doc_id", "lang", "n_chars")
+
+
+_SPLIT_BUCKET_SQL = f"{md5_int_sql('CAST(doc_id AS VARCHAR)')} % {SPLIT_BUCKETS}"
+_SAMPLE_BUCKET_SQL = (
+    md5_int_sql("lang || '|' || CAST(doc_id AS VARCHAR)") + " % 1000"
+)
+
+ORACLES: dict[str, str] = {
+    "train_test_split": f"""
+        SELECT doc_id, lang,
+               CASE WHEN {_SPLIT_BUCKET_SQL} < {TRAIN_PCT} THEN 'train'
+                    WHEN {_SPLIT_BUCKET_SQL} < {TRAIN_PCT + DEV_PCT} THEN 'dev'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "stratified_sample": f"""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE {_SAMPLE_BUCKET_SQL} <
+              CASE WHEN lang = 'en' THEN 400 ELSE 1000 END
+    """,
+    # kmeans_embeddings: iterative, float-accumulation-order dependent →
+    # rows-only; pytest asserts the Lloyd's inertia invariant instead.
+}
+
+QUERIES = {
+    "kmeans_embeddings": kmeans_embeddings,
+    "train_test_split": train_test_split,
+    "stratified_sample": stratified_sample,
+}

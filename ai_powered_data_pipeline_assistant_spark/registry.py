@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ai_powered_data_pipeline_assistant_spark.operators import (
     aggregates,
+    clustering,
     curation,
     dedup,
     embedding_pipeline,
@@ -37,6 +38,7 @@ _MODULES = [
     dedup,
     text_analysis,
     curation,
+    clustering,
     pipeline,
     windows,
     scalar_ops,
