@@ -394,7 +394,443 @@ def tpch_q21(spark: SparkSession, sf_dir: str, top_n: int = 100) -> DataFrame:
     )
 
 
+def tpch_q7(spark: SparkSession, sf_dir: str,
+            nation_a: str = "NATION_1", nation_b: str = "NATION_2") -> DataFrame:
+    """Q7 volume shipping: revenue between two nations by ship year.
+
+    Both nation dims are filtered to the two names BEFORE their joins, so
+    the 2-row broadcasts drop ~92% of joined rows at the hash probe instead
+    of in a post-join filter; only the cross-pair condition (supplier nation
+    ≠ customer nation) remains afterwards."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(nation_a, nation_b)
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = price * (F.lit(100) - disc)
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum(rev) / 1e6, 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str, nation: str = "NATION_7",
+            region: str = "ASIA", ptype: str = "PROMO") -> DataFrame:
+    """Q8 national market share: one nation's slice of a region's revenue
+    for one part type, by order year. The share is a conditional-sum ratio
+    of the same integer revenue units, so the division is the only float op
+    and both engines divide identical integers — bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == ptype)
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    n_cust = nat.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n_supp = nat.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = price * (F.lit(100) - disc)
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(n_cust), cust.c_nationkey == F.col("c_nkey"))
+        .join(broadcast(reg), F.col("c_rkey") == reg.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(n_supp), supp.s_nationkey == F.col("s_nkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == nation, rev).otherwise(0))
+                * 100.0
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share_pct")
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str, name_pat: str = "widget") -> DataFrame:
+    """Q9 product-type profit: per supplier nation per order year. The
+    testdata has no partsupp, so supply cost is `p_retailprice × quantity`
+    (both fixed-point int64: cents × quantity-hundredths lands on the same
+    1e-4-dollar scale as cents × discount-percent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(name_pat)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    retail = F.round(F.col("p_retailprice") * 100).cast("long")
+    amount = price * (F.lit(100) - disc) - retail * qty
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(F.round(F.sum(amount) / 1e6, 4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str, nation: str = "NATION_5") -> DataFrame:
+    """Q11 important stock: parts whose traded value from one nation's
+    suppliers exceeds 0.1% of that nation's total. The global total is a
+    1-row aggregate broadcast back over the grouped values (Q11's scalar
+    subquery), and the fraction test cross-multiplies in int64 — no float.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    grouped = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(price * qty).alias("value_units"))
+    )
+    total = grouped.agg(F.sum("value_units").alias("total_units"))
+    return (
+        grouped.crossJoin(broadcast(total))
+        .filter(F.col("value_units") * 1000 > F.col("total_units"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_units") / 1e8, 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution: left join so zero-order
+    customers survive, count per customer, then histogram the counts.
+    Two shuffles (custkey, then count value) — the second input is tiny."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier(s) by quarterly revenue. The max is a 1-row
+    aggregate broadcast-cross-joined back (not an unpartitioned window,
+    which would serialize on one task at scale); integer revenue units make
+    the equality exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(price * (F.lit(100) - disc)).alias("rev_units")
+    )
+    top = rev.agg(F.max("rev_units").alias("max_units"))
+    return (
+        rev.crossJoin(broadcast(top))
+        .filter(F.col("rev_units") == F.col("max_units"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_units") / 1e6, 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str, brand: str = "Brand#13") -> DataFrame:
+    """Q17 small-quantity-order revenue: lines under 20% of their part's
+    average quantity. The correlated AVG decorrelates to window sums over
+    the part partition, and `qty < 0.2·avg` cross-multiplies to
+    `5·qty·cnt < sum` — all int64, no float threshold."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("qty_units", qty)
+        .withColumn("price_cents", price)
+        .withColumn("sum_units", F.sum("qty_units").over(w))
+        .withColumn("cnt", F.count("*").over(w))
+        .filter(F.col("qty_units") * 5 * F.col("cnt") < F.col("sum_units"))
+        .agg(F.round(F.sum("price_cents") / 700.0, 4).alias("avg_yearly"))
+    )
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str, name_prefix: str = "large",
+             nation: str = "NATION_7") -> DataFrame:
+    """Q20 dominant-supplier shape: suppliers from one nation who shipped
+    more than half of some part's 1996 volume (availqty analog — the
+    testdata has no partsupp). Nested agg → window share test → distinct
+    semi-join back to the supplier dim."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(name_prefix)
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    per = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty).alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global sales opportunity: rich-but-inactive accounts per
+    "country code" (custkey mod 7 — the testdata has no phone column).
+    Every customer here has orders, so "inactive" = no URGENT order (the
+    anti-join keeps Q22's NOT EXISTS shape non-vacuous). The positive-
+    balance average is a 1-row broadcast and the comparison
+    cross-multiplies to int64."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = cust.filter((F.col("c_custkey") % 7).isin(1, 3, 5)).select(
+        (F.col("c_custkey") % 7).alias("code"),
+        "c_custkey",
+        bal.alias("bal_cents"),
+    )
+    stats = base.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_bal"), F.count("*").alias("cnt_bal")
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        base.crossJoin(broadcast(stats))
+        .filter(F.col("bal_cents") * F.col("cnt_bal") > F.col("sum_bal"))
+        .join(urgent, base.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("code")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("bal_cents") / 100.0, 2).alias("totacctbal"),
+        )
+        .orderBy("code")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "tpch_q7": """
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(rev) / 1e6, 4) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+              AND n2.n_name IN ('NATION_1', 'NATION_2')
+              AND n1.n_name <> n2.n_name
+              AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01')
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "tpch_q8": """
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0 END)
+                     * 100.0 / sum(rev), 6) AS mkt_share_pct
+        FROM (
+            SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+              AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01')
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "tpch_q9": """
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         - CAST(round(p_retailprice * 100) AS BIGINT)
+                           * CAST(round(l_quantity * 100) AS BIGINT)) / 1e6,
+                     4) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+    """,
+    "tpch_q11": """
+        WITH grouped AS (
+            SELECT l_partkey,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_quantity * 100) AS BIGINT)) AS value_units
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_5'
+            GROUP BY 1)
+        SELECT l_partkey, round(value_units / 1e8, 2) AS part_value
+        FROM grouped, (SELECT sum(value_units) AS total_units FROM grouped)
+        WHERE value_units * 1000 > total_units
+        ORDER BY part_value DESC, l_partkey
+    """,
+    "tpch_q13": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY 1)
+        GROUP BY 1
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q15": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_units
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+            GROUP BY 1)
+        SELECT s_suppkey, s_name, round(rev_units / 1e6, 4) AS total_revenue
+        FROM rev
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_units = (SELECT max(rev_units) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "tpch_q17": """
+        SELECT round(sum(price_cents) / 700.0, 4) AS avg_yearly
+        FROM (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS qty_units,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT))
+                       OVER (PARTITION BY l_partkey) AS sum_units,
+                   count(*) OVER (PARTITION BY l_partkey) AS cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#13')
+        WHERE qty_units * 5 * cnt < sum_units
+    """,
+    "tpch_q20": """
+        WITH per AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS supp_qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'large%'
+              AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+            GROUP BY 1, 2),
+        dominant AS (
+            SELECT DISTINCT l_suppkey
+            FROM (SELECT *, sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+                  FROM per)
+            WHERE supp_qty * 2 > part_qty)
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+          AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+        ORDER BY s_name
+    """,
+    "tpch_q22": """
+        WITH base AS (
+            SELECT c_custkey % 7 AS code, c_custkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer
+            WHERE c_custkey % 7 IN (1, 3, 5)),
+        stats AS (
+            SELECT sum(bal_cents) AS sum_bal, count(*) AS cnt_bal
+            FROM base WHERE bal_cents > 0)
+        SELECT code, count(*) AS numcust,
+               round(sum(bal_cents) / 100.0, 2) AS totacctbal
+        FROM base, stats
+        WHERE bal_cents * cnt_bal > sum_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "tpch_q2": """
         WITH offers AS (
             SELECT l_partkey, l_suppkey,
@@ -584,4 +1020,13 @@ QUERIES = {
     "tpch_q16": tpch_q16,
     "tpch_q2": tpch_q2,
     "tpch_q21": tpch_q21,
+    "tpch_q7": tpch_q7,
+    "tpch_q8": tpch_q8,
+    "tpch_q9": tpch_q9,
+    "tpch_q11": tpch_q11,
+    "tpch_q13": tpch_q13,
+    "tpch_q15": tpch_q15,
+    "tpch_q17": tpch_q17,
+    "tpch_q20": tpch_q20,
+    "tpch_q22": tpch_q22,
 }

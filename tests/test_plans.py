@@ -108,3 +108,30 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_q7_nation_filters_reach_broadcast(spark, sf_dir):
+    """Q7: both nation dims are pre-filtered 2-row broadcasts — the pair
+    condition must NOT appear as a row-multiplying join. All joins hash."""
+    plan = _initial_plan(QUERIES["tpch_q7"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q15_scalar_max_broadcasts(spark, sf_dir):
+    """Q15/Q11/Q22 family: the 1-row scalar aggregate joins back as a
+    broadcast (Catalyst even rewrites the equality filter into a
+    BroadcastHashJoin key), never a CartesianProduct, and the revenue agg
+    partial-aggregates map-side."""
+    plan = _initial_plan(QUERIES["tpch_q15"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_q17_window_decorrelation_single_scan(spark, sf_dir):
+    """Q17: the correlated AVG must decorrelate to window sums — exactly
+    one lineitem scan, no self-join re-scan of the fact table."""
+    plan = _initial_plan(QUERIES["tpch_q17"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2, plan  # lineitem + part only
+    assert "Window" in plan, plan
