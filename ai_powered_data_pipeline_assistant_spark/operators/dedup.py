@@ -445,6 +445,51 @@ def set_ops_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("op").agg(F.count("*").alias("cnt"))
 
 
+DECONTAM_MIN_SHARED = 3
+DECONTAM_EVAL_MOD = 50
+
+
+def decontaminate(spark: SparkSession, sf_dir: str,
+                  min_shared: int = DECONTAM_MIN_SHARED,
+                  eval_mod: int = DECONTAM_EVAL_MOD) -> DataFrame:
+    """Train/eval decontamination: corpus documents sharing ≥ ``min_shared``
+    distinct word shingles with any document in the held-out eval slice
+    (here: every ``eval_mod``-th doc_id stands in for a benchmark set).
+
+    This is the n-gram-overlap contamination check every LLM training
+    pipeline runs before training (the GPT-3/PaLM 13-gram rule, scaled down
+    to the 3-word shingles this corpus's short docs support).
+
+    Scale shape: one shingle explode over the full table, split into the
+    two sides by a pushed-down filter. The eval side is a benchmark —
+    thousands of docs, not billions — so its postings BROADCAST to the
+    corpus postings; no shuffle of the big side at all. The corpus-side
+    document-frequency cap (MAX_SHINGLE_DF, same rationale as the Jaccard
+    self-join) bounds the per-shingle fan-out before the probe, so one
+    boilerplate shingle shared with an eval doc can't multiply the output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    posts = _shingles(docs).persist()
+    eval_p = posts.filter((F.col("doc_id") % eval_mod) == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "h"
+    )
+    corp_p = posts.filter((F.col("doc_id") % eval_mod) != 0)
+    rare = (
+        corp_p.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("h")
+    )
+    return (
+        corp_p.join(rare.hint("shuffle_hash"), "h", "left_semi")
+        .join(F.broadcast(eval_p), "h")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+        .orderBy("doc_id", "eval_doc_id")
+    )
+
+
 # ---------------------------------------------------------------- oracles
 def _minhash_sig_sql() -> str:
     mins = ", ".join(
@@ -576,6 +621,23 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["decontaminate"] = f"""
+    WITH postings AS ({_SHINGLE_SQL}),
+    eval_p AS (SELECT doc_id AS eval_doc_id, h FROM postings
+               WHERE doc_id % {DECONTAM_EVAL_MOD} = 0),
+    corp_p AS (SELECT doc_id, h FROM postings
+               WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0),
+    rare AS (SELECT h FROM corp_p GROUP BY h
+             HAVING count(*) <= {MAX_SHINGLE_DF})
+    SELECT c.doc_id, e.eval_doc_id, count(*) AS shared_shingles
+    FROM corp_p c
+    JOIN rare USING (h)
+    JOIN eval_p e USING (h)
+    GROUP BY 1, 2
+    HAVING count(*) >= {DECONTAM_MIN_SHARED}
+    ORDER BY 1, 2
+"""
+
 QUERIES = {
     "exact_dedup": exact_dedup,
     "firstwins_dedup": firstwins_dedup,
@@ -586,4 +648,5 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "set_ops_summary": set_ops_summary,
+    "decontaminate": decontaminate,
 }

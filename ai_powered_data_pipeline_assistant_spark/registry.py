@@ -23,6 +23,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     multimodal,
     pipeline,
     relational,
+    repetition,
     scalar_ops,
     text_analysis,
     tpch,
@@ -40,6 +41,7 @@ _MODULES = [
     curation,
     clustering,
     pipeline,
+    repetition,
     windows,
     scalar_ops,
     multimodal,

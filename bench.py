@@ -36,6 +36,9 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "curate_corpus",
+    "tpch_q9",
+    "repetition_stats",
+    "decontaminate",
     "search_pipeline",
     "quality_score",
     "sliding_window_counts",
