@@ -1,0 +1,182 @@
+"""Near-duplicate clustering: connected components over the verified
+MinHash+LSH pair graph, then keep-one-representative-per-cluster.
+
+Pair generation (`dedup.minhash_lsh_pairs`) only yields EDGES; an actual
+dedup pipeline must also group them — a near-dup of a near-dup belongs to
+the same document family even if the two ends never shared a band — and
+then keep exactly one representative per family. This module adds those
+two stages, the standard tail of every web-scale dedup pipeline (the
+reference itself stops at per-row hash dedup, backend/services/
+vector_service.py:105; this is part of the 100 TB curation family the
+brief adds on top).
+
+Scale design:
+- Components run as min-label propagation: every node's label starts as
+  its own doc_id and each round becomes the min over itself and its
+  neighbors' labels. Each round is ONE join + ONE groupBy on the edge
+  list, which post-LSH is orders of magnitude smaller than the corpus
+  (only docs with at least one near-dup appear). Labels only ever
+  decrease, so convergence is detected by comparing sum(label) across
+  rounds — a scalar aggregate instead of a changed-rows anti-join.
+- Rounds needed = graph diameter. Near-dup families are band-connected
+  and dense, so diameters are small; for adversarial chain graphs the
+  same join+groupBy primitive extends to large-star/small-star
+  (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond"),
+  which converges in O(log n) rounds.
+- `localCheckpoint` after every round truncates lineage so the plan and
+  its recompute cost don't grow with the round count.
+- Keep-best is one window over the (tiny) clustered subset: rank by the
+  shared quality score (text_analysis.quality_expr), keep rank 1.
+
+The DuckDB oracle computes the same components via a recursive-CTE
+transitive closure — O(Σ component²) rows, fine at oracle scale, never
+the Spark plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    minhash_lsh_pairs,
+    minhash_lsh_cte,
+)
+from ai_powered_data_pipeline_assistant_spark.operators.text_analysis import (
+    QUALITY_SQL,
+    quality_expr,
+)
+
+MAX_CC_ROUNDS = 50
+
+
+def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
+    """Min-label connected components over an undirected edge list.
+
+    ``edges`` must expose two long columns ``a_id`` / ``b_id`` (one row per
+    undirected edge). Returns (node, label) where label is the minimum node
+    id reachable from ``node``; only nodes present in ``edges`` appear.
+    """
+    sym = edges.select(
+        F.col("a_id").alias("node"), F.col("b_id").alias("nbr")
+    ).union(edges.select(F.col("b_id").alias("node"), F.col("a_id").alias("nbr")))
+    labels = (
+        sym.select("node").distinct().select("node", F.col("node").alias("label"))
+    ).localCheckpoint()
+    prev = labels.agg(F.sum("label")).first()[0]
+    if prev is None:  # no edges → no clustered nodes
+        return labels
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+                ),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nbr_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        labels = new_labels
+        cur = labels.agg(F.sum("label")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every document in at least one verified
+    MinHash+LSH near-dup pair; cluster_id = min doc_id of the component."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster dedup decision: keep the highest-quality document of
+    each near-dup cluster (ties → lowest doc_id). One row per cluster with
+    the keeper and the family size; `cluster_size - 1` docs get dropped."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    clusters = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.select("doc_id", quality_expr().alias("quality"))
+    # clusters is the post-LSH near-dup subset — tiny next to the corpus —
+    # so it broadcasts into the quality lookup instead of shuffling docs.
+    joined = F.broadcast(clusters).join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    ranked = joined.select(
+        "cluster_id",
+        "doc_id",
+        "quality",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            "cluster_size",
+            F.col("quality").alias("keeper_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_VERIFIED_EDGES_CTE = f"""
+        {minhash_lsh_cte("documents")},
+        verified AS (
+            SELECT c.a_id, c.b_id
+            FROM candidates c JOIN pairs p ON c.a_id = p.a_id AND c.b_id = p.b_id
+            WHERE p.jaccard >= {JACCARD_THRESHOLD}),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM verified
+                  UNION ALL
+                  SELECT b_id, a_id FROM verified),
+        reach(src, dst) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1)
+"""
+
+ORACLES: dict[str, str] = {
+    "neardup_clusters": f"""
+        WITH RECURSIVE {_VERIFIED_EDGES_CTE}
+        SELECT doc_id, cluster_id FROM comp ORDER BY doc_id
+    """,
+    "neardup_keep_best": f"""
+        WITH RECURSIVE {_VERIFIED_EDGES_CTE},
+        ranked AS (
+            SELECT comp.cluster_id, comp.doc_id, {QUALITY_SQL} AS quality,
+                   row_number() OVER (PARTITION BY comp.cluster_id
+                                      ORDER BY {QUALITY_SQL} DESC, comp.doc_id) AS rn,
+                   count(*) OVER (PARTITION BY comp.cluster_id) AS cluster_size
+            FROM comp JOIN documents d ON d.doc_id = comp.doc_id)
+        SELECT cluster_id, doc_id AS keeper_id, cluster_size,
+               quality AS keeper_quality
+        FROM ranked WHERE rn = 1
+        ORDER BY cluster_id
+    """,
+}
+
+QUERIES = {
+    "neardup_clusters": neardup_clusters,
+    "neardup_keep_best": neardup_keep_best,
+}

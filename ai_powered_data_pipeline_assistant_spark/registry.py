@@ -21,6 +21,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     embedding_pipeline,
     joins,
     multimodal,
+    neardup_cluster,
     pipeline,
     relational,
     repetition,
@@ -42,6 +43,7 @@ _MODULES = [
     clustering,
     pipeline,
     repetition,
+    neardup_cluster,
     windows,
     scalar_ops,
     multimodal,

@@ -37,6 +37,7 @@ HEADLINE = [
     "simhash_fingerprints",
     "curate_corpus",
     "tpch_q9",
+    "neardup_keep_best",
     "repetition_stats",
     "decontaminate",
     "search_pipeline",

@@ -1,0 +1,46 @@
+"""Connected-components unit tests on hand-built graphs — parity of the
+full neardup_clusters / neardup_keep_best pipelines with the recursive-CTE
+oracle is covered by test_oracle_parity; these pin the component semantics
+on shapes the corpus graph may not contain (chains, isolated pairs, empty)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.operators.neardup_cluster import (
+    connected_components,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    rows = connected_components(df).collect()
+    return {r["node"]: r["label"] for r in rows}
+
+
+def test_single_edge(spark):
+    assert _cc(spark, [(1, 2)]) == {1: 1, 2: 1}
+
+
+def test_chain_propagates_past_direct_neighbors(spark):
+    # 1-2-3-4-5: 5 never shares an edge with 1 but lands in 1's cluster.
+    assert _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+    }
+
+
+def test_two_components_stay_separate(spark):
+    got = _cc(spark, [(10, 20), (20, 30), (7, 8)])
+    assert got == {10: 10, 20: 10, 30: 10, 7: 7, 8: 7}
+
+
+def test_edge_order_is_irrelevant(spark):
+    # min id sits at the "far" end and arrives via the high end of each edge
+    assert _cc(spark, [(4, 5), (3, 4), (2, 3), (1, 2)]) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+    }
+
+
+def test_empty_edge_list(spark):
+    df = spark.createDataFrame([], "a_id long, b_id long")
+    assert connected_components(df).count() == 0
