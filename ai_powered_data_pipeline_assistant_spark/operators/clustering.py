@@ -24,7 +24,7 @@ pure column expressions on the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -159,6 +159,48 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < rate).select("doc_id", "lang", "n_chars")
 
 
+MIX_ALPHA = 0.5  # temperature exponent: weight_s ∝ count_s^alpha
+MIX_TARGET_SHARE = 0.5  # global sample budget as a share of the corpus
+MIX_BUCKETS = 1_000_000
+
+
+def source_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (the mT5/PaLM mixture rule):
+    stratum ``s`` gets a target share ∝ count_s^alpha, flattening the
+    source distribution so dominant crawls stop drowning small curated
+    sets. alpha=1 keeps natural proportions; alpha=0 gives uniform.
+
+    The per-stratum keep probability p_s = min(1, target_s / count_s) is
+    computed from one tiny per-source count frame (broadcast back onto the
+    scan), and membership is the same deterministic md5-bucket trick as
+    `stratified_sample` — reproducible across engines/runs/appends, no RNG.
+    p_s is rounded to 6 decimals BEFORE the bucket compare so both engines
+    threshold on bit-identical doubles. One map-side-combined groupBy over
+    the corpus + one broadcast join: scales to any corpus whose distinct
+    source count fits in a broadcast (always)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    whole = Window.partitionBy()
+    w = F.pow(F.col("cnt").cast("double"), F.lit(MIX_ALPHA))
+    total_rows = F.sum("cnt").over(whole).cast("double")
+    target = w / F.sum(w).over(whole) * (F.lit(MIX_TARGET_SHARE) * total_rows)
+    rates = counts.select(
+        "source",
+        F.round(F.least(F.lit(1.0), target / F.col("cnt").cast("double")), 6).alias(
+            "keep_p"
+        ),
+    )
+    bucket = (
+        md5_int(F.concat(F.col("source"), F.lit("|"), F.col("doc_id").cast("string")))
+        % MIX_BUCKETS
+    )
+    return (
+        docs.join(broadcast(rates), "source")
+        .filter(bucket < F.col("keep_p") * MIX_BUCKETS)
+        .select("doc_id", "source", "keep_p")
+    )
+
+
 _SPLIT_BUCKET_SQL = f"{md5_int_sql('CAST(doc_id AS VARCHAR)')} % {SPLIT_BUCKETS}"
 _SAMPLE_BUCKET_SQL = (
     md5_int_sql("lang || '|' || CAST(doc_id AS VARCHAR)") + " % 1000"
@@ -180,10 +222,26 @@ ORACLES: dict[str, str] = {
     """,
     # kmeans_embeddings: iterative, float-accumulation-order dependent →
     # rows-only; pytest asserts the Lloyd's inertia invariant instead.
+    "source_mix_resample": f"""
+        WITH counts AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+        rates AS (
+            SELECT source,
+                   round(least(1.0,
+                       pow(CAST(cnt AS DOUBLE), {MIX_ALPHA})
+                       / sum(pow(CAST(cnt AS DOUBLE), {MIX_ALPHA})) OVER ()
+                       * ({MIX_TARGET_SHARE} * CAST(CAST(sum(cnt) OVER () AS BIGINT) AS DOUBLE))
+                       / CAST(cnt AS DOUBLE)), 6) AS keep_p
+            FROM counts)
+        SELECT doc_id, d.source, keep_p
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE {md5_int_sql("d.source || '|' || CAST(doc_id AS VARCHAR)")}
+              % {MIX_BUCKETS} < keep_p * {MIX_BUCKETS}
+    """,
 }
 
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "train_test_split": train_test_split,
     "stratified_sample": stratified_sample,
+    "source_mix_resample": source_mix_resample,
 }

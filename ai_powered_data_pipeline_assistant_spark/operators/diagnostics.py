@@ -1,0 +1,144 @@
+"""Skew instrumentation: per-key row-count profiles for any groupBy key.
+
+Every shuffle-bound operator in this engine (joins, aggs, dedup postings)
+degrades when one key holds a disproportionate share of rows — the fix
+(salting factor, AQE skew thresholds, broadcast cutoffs) needs NUMBERS, not
+guesses. `partition_stats` turns any frame + key list into a one-row skew
+profile; `key_skew_stats` / `hot_keys` apply it to the canonical skewed key
+in the testdata (`events.user_id`, the same key `joins.salted_skew_join`
+salts).
+
+The reference keeps per-metric timing stats for the same purpose
+(backend/core/performance_monitoring.py:230-233); this is the data-skew
+analogue, computed distributed.
+
+Scale notes: the profile runs over the KEY-COUNT frame (one row per
+distinct key), which the groupBy already map-side-combines — the raw table
+never re-shuffles. The percentile picks use a global row_number over that
+counts frame: |distinct keys| rows through one ordered window, fine for
+diagnostics up to ~10^8 keys; beyond that swap the exact rank picks for
+approx_percentile (the summary stays the same shape, the driver check
+becomes rows-only). Percentiles are DISCRETE rank picks (the value at rank
+floor(p·(n-1))+1, ordered by count then key) — integer in, integer out, so
+the DuckDB oracle matches bit-for-bit with no interpolation semantics to
+align.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+PCTS = (0.5, 0.9, 0.99)
+HOT_KEYS_N = 10
+
+
+def partition_stats(df: DataFrame, keys: list[str]) -> DataFrame:
+    """One-row skew profile of ``df`` grouped by ``keys``: key cardinality,
+    total rows, min/max/avg rows per key, discrete p50/p90/p99 rows per
+    key, and skew_ratio = max/avg (1.0 = perfectly even)."""
+    counts = df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+    whole = Window.partitionBy()
+    order = Window.orderBy(F.col("cnt"), *[F.col(k) for k in keys])
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(order).alias("rn"),
+        F.count("*").over(whole).alias("n"),
+    )
+
+    def pick(p: float) -> F.Column:
+        rank = F.floor(F.lit(p) * (F.col("n") - 1)) + 1
+        return F.max(F.when(F.col("rn") == rank, F.col("cnt")))
+
+    picks = ranked.agg(
+        *[pick(p).alias(f"p{int(p * 100)}_cnt") for p in PCTS]
+    )
+    summary = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.min("cnt").alias("min_cnt"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    return summary.crossJoin(picks).select(
+        "n_keys",
+        "total_rows",
+        "min_cnt",
+        "max_cnt",
+        F.round(F.col("total_rows") / F.col("n_keys").cast("double"), 6).alias(
+            "avg_cnt"
+        ),
+        *[f"p{int(p * 100)}_cnt" for p in PCTS],
+        F.round(
+            F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("total_rows"), 6
+        ).alias("skew_ratio"),
+    )
+
+
+def key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of events.user_id — the input you read before choosing
+    the salting factor in `joins.salted_skew_join`."""
+    events = load_table(spark, sf_dir, "events")
+    return partition_stats(events, ["user_id"])
+
+
+def hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-N heaviest keys with their share of all rows — the concrete
+    keys you'd salt (or route to AQE skew-join handling)."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return (
+        counts.select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / total.cast("double"), 6).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(HOT_KEYS_N)
+    )
+
+
+_COUNTS_CTE = "SELECT user_id, count(*) AS cnt FROM events GROUP BY 1"
+
+ORACLES: dict[str, str] = {
+    "key_skew_stats": f"""
+        WITH counts AS ({_COUNTS_CTE}),
+        ranked AS (
+            SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rn,
+                   count(*) OVER () AS n
+            FROM counts),
+        picks AS (SELECT
+            {", ".join(
+                f"max(CASE WHEN rn = floor({p} * (n - 1)) + 1 THEN cnt END)"
+                f" AS p{int(p * 100)}_cnt"
+                for p in PCTS
+            )}
+            FROM ranked),
+        summary AS (
+            SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,
+                   min(cnt) AS min_cnt, max(cnt) AS max_cnt
+            FROM counts)
+        SELECT n_keys, total_rows, min_cnt, max_cnt,
+               round(total_rows / CAST(n_keys AS DOUBLE), 6) AS avg_cnt,
+               {", ".join(f"p{int(p * 100)}_cnt" for p in PCTS)},
+               round(CAST(max_cnt AS DOUBLE) * n_keys / total_rows, 6)
+                   AS skew_ratio
+        FROM summary CROSS JOIN picks
+    """,
+    "hot_keys": f"""
+        WITH counts AS ({_COUNTS_CTE})
+        SELECT user_id, cnt,
+               round(cnt / CAST(CAST(sum(cnt) OVER () AS BIGINT) AS DOUBLE), 6)
+                   AS share
+        FROM counts
+        ORDER BY cnt DESC, user_id
+        LIMIT {HOT_KEYS_N}
+    """,
+}
+
+QUERIES = {
+    "key_skew_stats": key_skew_stats,
+    "hot_keys": hot_keys,
+}

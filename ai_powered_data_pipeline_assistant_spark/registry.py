@@ -18,6 +18,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     clustering,
     curation,
     dedup,
+    diagnostics,
     embedding_pipeline,
     joins,
     multimodal,
@@ -44,6 +45,7 @@ _MODULES = [
     pipeline,
     repetition,
     neardup_cluster,
+    diagnostics,
     windows,
     scalar_ops,
     multimodal,

@@ -135,3 +135,37 @@ def test_q17_window_decorrelation_single_scan(spark, sf_dir):
     plan = _initial_plan(QUERIES["tpch_q17"](spark, sf_dir))
     assert plan.count("Scan parquet") <= 2, plan  # lineitem + part only
     assert "Window" in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """Decontamination: the eval/benchmark postings are thousands of docs,
+    not billions — they must broadcast into the corpus probe, never force a
+    shuffle of the full corpus postings on the probe join."""
+    plan = _initial_plan(QUERIES["decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_neardup_keep_best_broadcasts_clusters(spark, sf_dir):
+    """Keep-best: the clustered subset (docs with ≥1 near-dup) is tiny next
+    to the corpus — the quality lookup must broadcast it rather than
+    shuffle the documents scan."""
+    plan = _initial_plan(QUERIES["neardup_keep_best"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_source_mix_resample_broadcasts_rates(spark, sf_dir):
+    """Mixture resampling: per-source keep rates are |distinct sources|
+    rows — the membership filter must be a broadcast join + pushed filter,
+    with no shuffle of the corpus scan."""
+    plan = _initial_plan(QUERIES["source_mix_resample"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_repetition_stats_partial_aggregates(spark, sf_dir):
+    """Gopher repetition profile: the gram count must partial-aggregate
+    map-side (partial_count) so repeated grams collapse BEFORE the shuffle
+    — that pre-shuffle collapse is the whole scale story of the operator."""
+    plan = _initial_plan(QUERIES["repetition_stats"](spark, sf_dir))
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
