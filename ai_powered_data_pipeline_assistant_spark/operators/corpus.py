@@ -1,0 +1,172 @@
+"""Corpus-level text operators: duplicate-span removal and TF-IDF keywords.
+
+Two more members of the 100 TB curation family (BASELINE.json north star;
+the reference's text processing stops at per-string cleaning,
+backend/services/search_clients.py:68-91):
+
+- `span_dedup` — C4's "remove duplicated spans" rule (Raffel et al. 2020
+  drop repeated three-sentence spans corpus-wide; here the span unit is a
+  fixed CHUNK_TOKENS-token window since the synthetic corpus has no
+  sentence punctuation). Every chunk occurrence that already appeared
+  earlier in the corpus — ordered by (doc_id, position) — is dropped, and
+  surviving chunks are reassembled per document.
+
+- `tfidf_keywords` — per-document top-K terms by tf·idf, the standard
+  keyword-extraction / topic-tagging primitive. idf = ln((N+1)/(df+1));
+  ranking uses the ROUNDED score (6 dp) with a term tie-break so the order
+  is reproducible across engines regardless of libm ulp differences.
+
+Scale notes:
+- span_dedup: one explode to (chunk-hash, doc, pos), ONE window over the
+  hash partition to find first occurrences (the shuffle key is the hash —
+  uniform by construction, no skew), one groupBy(doc) with an in-array
+  sort to reassemble. Work is linear in corpus tokens; nothing quadratic.
+- tfidf_keywords: tf is a map-side-combined groupBy(doc, term); df reuses
+  the tf frame (already one row per doc-term) with a groupBy(term); the
+  scalar N joins back as a 1-row broadcast. The per-doc top-K window
+  partitions by doc_id — millions of small partitions, never one global
+  sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
+    md5_int,
+    md5_int_sql,
+)
+
+CHUNK_TOKENS = 10
+TFIDF_TOP_K = 5
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-span removal at CHUNK_TOKENS granularity.
+
+    A chunk occurrence survives iff it is the FIRST occurrence of that
+    chunk text in (doc_id, chunk position) order. Returns per document the
+    surviving text, total chunks, and how many were dropped."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    chunks = F.expr(
+        "transform(sequence(0, CAST(ceil(size(t) / {k}.0) AS INT) - 1), "
+        "i -> concat_ws(' ', slice(t, i * {k} + 1, {k})))".format(k=CHUNK_TOKENS)
+    )
+    occ = (
+        docs.select("doc_id", toks.alias("t"))
+        .select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+        .select("doc_id", "pos", "chunk", md5_int(F.col("chunk")).alias("h"))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    kept = occ.withColumn("rn", F.row_number().over(w))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1, F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K terms per document by tf·idf (rounded-score ranking, term
+    tie-break)."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1).cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score")
+        .orderBy("doc_id", F.desc("score"), "term")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "span_dedup": rf"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents),
+        occ AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(t[(i - 1) * {CHUNK_TOKENS} + 1
+                                     : (i - 1) * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
+                                   ' ') AS chunk
+            FROM toks,
+                 LATERAL (SELECT unnest(range(1,
+                     CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS INT) + 1)) AS i)),
+        ranked AS (
+            SELECT doc_id, pos, chunk,
+                   row_number() OVER (PARTITION BY {md5_int_sql("chunk")}
+                                      ORDER BY doc_id, pos) AS rn
+            FROM occ)
+        SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                                   ORDER BY pos), '') AS kept_text
+        FROM ranked
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "tfidf_keywords": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT doc_id, tf.term, tf, df,
+                   round(tf * ln((n + 1) / CAST(df + 1 AS DOUBLE)), 6) AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, df, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term) AS rn
+              FROM scored)
+        WHERE rn <= {TFIDF_TOP_K}
+        ORDER BY doc_id, score DESC, term
+    """,
+}
+
+QUERIES = {
+    "span_dedup": span_dedup,
+    "tfidf_keywords": tfidf_keywords,
+}

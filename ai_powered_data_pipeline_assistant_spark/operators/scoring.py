@@ -1,0 +1,148 @@
+"""Model-style document scoring, expressed as pure column math:
+
+- `unigram_logprob` — the perplexity-filter stand-in every curation
+  pipeline runs (CCNet/KenLM shape): train a unigram LM on the corpus
+  itself (token frequencies), score each document by its mean negative
+  log-probability. High values = improbable token soup; low = boilerplate.
+- `quality_classifier` — a fixed-weight logistic scorer over the shared
+  quality features (fastText-classifier shape with hand-set public
+  weights; a trained model would drop its coefficients into the same
+  expression).
+
+Float discipline: a naive sum(ln p) over a document is float-addition-
+order-dependent — different partitionings give different last bits, and
+the DuckDB oracle would hash-mismatch. Instead each DISTINCT token's log
+probability is rounded to 6 dp and scaled to an int64 ONCE in the vocab
+frame; per-document accumulation then sums INTEGERS (order-free, exact),
+and only the final mean is floating-point again, computed by the identical
+expression in both engines.
+
+Scale notes: the vocab frame is |distinct tokens| rows, built by one
+map-side-combined groupBy over the exploded token stream; scoring joins it
+back on the token key (Catalyst broadcasts it while it fits — a 100 TB
+corpus vocab that outgrows broadcast degrades to a shuffle join on a
+uniform key, which is fine). Per-doc reduction is a second combine-heavy
+groupBy. The classifier is a single narrow projection — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+LP_SCALE = 1_000_000
+# Hand-set logistic weights over (n_tokens/100 capped at 1, avg_word_len,
+# punct_ratio, upper_ratio) — public fastText-style quality-filter shape.
+W_LEN, W_AWL, W_PUNCT, W_UPPER, BIAS = 2.0, 0.3, -8.0, -4.0, -0.5
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    unigram distribution (lower = more typical of the corpus)."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            F.log(F.col("cnt") / F.col("total").cast("double")) * LP_SCALE, 0
+        )
+        .cast("long")
+        .alias("lp_int"),
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("lp_int").alias("sum_lp"), F.count("*").alias("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                -(F.col("sum_lp") / F.lit(float(LP_SCALE))) / F.col("n_tokens"), 6
+            ).alias("mean_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality score + keep label from the shared per-doc features
+    (one codegen'd projection over the scan; weights are inlined
+    constants)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace("text", r"[A-Z]", ""))
+    len_feat = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    awl = (n_chars - n_tokens + 1) / n_tokens.cast("double")
+    punct = n_punct / n_chars.cast("double")
+    upper = n_upper / n_chars.cast("double")
+    z = (
+        F.lit(W_LEN) * len_feat
+        + F.lit(W_AWL) * awl
+        + F.lit(W_PUNCT) * punct
+        + F.lit(W_UPPER) * upper
+        + F.lit(BIAS)
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        "doc_id",
+        score.alias("score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "unigram_logprob": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+            FROM documents),
+        vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+        lp AS (
+            SELECT tok,
+                   CAST(round(ln(cnt / CAST(total AS DOUBLE)) * {LP_SCALE}, 0)
+                        AS BIGINT) AS lp_int
+            FROM vocab CROSS JOIN total)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(-(CAST(sum(lp_int) AS BIGINT) / {LP_SCALE}.0)
+                     / count(*), 6) AS mean_neg_logprob
+        FROM toks JOIN lp USING (tok)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "quality_classifier": rf"""
+        WITH feats AS (
+            SELECT doc_id,
+                   len(text) AS n_chars,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g'))
+                       AS n_punct,
+                   len(text) - len(regexp_replace(text, '[A-Z]', '', 'g'))
+                       AS n_upper
+            FROM documents),
+        scored AS (
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-(
+                       {W_LEN} * least(n_tokens / 100.0, 1.0)
+                       + {W_AWL} * ((n_chars - n_tokens + 1)
+                                    / CAST(n_tokens AS DOUBLE))
+                       + {W_PUNCT} * (n_punct / CAST(n_chars AS DOUBLE))
+                       + {W_UPPER} * (n_upper / CAST(n_chars AS DOUBLE))
+                       + {BIAS}))), 6) AS score
+            FROM feats)
+        SELECT doc_id, score, score >= 0.5 AS keep FROM scored
+    """,
+}
+
+QUERIES = {
+    "unigram_logprob": unigram_logprob,
+    "quality_classifier": quality_classifier,
+}

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ai_powered_data_pipeline_assistant_spark.operators import (
     aggregates,
     clustering,
+    corpus,
     curation,
     dedup,
     diagnostics,
@@ -23,10 +24,12 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     joins,
     multimodal,
     neardup_cluster,
+    packing,
     pipeline,
     relational,
     repetition,
     scalar_ops,
+    scoring,
     text_analysis,
     tpch,
     vector,
@@ -46,6 +49,9 @@ _MODULES = [
     repetition,
     neardup_cluster,
     diagnostics,
+    corpus,
+    packing,
+    scoring,
     windows,
     scalar_ops,
     multimodal,

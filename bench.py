@@ -40,6 +40,9 @@ HEADLINE = [
     "neardup_keep_best",
     "repetition_stats",
     "decontaminate",
+    "span_dedup",
+    "pack_sequences",
+    "unigram_logprob",
     "search_pipeline",
     "quality_score",
     "sliding_window_counts",

@@ -169,3 +169,18 @@ def test_repetition_stats_partial_aggregates(spark, sf_dir):
     — that pre-shuffle collapse is the whole scale story of the operator."""
     plan = _initial_plan(QUERIES["repetition_stats"](spark, sf_dir))
     assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_pack_sequences_prefix_sum_is_partitioned(spark, sf_dir):
+    """Sequence packing: the corpus-sized running sum must be a window
+    PARTITIONED by range bucket (two-phase prefix sum); only the per-bucket
+    totals frame — one row per bucket — may use the global ordered window.
+    A windowspec over n_tokens without a partition column would funnel the
+    whole corpus through one partition."""
+    import re
+
+    plan = _initial_plan(QUERIES["pack_sequences"](spark, sf_dir))
+    assert re.search(
+        r"Window \[sum\(n_tokens#\d+\) windowspecdefinition\(bucket#\d+L, doc_id",
+        plan,
+    ), plan
