@@ -94,6 +94,7 @@ class ToolRegistry:
             "generate_sql_query": (self._run_sql, {"data_engineer"}),
             "generate_sql": (self._generate_sql, {"data_engineer"}),
             "schedule_pipeline": (self._schedule_pipeline, {"data_engineer"}),
+            "run_query": (self._run_registered_query, {"data_engineer"}),
         }
 
     def list_tools(self, role: str = "general") -> list[str]:
@@ -181,3 +182,19 @@ class ToolRegistry:
 
     def _schedule_pipeline(self, args: dict) -> DataFrame:
         return scalar_ops.schedule_arithmetic(self.spark, self.sf_dir)
+
+    def _run_registered_query(self, args: dict) -> DataFrame:
+        """Expose the FULL operator registry through the gated tool surface
+        (the engine-native analogue of the reference's tool dispatch,
+        backend/tools/tool_registry.py:79-316): any named query runs under
+        the same role gate, rate limit, TTL cache, and row cap as the
+        built-in tools. Names are validated against the registry — no
+        arbitrary code or SQL path (ad-hoc SQL stays behind
+        generate_sql_query's P9 gate)."""
+        from ai_powered_data_pipeline_assistant_spark.registry import all_queries
+
+        name = args.get("name", "")
+        qs = all_queries()
+        if name not in qs:
+            raise KeyError(f"unknown query {name!r}; see list_queries")
+        return qs[name](self.spark, self.sf_dir)

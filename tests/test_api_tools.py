@@ -96,3 +96,20 @@ def test_generate_sql_templates(registry):
 def test_schedule_pipeline_tool(registry):
     res = registry.execute("schedule_pipeline", role="data_engineer")
     assert res.success and len(res.data) > 0
+
+
+def test_run_query_tool_dispatches_registry(registry):
+    res = registry.execute(
+        "run_query", {"name": "status_counts", "max_rows": 10},
+        role="data_engineer",
+    )
+    assert res.success and 0 < len(res.data) <= 10
+
+    bad = registry.execute(
+        "run_query", {"name": "import os; os.system('x')"},
+        role="data_engineer",
+    )
+    assert not bad.success and "unknown query" in bad.error
+
+    gated = registry.execute("run_query", {"name": "status_counts"}, role="general")
+    assert not gated.success and "not permitted" in gated.error
