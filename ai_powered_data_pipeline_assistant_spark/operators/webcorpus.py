@@ -1,0 +1,267 @@
+"""Web-corpus curation operators: domain accounting, per-domain caps,
+vocabulary statistics, and bloom-prefiltered incremental dedup.
+
+Four more members of the 100 TB training-data family (BASELINE.json north
+star; the reference stops at per-string cleaning and single-table upserts,
+backend/services/search_clients.py:68-91, backend/services/vector_service.py:105):
+
+- ``domain_stats`` / ``domain_cap_sample`` — the C4/RefinedWeb-style
+  domain-level view of a crawl: parse a URL column, aggregate per host, and
+  cap the number of documents any one host may contribute (anti-domination
+  sampling). The test corpus has no URL column, so a deterministic URL is
+  synthesized from (source, lang, doc_id) — the parse/group/cap plumbing is
+  the operator; a real crawl swaps the synthesized column for its own.
+
+- ``vocab_topk`` / ``zipf_fit`` — corpus vocabulary head and a Zipf's-law
+  regression over the top ranks (log-count vs log-rank least squares), the
+  standard sanity checks run before token-budget planning.
+
+- ``bloom_dedup_gate`` — incremental ingest dedup: drop incoming documents
+  whose content already exists in the corpus. A bloom filter over the
+  corpus keys prefilters the incoming side; only bloom HITS (possible
+  duplicates) enter the exact anti-join verify, so the result is exact
+  (bloom filters have no false negatives) while the expensive join sees
+  only candidate rows. This is the same prefilter-then-verify shape as
+  ``minhash_lsh_pairs``, applied to streaming/batch ingest.
+
+Scale notes:
+- domain_stats: one groupBy(host) — host cardinality ≪ corpus, map-side
+  combined. domain_cap_sample windows per host; millions of small
+  partitions, never a global sort.
+- vocab_topk: explode → map-side-combined groupBy(term) → TakeOrdered
+  top-K (orderBy+limit, no global window); the rank is computed on the
+  already-reduced K rows.
+- zipf_fit: the regression input is the vocab top-RANKS rows (constant),
+  reduced to one row by regr_slope/regr_intercept.
+- bloom_dedup_gate: the bloom build is a bounded-size aggregate — distinct
+  bit positions (≤ BLOOM_M = 2^17 rows regardless of corpus size) collected
+  once and broadcast as a 16 KiB numpy bitmap; membership is an
+  Arrow-batched pandas UDF (numpy gather, no per-row Python). At 100 TB the
+  corpus side streams through one map + a tiny distinct; the verify join
+  shuffles only bloom hits. (PySpark does not expose
+  DataFrameStatFunctions.bloomFilter; this is the same construction with
+  the bitmap OR expressed as a distinct over set bits.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
+    md5_int,
+    md5_int_sql,
+)
+
+DOMAIN_CAP = 5
+VOCAB_TOP_K = 50
+ZIPF_RANKS = 100
+BLOOM_M = 1 << 17  # bits; 16 KiB bitmap
+BLOOM_K = 5  # probes per key
+INCOMING_SOURCE = "src0"
+
+_URL_SQL = "'https://' || source || '.example.org/' || lang || '/' || doc_id"
+
+
+def _with_host(docs: DataFrame) -> DataFrame:
+    """Synthesize the crawl URL and parse its host (JVM-side parse_url)."""
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.withColumn("url", url).withColumn(
+        "host", F.parse_url(F.col("url"), F.lit("HOST"))
+    )
+
+
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl accounting: doc count, char volume, language spread."""
+    docs = _with_host(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("host")
+    )
+
+
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each host's contribution at DOMAIN_CAP docs, preferring longer
+    documents (deterministic tie-break on doc_id) — anti-domination
+    sampling for crawl corpora."""
+    docs = _with_host(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("host").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .select("host", "doc_id", "n_chars", "rn")
+        .orderBy("host", "rn")
+    )
+
+
+def _vocab(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top VOCAB_TOP_K terms by frequency.
+
+    orderBy+limit → TakeOrderedAndProject; the rank window then runs on K
+    rows only, never the full vocabulary."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    top = _vocab(docs).orderBy(F.desc("cnt"), "term").limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.desc("cnt"), "term")
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of log(count) ~ log(rank) over the top ZIPF_RANKS
+    vocabulary terms — Zipf's law expects a slope near -1."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    top = _vocab(docs).orderBy(F.desc("cnt"), "term").limit(ZIPF_RANKS)
+    w = Window.orderBy(F.desc("cnt"), "term")
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(
+            F.regr_slope(F.log(F.col("cnt")), F.log(F.col("rank"))), 4
+        ).alias("slope"),
+        F.round(
+            F.regr_intercept(F.log(F.col("cnt")), F.log(F.col("rank"))), 4
+        ).alias("intercept"),
+    )
+
+
+def bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: incoming (source = INCOMING_SOURCE) docs
+    whose lowercased text does not already exist in the rest of the corpus.
+
+    Exact result, bloom-accelerated: the corpus keys set bits in a BLOOM_M
+    bitmap (built as a bounded ``distinct`` over bit positions — at most
+    BLOOM_M rows whatever the corpus size); incoming rows failing every
+    probe are duplicates-impossible and skip the join; only bloom hits are
+    verified with an exact anti-join on the full md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = md5_int(F.lower(F.col("text")))
+    full = F.md5(F.lower(F.col("text")))
+    corpus = docs.filter(F.col("source") != INCOMING_SOURCE)
+    incoming = docs.filter(F.col("source") == INCOMING_SOURCE).select(
+        "doc_id", "n_chars", key.alias("h"), full.alias("md5")
+    )
+
+    # Double hashing: probe_i = (h1 + i*h2) mod M, h2 forced odd so the
+    # probe sequence spans the table. All int64-safe: h < 2^60, M = 2^17.
+    # shiftright (not `/`): double division loses bits for h near 2^60.
+    h1 = F.col("h") % F.lit(BLOOM_M)
+    _h2 = F.shiftright(F.col("h"), 17) % F.lit(BLOOM_M)
+    h2 = _h2 - (_h2 % 2) + F.lit(1)
+    probes = F.array(*[(h1 + F.lit(i) * h2) % F.lit(BLOOM_M) for i in range(BLOOM_K)])
+    set_bits = (
+        corpus.select(key.alias("h"))
+        .select(F.explode(probes).alias("pos"))
+        .distinct()
+    )
+    bitmap = np.zeros(BLOOM_M, dtype=bool)
+    # Bounded driver transfer: ≤ BLOOM_M small ints, independent of scale.
+    bitmap[[r["pos"] for r in set_bits.collect()]] = True
+
+    @F.pandas_udf("boolean")
+    def might_contain(h: pd.Series) -> pd.Series:
+        hv = h.to_numpy(dtype=np.int64)
+        p1 = hv % BLOOM_M
+        p2 = ((hv >> 17) % BLOOM_M) | 1
+        hit = np.ones(len(hv), dtype=bool)
+        for i in range(BLOOM_K):
+            hit &= bitmap[(p1 + i * p2) % BLOOM_M]
+        return pd.Series(hit)
+
+    candidates = incoming.filter(might_contain(F.col("h")))
+    survivors_clear = incoming.filter(~might_contain(F.col("h")))
+    verified = candidates.join(
+        corpus.select(full.alias("md5")).distinct(), "md5", "left_anti"
+    )
+    return (
+        survivors_clear.select("doc_id", "n_chars")
+        .unionByName(verified.select("doc_id", "n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "domain_stats": f"""
+        WITH d AS (SELECT *, regexp_extract({_URL_SQL},
+                       '^https?://([^/]+)', 1) AS host
+                   FROM documents)
+        SELECT host, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(avg(n_chars), 4) AS avg_chars,
+               count(DISTINCT lang) AS n_langs
+        FROM d GROUP BY host ORDER BY host
+    """,
+    "domain_cap_sample": f"""
+        WITH d AS (SELECT *, regexp_extract({_URL_SQL},
+                       '^https?://([^/]+)', 1) AS host
+                   FROM documents),
+        ranked AS (SELECT host, doc_id, n_chars,
+                          row_number() OVER (PARTITION BY host
+                              ORDER BY n_chars DESC, doc_id) AS rn
+                   FROM d)
+        SELECT host, doc_id, n_chars, rn FROM ranked
+        WHERE rn <= {DOMAIN_CAP} ORDER BY host, rn
+    """,
+    "vocab_topk": rf"""
+        WITH toks AS (SELECT unnest(regexp_split_to_array(
+                          trim(lower(text)), '\s+')) AS term
+                      FROM documents),
+        vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+        SELECT term, cnt,
+               row_number() OVER (ORDER BY cnt DESC, term) AS rank
+        FROM vocab ORDER BY cnt DESC, term LIMIT {VOCAB_TOP_K}
+    """,
+    "zipf_fit": rf"""
+        WITH toks AS (SELECT unnest(regexp_split_to_array(
+                          trim(lower(text)), '\s+')) AS term
+                      FROM documents),
+        vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        ranked AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term)
+                       AS rank
+                   FROM vocab ORDER BY cnt DESC, term LIMIT {ZIPF_RANKS})
+        SELECT CAST(count(*) AS BIGINT) AS n_terms,
+               round(regr_slope(ln(cnt), ln(rank)), 4) AS slope,
+               round(regr_intercept(ln(cnt), ln(rank)), 4) AS intercept
+        FROM ranked
+    """,
+    "bloom_dedup_gate": f"""
+        SELECT i.doc_id, i.n_chars
+        FROM documents i
+        WHERE i.source = '{INCOMING_SOURCE}'
+          AND NOT EXISTS (SELECT 1 FROM documents c
+                          WHERE c.source <> '{INCOMING_SOURCE}'
+                            AND md5(lower(c.text)) = md5(lower(i.text)))
+        ORDER BY i.doc_id
+    """,
+}
+
+QUERIES = {
+    "domain_stats": domain_stats,
+    "domain_cap_sample": domain_cap_sample,
+    "vocab_topk": vocab_topk,
+    "zipf_fit": zipf_fit,
+    "bloom_dedup_gate": bloom_dedup_gate,
+}

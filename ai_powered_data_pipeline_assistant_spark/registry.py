@@ -33,6 +33,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     text_analysis,
     tpch,
     vector,
+    webcorpus,
     windows,
 )
 
@@ -50,6 +51,7 @@ _MODULES = [
     neardup_cluster,
     diagnostics,
     corpus,
+    webcorpus,
     packing,
     scoring,
     windows,
