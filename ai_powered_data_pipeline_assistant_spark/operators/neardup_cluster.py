@@ -59,9 +59,14 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
     undirected edge). Returns (node, label) where label is the minimum node
     id reachable from ``node``; only nodes present in ``edges`` appear.
     """
-    sym = edges.select(
-        F.col("a_id").alias("node"), F.col("b_id").alias("nbr")
-    ).union(edges.select(F.col("b_id").alias("node"), F.col("a_id").alias("nbr")))
+    # Materialize the edge list ONCE: it feeds every propagation round, and
+    # without this the upstream pair-generation pipeline (e.g. the whole
+    # MinHash+LSH DAG) would be recomputed per round.
+    sym = (
+        edges.select(F.col("a_id").alias("node"), F.col("b_id").alias("nbr"))
+        .union(edges.select(F.col("b_id").alias("node"), F.col("a_id").alias("nbr")))
+        .localCheckpoint()
+    )
     labels = (
         sym.select("node").distinct().select("node", F.col("node").alias("label"))
     ).localCheckpoint()
