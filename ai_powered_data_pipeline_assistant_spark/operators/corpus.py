@@ -41,6 +41,8 @@ from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
 
 CHUNK_TOKENS = 10
 TFIDF_TOP_K = 5
+RAG_CHUNK_TOKENS = 12
+RAG_CHUNK_STRIDE = 8  # 4-token overlap between consecutive chunks
 
 
 def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,6 +120,66 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style ingestion chunking: overlapping RAG_CHUNK_TOKENS-token
+    windows every RAG_CHUNK_STRIDE tokens, with a stable content-addressed
+    chunk id (md5 of doc_id:chunk_idx:text — the upsert key a vector store
+    would use, cf. the reference's content-hash conflict key,
+    backend/services/vector_service.py:105).
+
+    Scale: one explode — rows ≈ corpus_tokens / stride; no shuffle at all
+    (the output is a flatMap over the scan), so it pipelines straight into
+    the embedder / writer."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_win = (
+        "CAST(greatest(ceil((size(t) - {k}) / {s}.0) + 1, 1) AS INT)".format(
+            k=RAG_CHUNK_TOKENS, s=RAG_CHUNK_STRIDE
+        )
+    )
+    chunks = F.expr(
+        "transform(sequence(0, {n} - 1), "
+        "i -> concat_ws(' ', slice(t, i * {s} + 1, {k})))".format(
+            n=n_win, s=RAG_CHUNK_STRIDE, k=RAG_CHUNK_TOKENS
+        )
+    )
+    out = (
+        docs.select("doc_id", toks.alias("t"))
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.md5(
+                F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx"), F.col("chunk_text"))
+            ).alias("chunk_id"),
+            "chunk_text",
+            F.size(F.split(F.col("chunk_text"), " ")).alias("n_tokens"),
+        )
+    )
+    return out.orderBy("doc_id", "chunk_idx")
+
+
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card manifest: per (source, lang) doc counts, token and char
+    volume, and length spread — the summary table published next to every
+    training-data release. One map-side-combined groupBy on the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    return (
+        docs.select("source", "lang", F.col("n_chars"), n_tokens.alias("n_tokens"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 ORACLES: dict[str, str] = {
     "span_dedup": rf"""
         WITH toks AS (
@@ -166,7 +228,48 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["chunk_documents"] = rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+    win AS (
+        SELECT doc_id, t,
+               CAST(greatest(ceil((len(t) - {RAG_CHUNK_TOKENS})
+                                  / {RAG_CHUNK_STRIDE}.0) + 1, 1) AS INT) AS n
+        FROM toks),
+    occ AS (
+        SELECT doc_id, i - 1 AS chunk_idx,
+               array_to_string(t[(i - 1) * {RAG_CHUNK_STRIDE} + 1
+                                 : (i - 1) * {RAG_CHUNK_STRIDE}
+                                   + {RAG_CHUNK_TOKENS}], ' ') AS chunk_text
+        FROM win, LATERAL (SELECT unnest(range(1, n + 1)) AS i))
+    SELECT doc_id, chunk_idx,
+           md5(doc_id || ':' || chunk_idx || ':' || chunk_text) AS chunk_id,
+           chunk_text,
+           len(string_split(chunk_text, ' ')) AS n_tokens
+    FROM occ
+    ORDER BY doc_id, chunk_idx
+"""
+
+ORACLES["corpus_manifest"] = r"""
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+               AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+               AS BIGINT) AS min_tokens,
+           CAST(max(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+               AS BIGINT) AS max_tokens,
+           round(avg(len(regexp_split_to_array(trim(lower(text)), '\s+'))), 4)
+               AS avg_tokens
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+"""
+
 QUERIES = {
     "span_dedup": span_dedup,
     "tfidf_keywords": tfidf_keywords,
+    "chunk_documents": chunk_documents,
+    "corpus_manifest": corpus_manifest,
 }
