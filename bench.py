@@ -41,6 +41,8 @@ HEADLINE = [
     "repetition_stats",
     "decontaminate",
     "span_dedup",
+    "bloom_dedup_gate",
+    "chunk_documents",
     "pack_sequences",
     "unigram_logprob",
     "search_pipeline",
