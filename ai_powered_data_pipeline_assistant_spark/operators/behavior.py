@@ -1,0 +1,303 @@
+"""Behavioral / event analytics: funnels, cohort retention, calendar
+gap-fill, inter-event gaps, histograms, and per-group top-N.
+
+The reference's events handling stops at counters and rate windows
+(reference backend/db/optimized_queries.py:118-150, Supabase/setup.sql
+usage_counters); these operators are the standard next layer every
+product-analytics user asks of an events table. All are pure DataFrame
+compositions with exact DuckDB oracles.
+
+Scale notes (the shapes that survive 100 TB):
+- ``funnel_counts``: ONE shuffle — groupBy(user_id) with conditional-min
+  aggregates (map-side combined); stage flags and the 3-row unpivot run on
+  the reduced per-user frame. Never a self-join per stage (the naive
+  formulation joins the events table once per funnel step).
+- ``cohort_retention``: min-over-user window rides the same hash partition
+  as the groupBy that follows; integer week indexes (days since a fixed
+  epoch / 7) avoid engine-specific week-truncation semantics.
+- ``daily_counts_gapfill``: the calendar dimension is built from a 1-row
+  min/max aggregate then ``sequence``-exploded — rows = days × event
+  types, independent of fact cardinality; the per-day counts aggregate is
+  map-side combined, and the fill join is a broadcast of that tiny
+  aggregate, never a shuffle of the facts.
+- ``event_gaps``: lag + aggregate over one user_id shuffle.
+- ``chars_histogram``: fixed-width bucketing is a pure column expression;
+  one map-side-combined groupBy on ≤ N_BUCKETS keys.
+- ``top_docs_per_lang``: row_number per lang partition — at scale this is
+  the grouped-top-N pattern (partial top-N per partition, AQE-merged),
+  bounded output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+WEEK_EPOCH = "2024-01-01"  # integer week index origin (Monday)
+HIST_WIDTH = 100
+HIST_BUCKETS = 10  # last bucket open-ended
+TOP_PER_LANG = 3
+
+
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel stage counts over view → click → purchase.
+
+    A user converts at stage k when their earliest stage-k event is at or
+    after their earliest stage-(k-1) event (first-touch ordering). One
+    groupBy(user_id) with conditional mins; no per-stage self-joins.
+    """
+    events = load_table(spark, sf_dir, "events")
+    mins = [
+        F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+        for s in FUNNEL_STAGES
+    ]
+    per_user = events.groupBy("user_id").agg(*mins)
+    flags = per_user.select(
+        F.col("t_view").isNotNull().cast("long").alias("s1"),
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_click") >= F.col("t_view"))
+        ).cast("long").alias("s2"),
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_click") >= F.col("t_view"))
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_purchase") >= F.col("t_click"))
+        ).cast("long").alias("s3"),
+    )
+    totals = flags.agg(
+        F.sum("s1").alias("n1"), F.sum("s2").alias("n2"), F.sum("s3").alias("n3")
+    )
+    return totals.selectExpr(
+        "stack(3, 1L, 'view', n1, 2L, 'click', n2, 3L, 'purchase', n3) "
+        "AS (stage_idx, stage, n_users)"
+    ).orderBy("stage_idx")
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per week offset from that first activity.
+
+    Week indexes are integers (days since WEEK_EPOCH, div 7) so Spark and
+    any oracle agree without week-truncation semantics. The min-over-user
+    window and the final groupBy share the user_id hash partitioning.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    w = Window.partitionBy("user_id")
+    with_first = events.select(
+        F.col("user_id"), day.alias("day")
+    ).withColumn("first_day", F.min("day").over(w))
+    return (
+        with_first.select(
+            (F.datediff("first_day", F.lit(WEEK_EPOCH)).cast("long") / 7)
+            .cast("long")
+            .alias("cohort_week"),
+            (F.datediff("day", "first_day").cast("long") / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def daily_counts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day, per-event-type counts with explicit zero rows for missing
+    (day, type) combinations across the table's full date range.
+
+    The calendar is derived from a one-row min/max aggregate and
+    ``sequence``-exploded — its size is days × types regardless of fact
+    volume; the fact-side aggregate is map-side combined and broadcast
+    into the fill join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    counts = (
+        events.groupBy(day.alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    calendar = (
+        events.agg(
+            F.min(day).alias("lo"), F.max(day).alias("hi")
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("day")
+        )
+    )
+    types = events.select("event_type").distinct()
+    grid = calendar.crossJoin(F.broadcast(types))
+    return (
+        grid.join(F.broadcast(counts), ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics (microsecond precision).
+
+    lag over one (user_id)-shuffled window ordered by (ts, event_id); the
+    aggregate rides the same partitioning. Integer-microsecond gaps keep
+    the float path out until the final rounded average.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts arrives TIMESTAMP_NTZ from the nanos-parquet path; the session tz
+    # is pinned UTC, so the cast is an exact wall-clock-preserving
+    # conversion that makes unix_micros applicable.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = events.select(
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            (F.count("*")).alias("n_events"),
+            F.round(F.avg("gap_us"), 4).alias("avg_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def chars_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths: HIST_BUCKETS buckets of
+    HIST_WIDTH chars, last bucket open-ended. Pure column expression +
+    one tiny groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor(F.col("n_chars") / HIST_WIDTH), F.lit(HIST_BUCKETS - 1)
+    ).cast("long")
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "bucket",
+            (F.col("bucket") * HIST_WIDTH).alias("lo_chars"),
+            "n_docs",
+        )
+        .orderBy("bucket")
+    )
+
+
+def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TOP_PER_LANG longest documents per language (deterministic
+    doc_id tie-break) — the grouped-top-N pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_PER_LANG)
+        .select("lang", "rn", "doc_id", "n_chars")
+        .orderBy("lang", "rn")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "funnel_counts": """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY user_id),
+        flags AS (
+            SELECT CAST(t_view IS NOT NULL AS BIGINT) AS s1,
+                   CAST(t_view IS NOT NULL AND t_click IS NOT NULL
+                        AND t_click >= t_view AS BIGINT) AS s2,
+                   CAST(t_view IS NOT NULL AND t_click IS NOT NULL
+                        AND t_click >= t_view AND t_purchase IS NOT NULL
+                        AND t_purchase >= t_click AS BIGINT) AS s3
+            FROM per_user),
+        totals AS (SELECT sum(s1) AS n1, sum(s2) AS n2, sum(s3) AS n3
+                   FROM flags)
+        SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+               CAST(n1 AS BIGINT) AS n_users FROM totals
+        UNION ALL
+        SELECT 2, 'click', CAST(n2 AS BIGINT) FROM totals
+        UNION ALL
+        SELECT 3, 'purchase', CAST(n3 AS BIGINT) FROM totals
+        ORDER BY stage_idx
+    """,
+    "cohort_retention": f"""
+        WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        f AS (SELECT user_id, day,
+                     min(day) OVER (PARTITION BY user_id) AS first_day
+              FROM d)
+        SELECT CAST(datediff('day', DATE '{WEEK_EPOCH}', first_day) // 7
+                    AS BIGINT) AS cohort_week,
+               CAST(datediff('day', first_day, day) // 7 AS BIGINT)
+                   AS week_offset,
+               count(DISTINCT user_id) AS n_users
+        FROM f GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "daily_counts_gapfill": """
+        WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS lo,
+                               max(CAST(ts AS DATE)) AS hi FROM events),
+        calendar AS (SELECT CAST(unnest(generate_series(lo, hi,
+                         INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        types AS (SELECT DISTINCT event_type FROM events),
+        counts AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT c.day, t.event_type,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_events
+        FROM calendar c CROSS JOIN types t
+        LEFT JOIN counts k ON k.day = c.day AND k.event_type = t.event_type
+        ORDER BY c.day, t.event_type
+    """,
+    "event_gaps": """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events)
+        SELECT user_id, count(*) AS n_events,
+               round(avg(gap_us), 4) AS avg_gap_us,
+               max(gap_us) AS max_gap_us
+        FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    "chars_histogram": f"""
+        WITH b AS (SELECT least(n_chars // {HIST_WIDTH},
+                               {HIST_BUCKETS - 1}) AS bucket
+                   FROM documents)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(bucket * {HIST_WIDTH} AS BIGINT) AS lo_chars,
+               count(*) AS n_docs
+        FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    "top_docs_per_lang": f"""
+        WITH ranked AS (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents)
+        SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, n_chars
+        FROM ranked WHERE rn <= {TOP_PER_LANG} ORDER BY lang, rn
+    """,
+}
+
+QUERIES = {
+    "funnel_counts": funnel_counts,
+    "cohort_retention": cohort_retention,
+    "daily_counts_gapfill": daily_counts_gapfill,
+    "event_gaps": event_gaps,
+    "chars_histogram": chars_histogram,
+    "top_docs_per_lang": top_docs_per_lang,
+}

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ai_powered_data_pipeline_assistant_spark.operators import (
     aggregates,
+    behavior,
     clustering,
     corpus,
     curation,
@@ -40,6 +41,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
 _MODULES = [
     relational,
     aggregates,
+    behavior,
     joins,
     vector,
     dedup,
