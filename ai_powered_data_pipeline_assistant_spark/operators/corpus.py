@@ -180,7 +180,62 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET = 1_000_000  # target training tokens for epoch planning
+
+
+def token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget planning per source: total tokens, corpus share, and
+    epochs over this source needed to fill TOKEN_BUDGET tokens at its
+    natural rate — the arithmetic behind training-mixture sheets.
+
+    One map-side-combined groupBy(source); the corpus total joins back as
+    a 1-row broadcast (never a second pass over the facts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    per_source = (
+        docs.select("source", n_tokens.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    total = per_source.agg(
+        F.sum("total_tokens").cast("long").alias("corpus_tokens")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("corpus_tokens"), 6).alias(
+                "share"
+            ),
+            F.round(F.lit(TOKEN_BUDGET) / F.col("total_tokens"), 4).alias(
+                "epochs_for_budget"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "token_budget": rf"""
+        WITH per_source AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(regexp_split_to_array(trim(lower(text)),
+                       '\s+'))) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY source),
+        total AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens
+                  FROM per_source)
+        SELECT source, n_docs, total_tokens,
+               round(total_tokens / CAST(corpus_tokens AS DOUBLE), 6) AS share,
+               round({TOKEN_BUDGET} / CAST(total_tokens AS DOUBLE), 4)
+                   AS epochs_for_budget
+        FROM per_source CROSS JOIN total
+        ORDER BY source
+    """,
     "span_dedup": rf"""
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -268,6 +323,7 @@ ORACLES["corpus_manifest"] = r"""
 """
 
 QUERIES = {
+    "token_budget": token_budget,
     "span_dedup": span_dedup,
     "tfidf_keywords": tfidf_keywords,
     "chunk_documents": chunk_documents,

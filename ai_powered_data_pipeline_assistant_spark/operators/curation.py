@@ -83,6 +83,53 @@ def curate_corpus(
     )
 
 
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor accounting for the curation pipeline — the
+    observability view every data-ops team keeps on a curation run
+    (how many docs each gate dropped).
+
+    Five one-row counts over progressively filtered frames, unioned into
+    one result. Each count is a map-side-combined aggregate; the exact-dedup
+    frame is persisted once and feeds the LSH stage, the final anti-join,
+    and its own count — the multi-count accounting adds scans of the
+    (columnar, pruned) source but no extra shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    lang_gated = docs.filter(F.col("lang").isin(*ALLOWED_LANGS))
+    q_gated = lang_gated.withColumn("quality", quality_expr()).filter(
+        F.col("quality") >= MIN_QUALITY
+    )
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    kept = (
+        q_gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .persist()
+    )
+    drops = (
+        minhash_lsh_pairs_for(kept.select("doc_id", "text"))
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    final = kept.join(drops, "doc_id", "left_anti")
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+        )
+
+    return (
+        stage(0, "total", docs)
+        .unionByName(stage(1, "lang_gate", lang_gated))
+        .unionByName(stage(2, "quality_gate", q_gated))
+        .unionByName(stage(3, "exact_dedup", kept))
+        .unionByName(stage(4, "neardup_dedup", final))
+        .orderBy("stage_idx")
+    )
+
+
 def _curate_sql() -> str:
     langs = ", ".join(f"'{l}'" for l in ALLOWED_LANGS)
     return f"""
@@ -109,6 +156,44 @@ def _curate_sql() -> str:
     """
 
 
-ORACLES: dict[str, str] = {"curate_corpus": _curate_sql()}
+def _funnel_sql() -> str:
+    langs = ", ".join(f"'{l}'" for l in ALLOWED_LANGS)
+    return f"""
+        WITH lang_gated AS (
+            SELECT doc_id, text FROM documents WHERE lang IN ({langs})),
+        q_gated AS (
+            SELECT doc_id, text FROM lang_gated
+            WHERE {QUALITY_SQL} >= {MIN_QUALITY}),
+        kept AS (
+            SELECT doc_id, text FROM (
+                SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                                             ORDER BY doc_id) AS rn
+                FROM q_gated)
+            WHERE rn = 1),
+        {minhash_lsh_cte("kept")},
+        drops AS (
+            SELECT DISTINCT p.b_id AS doc_id
+            FROM candidates c JOIN pairs p ON c.a_id = p.a_id AND c.b_id = p.b_id
+            WHERE p.jaccard >= {JACCARD_THRESHOLD}),
+        final AS (
+            SELECT doc_id FROM kept
+            WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+        SELECT CAST(0 AS BIGINT) AS stage_idx, 'total' AS stage,
+               count(*) AS n_docs FROM documents
+        UNION ALL SELECT 1, 'lang_gate', count(*) FROM lang_gated
+        UNION ALL SELECT 2, 'quality_gate', count(*) FROM q_gated
+        UNION ALL SELECT 3, 'exact_dedup', count(*) FROM kept
+        UNION ALL SELECT 4, 'neardup_dedup', count(*) FROM final
+        ORDER BY stage_idx
+    """
 
-QUERIES = {"curate_corpus": curate_corpus}
+
+ORACLES: dict[str, str] = {
+    "curate_corpus": _curate_sql(),
+    "curation_funnel": _funnel_sql(),
+}
+
+QUERIES = {
+    "curate_corpus": curate_corpus,
+    "curation_funnel": curation_funnel,
+}

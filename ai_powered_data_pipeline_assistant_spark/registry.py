@@ -37,6 +37,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     webcorpus,
     windows,
 )
+from ai_powered_data_pipeline_assistant_spark.sources import formats
 
 _MODULES = [
     relational,
@@ -61,6 +62,7 @@ _MODULES = [
     multimodal,
     embedding_pipeline,
     tpch,
+    formats,
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
