@@ -1,0 +1,130 @@
+"""Distributed PCA over the embedding column: mean/covariance via
+map-side partial moments, eigendecomposition on the driver, projection as
+an Arrow-batched pandas UDF.
+
+The standard dimensionality-reduction step before embedding-space dedup /
+clustering / visualization at corpus scale. The moment computation is the
+classic d²-bounded reduction: each partition emits ONE partial
+(n, Σx, XᵀX) — d=64 → 32 KiB per partition — so driver traffic is
+partitions × d², independent of row count; a 100 TB embedding table still
+ships only per-partition partials. The eigensolve runs on the d×d
+covariance on the driver (d ≤ a few thousand — trivial), and the top-k
+basis broadcasts back into a vectorized numpy projection.
+
+No SQL oracle (DuckDB has no eigensolver) — driver runs the rows-only
+check; numerical properties (orthonormal basis, descending explained
+variance, reconstruction improves with k) are pinned by
+tests/test_embedding_stats.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+PCA_K = 8
+PROJ_ROUND = 6
+
+
+def _moments(emb: DataFrame) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, Σx, XᵀX) accumulated distributedly — one partial per partition."""
+    dim = len(emb.select("embedding").first()["embedding"])
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(dim)
+        xtx = np.zeros((dim, dim))
+        for b in batches:
+            x = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            xtx += x.T @ x
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "s": [s.tolist()],
+                "xtx": [xtx.reshape(-1).tolist()],
+            }
+        )
+
+    parts = emb.select("embedding").mapInPandas(
+        part, schema="n long, s array<double>, xtx array<double>"
+    )
+    # partitions × (d² + d) doubles — bounded driver transfer
+    rows = parts.collect()
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    xtx = np.sum([np.array(r["xtx"]).reshape(dim, dim) for r in rows], axis=0)
+    return n, s, xtx
+
+
+def pca_basis(emb: DataFrame, k: int = PCA_K) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mean, top-k eigenvectors [k×d], explained-variance ratios [k])."""
+    n, s, xtx = _moments(emb)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    top = vecs[:, order].T  # k × d
+    # eigh sign is arbitrary: pin each component's largest-|.| coord positive
+    for i in range(top.shape[0]):
+        j = int(np.argmax(np.abs(top[i])))
+        if top[i, j] < 0:
+            top[i] = -top[i]
+    ratios = vals[order] / vals.sum()
+    return mean, top, ratios
+
+
+def pca_project(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> DataFrame:
+    """(vec_id, label, proj[k]) — embeddings projected onto the corpus
+    top-k principal components (mean-centered). Basis broadcasts; the
+    projection is one numpy matmul per Arrow batch."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    mean, top, _ = pca_basis(emb, k)
+    b_mean = spark.sparkContext.broadcast(mean)
+    b_top = spark.sparkContext.broadcast(top)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m, w = b_mean.value, b_top.value
+        for b in batches:
+            x = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            p = np.round((x - m) @ w.T, PROJ_ROUND)
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"],
+                    "label": b["label"],
+                    "proj": list(p),
+                }
+            )
+
+    return emb.select("vec_id", "label", "embedding").mapInPandas(
+        project, schema="vec_id long, label int, proj array<double>"
+    )
+
+
+def pca_variance_report(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> DataFrame:
+    """One row per component: explained-variance ratio and cumulative —
+    the scree report used to pick k."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    _, _, ratios = pca_basis(emb, k)
+    rows = [
+        (i + 1, round(float(r), 6), round(float(ratios[: i + 1].sum()), 6))
+        for i, r in enumerate(ratios)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, var_ratio double, cum_var_ratio double"
+    )
+
+
+ORACLES: dict[str, str] = {}  # eigensolve is not SQL-expressible: rows-only
+
+QUERIES = {
+    "pca_project": pca_project,
+    "pca_variance_report": pca_variance_report,
+}

@@ -108,7 +108,127 @@ def value_ntiles(spark: SparkSession, sf_dir: str, n: int = 4) -> DataFrame:
     )
 
 
+def value_moving_avg(spark: SparkSession, sf_dir: str, n: int = 7) -> DataFrame:
+    """Trailing n-row moving average of `value` per event_type (the
+    time-series smoothing primitive). Integer-cents sums inside the window
+    keep the math exact; one shuffle on event_type, per-key sort only."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(n - 1), 0)
+    )
+    return events.select(
+        "event_id",
+        "event_type",
+        "ts",
+        cents.alias("cents"),
+    ).select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).alias("n_in_window"),
+        F.round(
+            F.sum("cents").over(w) / (F.count("*").over(w) * F.lit(100.0)), 4
+        ).alias("moving_avg"),
+    )
+
+
+def user_activity_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-share (Pareto) accounting: users ranked by event count,
+    with each user's running share of total events and of the user
+    population — "what % of users generate 80% of traffic".
+
+    The cumulative sum over the GLOBAL (cnt DESC, user_id) order is the
+    scale hazard: a bare ``Window.orderBy`` funnels every user through one
+    partition. Same cure as pack_sequences: range-partition the aggregated
+    frame into ordered buckets, run the running sum/rank per bucket in
+    parallel, then add broadcast per-bucket offsets. Bucket boundaries come
+    from the range partitioner's sampling — nondeterministic — but the
+    ordering key is unique, so cum/rank results are identical whatever the
+    boundaries land on.
+    """
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    parted = counts.repartitionByRange(
+        32, F.desc("cnt"), F.asc("user_id")
+    ).withColumn("bucket", F.spark_partition_id())
+    intra_w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("cnt"), "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = parted.select(
+        "user_id",
+        "cnt",
+        "bucket",
+        F.sum("cnt").over(intra_w).alias("intra_cum"),
+        F.count("*").over(intra_w).alias("intra_rank"),
+    )
+    totals = parted.groupBy("bucket").agg(
+        F.sum("cnt").alias("b_cnt"), F.count("*").alias("b_rows")
+    )
+    off_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "bucket",
+        (F.sum("b_cnt").over(off_w) - F.col("b_cnt")).alias("cum_off"),
+        (F.sum("b_rows").over(off_w) - F.col("b_rows")).alias("rank_off"),
+    )
+    grand = counts.agg(
+        F.sum("cnt").cast("long").alias("total_events"),
+        F.count("*").alias("n_users"),
+    )
+    return (
+        intra.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "user_id",
+            "cnt",
+            (F.col("rank_off") + F.col("intra_rank")).alias("user_rank"),
+            F.round(
+                (F.col("cum_off") + F.col("intra_cum"))
+                / F.col("total_events").cast("double"),
+                6,
+            ).alias("cum_event_share"),
+            F.round(
+                (F.col("rank_off") + F.col("intra_rank"))
+                / F.col("n_users").cast("double"),
+                6,
+            ).alias("cum_user_share"),
+        )
+        .orderBy("user_rank")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "value_moving_avg": """
+        SELECT event_id, event_type,
+               count(*) OVER w AS n_in_window,
+               round(sum(cents) OVER w / (count(*) OVER w * 100.0), 4)
+                   AS moving_avg
+        FROM (SELECT event_id, event_type, ts,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events)
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "user_activity_pareto": """
+        WITH counts AS (SELECT user_id, count(*) AS cnt
+                        FROM events GROUP BY user_id),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_events,
+                       count(*) AS n_users
+                FROM counts)
+        SELECT user_id, cnt,
+               row_number() OVER (ORDER BY cnt DESC, user_id) AS user_rank,
+               round(sum(cnt) OVER (ORDER BY cnt DESC, user_id)
+                     / CAST(total_events AS DOUBLE), 6) AS cum_event_share,
+               round(row_number() OVER (ORDER BY cnt DESC, user_id)
+                     / CAST(n_users AS DOUBLE), 6) AS cum_user_share
+        FROM counts CROSS JOIN tot
+        ORDER BY user_rank
+    """,
     "value_ntiles": """
         SELECT event_type, tile, count(*) AS cnt,
                round(min(cents) / 100.0, 4) AS tile_min,
@@ -169,6 +289,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "value_moving_avg": value_moving_avg,
+    "user_activity_pareto": user_activity_pareto,
     "retention_last_n": retention_last_n,
     "sliding_window_counts": sliding_window_counts,
     "sessionize": sessionize,

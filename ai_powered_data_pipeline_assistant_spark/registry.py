@@ -22,6 +22,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     dedup,
     diagnostics,
     embedding_pipeline,
+    embedding_stats,
     joins,
     multimodal,
     neardup_cluster,
@@ -61,6 +62,7 @@ _MODULES = [
     scalar_ops,
     multimodal,
     embedding_pipeline,
+    embedding_stats,
     tpch,
     formats,
 ]

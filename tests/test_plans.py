@@ -184,3 +184,33 @@ def test_pack_sequences_prefix_sum_is_partitioned(spark, sf_dir):
         r"Window \[sum\(n_tokens#\d+\) windowspecdefinition\(bucket#\d+L, doc_id",
         plan,
     ), plan
+
+
+def test_funnel_counts_has_no_joins(spark, sf_dir):
+    """Funnel: stage mins must come from ONE conditional-aggregate pass —
+    the naive per-stage self-join (events ⋈ events per step) is the scale
+    killer this formulation avoids."""
+    plan = _initial_plan(QUERIES["funnel_counts"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "partial_min" in plan, plan  # map-side combined stage mins
+
+
+def test_gapfill_joins_are_broadcast(spark, sf_dir):
+    """Calendar gap-fill: the grid and per-day counts are days × types
+    rows — every join must broadcast; shuffling the facts against a
+    30-row calendar would be absurd at scale."""
+    plan = _initial_plan(QUERIES["daily_counts_gapfill"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_pareto_prefix_sum_is_partitioned(spark, sf_dir):
+    """Pareto accounting: the per-user running sum must be windowed BY
+    BUCKET (two-phase prefix sum over the range-partitioned aggregate);
+    only the per-bucket offsets frame may use the global ordered window."""
+    import re
+
+    plan = _initial_plan(QUERIES["user_activity_pareto"](spark, sf_dir))
+    assert re.search(
+        r"windowspecdefinition\(bucket#\d+", plan
+    ), plan
