@@ -100,9 +100,51 @@ def hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROFILE_COLS = ("user_id", "event_type", "value", "props")
+
+
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-profiling summary of the events table: row count,
+    null count, distinct count (nulls excluded, SQL semantics) — the
+    first-look report every ingestion pipeline runs on a new source.
+
+    ONE aggregation pass computes every column's stats (the multi
+    countDistinct plans a single Expand + two-phase aggregate — one
+    shuffle, not one job per column); the per-column rows come from an
+    unpivot of that single summary row."""
+    events = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = events.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in PROFILE_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(PROFILE_COLS)}, {stack_args}) "
+        "AS (column_name, n_nulls, n_distinct)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct").orderBy(
+        "column_name"
+    )
+
+
 _COUNTS_CTE = "SELECT user_id, count(*) AS cnt FROM events GROUP BY 1"
 
+_PROFILE_UNION = "\n        UNION ALL ".join(
+    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct FROM events"""
+    for c in PROFILE_COLS
+)
+
 ORACLES: dict[str, str] = {
+    "column_profile": f"""
+        SELECT column_name, n_rows, n_nulls, n_distinct FROM (
+            {_PROFILE_UNION}
+        ) ORDER BY column_name
+    """,
     "key_skew_stats": f"""
         WITH counts AS ({_COUNTS_CTE}),
         ranked AS (
@@ -141,4 +183,5 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "key_skew_stats": key_skew_stats,
     "hot_keys": hot_keys,
+    "column_profile": column_profile,
 }

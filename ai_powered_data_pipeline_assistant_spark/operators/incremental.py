@@ -1,0 +1,207 @@
+"""Incremental-maintenance operators: partial-aggregate rollup merge and
+SCD Type-2 dimension versioning.
+
+Both are the batch shapes behind a lakehouse's nightly maintenance jobs.
+The reference's closest analogue is its counter-upsert maintenance SQL
+(reference Supabase/knowledge_base_Maintenance.sql:15-22); these operators
+generalize it to (a) mergeable aggregate state and (b) full history-keeping
+dimension updates.
+
+- ``incremental_daily_rollup`` — the COMMUTATIVE-MONOID property that makes
+  aggregation incremental: yesterday's rollup (already aggregated) merges
+  with today's delta partition by summing partial states — the base table
+  is never rescanned. Demonstrated here by splitting events at a cut date:
+  the "existing rollup" side aggregates once, the "new batch" side
+  aggregates once, and the merge is a sum over day keys. Counts and
+  integer-cents sums are mergeable; avg is derived at read time (never
+  stored — averages don't merge).
+
+- ``scd2_apply`` — Slowly-Changing-Dimension type 2: an update batch closes
+  the current version of each changed key (valid_to set) and appends a new
+  open version. The update batch is small next to the dimension, so the
+  change-key membership joins are broadcast; on Delta/Iceberg the same
+  logic is the canonical two-action MERGE.
+
+Scale notes: rollup merge shuffles only day-keyed partial states (days ×
+1 row, regardless of event volume); scd2's anti/semi joins broadcast the
+update keys — the dimension scan never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+ROLLUP_CUT = "2024-01-25"  # existing rollup covers days <= cut
+SCD_MOD = 7  # customers with c_custkey % SCD_MOD == 0 receive an update
+SCD_NEW_SEGMENT = "MIGRATED"
+
+
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge an existing daily rollup with a new batch's partial aggregate;
+    result must equal the full recompute (which is what the oracle runs)."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(day.alias("day")).agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("cents"),
+        )
+
+    existing = partial(events.filter(day <= F.lit(ROLLUP_CUT)))
+    delta = partial(events.filter(day > F.lit(ROLLUP_CUT)))
+    return (
+        existing.unionByName(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "day",
+            "n_events",
+            F.round(F.col("cents") / (F.col("n_events") * 100.0), 4).alias(
+                "avg_value"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 over the customer dimension: segment migration for every
+    SCD_MOD-th key closes version 1 and opens version 2. Returns the full
+    versioned dimension (key, segment, version, valid_from, valid_to)."""
+    cust = load_table(spark, sf_dir, "customer")
+    current = cust.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    updates = current.filter(F.col("c_custkey") % SCD_MOD == 0).select(
+        "c_custkey", F.lit(SCD_NEW_SEGMENT).alias("new_segment")
+    )
+    v1_open = F.lit(1).alias("version"), F.lit(0).alias("valid_from"), F.lit(
+        None
+    ).cast("int").alias("valid_to")
+    unchanged = current.join(
+        F.broadcast(updates), "c_custkey", "left_anti"
+    ).select("c_custkey", "segment", *v1_open)
+    closed = current.join(
+        F.broadcast(updates), "c_custkey", "left_semi"
+    ).select(
+        "c_custkey",
+        "segment",
+        F.lit(1).alias("version"),
+        F.lit(0).alias("valid_from"),
+        F.lit(1).cast("int").alias("valid_to"),
+    )
+    opened = updates.select(
+        "c_custkey",
+        F.col("new_segment").alias("segment"),
+        F.lit(2).alias("version"),
+        F.lit(1).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    return (
+        unchanged.unionByName(closed)
+        .unionByName(opened)
+        .orderBy("c_custkey", "version")
+    )
+
+
+DIFF_DEL_MOD = 13  # keys deleted in the "new" snapshot
+DIFF_UPD_MOD = 11  # keys whose text is rewritten
+DIFF_ADD_MOD = 17  # keys cloned as additions
+DIFF_ADD_OFFSET = 1_000_000
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: classify every key across two snapshots as
+    added / removed / modified / unchanged and count each class — the
+    audit every data-versioning workflow (Delta time travel, LakeFS,
+    dataset releases) runs between versions.
+
+    The "new" snapshot is derived deterministically from documents
+    (deletions, text rewrites, key-shifted additions) so the expected
+    classes are oracle-checkable. Comparison is one full-outer join on the
+    key with md5 content fingerprints — content hashing means the diff
+    never moves document bodies through the shuffle, only 16-byte digests.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", F.md5("text").alias("o_h"))
+    new_text = F.when(
+        F.col("doc_id") % DIFF_UPD_MOD == 0, F.upper(F.col("text"))
+    ).otherwise(F.col("text"))
+    new = (
+        docs.filter(F.col("doc_id") % DIFF_DEL_MOD != 0)
+        .select("doc_id", F.md5(new_text).alias("n_h"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % DIFF_ADD_MOD == 0).select(
+                (F.col("doc_id") + DIFF_ADD_OFFSET).alias("doc_id"),
+                F.md5("text").alias("n_h"),
+            )
+        )
+    )
+    status = (
+        F.when(F.col("o_h").isNull(), F.lit("added"))
+        .when(F.col("n_h").isNull(), F.lit("removed"))
+        .when(F.col("o_h") != F.col("n_h"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        old.join(new, "doc_id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "snapshot_diff": f"""
+        WITH old AS (SELECT doc_id, md5(text) AS o_h FROM documents),
+        new AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % {DIFF_UPD_MOD} = 0
+                            THEN upper(text) ELSE text END) AS n_h
+            FROM documents WHERE doc_id % {DIFF_DEL_MOD} <> 0
+            UNION ALL
+            SELECT doc_id + {DIFF_ADD_OFFSET}, md5(text)
+            FROM documents WHERE doc_id % {DIFF_ADD_MOD} = 0),
+        j AS (
+            SELECT CASE WHEN o_h IS NULL THEN 'added'
+                        WHEN n_h IS NULL THEN 'removed'
+                        WHEN o_h <> n_h THEN 'modified'
+                        ELSE 'unchanged' END AS status
+            FROM old FULL OUTER JOIN new USING (doc_id))
+        SELECT status, count(*) AS n_docs FROM j
+        GROUP BY status ORDER BY status
+    """,
+    "incremental_daily_rollup": """
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+               round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     / (count(*) * 100.0), 4) AS avg_value
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "scd2_apply": f"""
+        WITH cur AS (SELECT c_custkey, c_mktsegment AS segment FROM customer),
+        upd AS (SELECT c_custkey FROM cur WHERE c_custkey % {SCD_MOD} = 0)
+        SELECT c_custkey, segment, 1 AS version, 0 AS valid_from,
+               CAST(NULL AS INTEGER) AS valid_to
+        FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        UNION ALL
+        SELECT c_custkey, segment, 1, 0, 1
+        FROM cur WHERE c_custkey IN (SELECT c_custkey FROM upd)
+        UNION ALL
+        SELECT c_custkey, '{SCD_NEW_SEGMENT}', 2, 1, CAST(NULL AS INTEGER)
+        FROM upd
+        ORDER BY c_custkey, version
+    """,
+}
+
+QUERIES = {
+    "incremental_daily_rollup": incremental_daily_rollup,
+    "scd2_apply": scd2_apply,
+    "snapshot_diff": snapshot_diff,
+}

@@ -70,6 +70,71 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-probability under a corpus-trained
+    add-one-smoothed bigram LM — one rung up the KenLM ladder from
+    `unigram_logprob`.
+
+    Bigram extraction is ARRAY-ADJACENT (t[i], t[i+1]) — a flatMap over the
+    scan with NO per-doc window shuffle (the lag-window formulation would
+    shuffle the full token stream by doc_id for information the token array
+    already holds). Same integer discipline as the unigram scorer: each
+    distinct bigram's smoothed log-prob is rounded and int64-scaled once,
+    document sums are exact integer adds.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pairs = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    vsize = uni.agg(F.count("*").alias("v"))
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    lp = (
+        big.join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double"))
+                * LP_SCALE,
+                0,
+            )
+            .cast("long")
+            .alias("lp_int"),
+        )
+    )
+    return (
+        pairs.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.sum("lp_int").alias("sum_lp"), F.count("*").alias("n_bigrams"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -(F.col("sum_lp") / F.lit(float(LP_SCALE))) / F.col("n_bigrams"), 6
+            ).alias("mean_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic quality score + keep label from the shared per-doc features
     (one codegen'd projection over the scan; weights are inlined
@@ -118,6 +183,30 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id
         ORDER BY doc_id
     """,
+    "bigram_logprob": rf"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents),
+        pairs AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+        uni AS (
+            SELECT tok, count(*) AS c1 FROM (
+                SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+        vsize AS (SELECT count(*) AS v FROM uni),
+        big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        lp AS (
+            SELECT w1, w2,
+                   CAST(round(ln((c12 + 1) / CAST(c1 + v AS DOUBLE))
+                              * {LP_SCALE}, 0) AS BIGINT) AS lp_int
+            FROM big JOIN uni ON uni.tok = big.w1 CROSS JOIN vsize)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(-(CAST(sum(lp_int) AS BIGINT) / {LP_SCALE}.0)
+                     / count(*), 6) AS mean_neg_logprob
+        FROM pairs JOIN lp USING (w1, w2)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "quality_classifier": rf"""
         WITH feats AS (
             SELECT doc_id,
@@ -144,5 +233,6 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "unigram_logprob": unigram_logprob,
+    "bigram_logprob": bigram_logprob,
     "quality_classifier": quality_classifier,
 }

@@ -23,6 +23,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     diagnostics,
     embedding_pipeline,
     embedding_stats,
+    incremental,
     joins,
     multimodal,
     neardup_cluster,
@@ -60,6 +61,7 @@ _MODULES = [
     scoring,
     windows,
     scalar_ops,
+    incremental,
     multimodal,
     embedding_pipeline,
     embedding_stats,

@@ -50,6 +50,11 @@ HEADLINE = [
     "sliding_window_counts",
     "media_summary",
     "embed_and_search",
+    "funnel_counts",
+    "user_activity_pareto",
+    "daily_counts_gapfill",
+    "token_budget",
+    "pca_project",
 ]
 
 
