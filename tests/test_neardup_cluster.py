@@ -44,3 +44,37 @@ def test_edge_order_is_irrelevant(spark):
 def test_empty_edge_list(spark):
     df = spark.createDataFrame([], "a_id long, b_id long")
     assert connected_components(df).count() == 0
+
+
+def test_cc_chain_converges_logarithmically(spark):
+    """Pointer doubling: a 64-node path graph must resolve to one component
+    in ~log rounds, not ~diameter rounds (min-label alone needs 63)."""
+    from pyspark.sql import functions as F
+
+    from ai_powered_data_pipeline_assistant_spark.operators.neardup_cluster import (
+        connected_components,
+    )
+
+    edges = spark.range(63).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    labels = connected_components(edges)
+    rows = labels.collect()
+    assert len(rows) == 64
+    assert all(r["label"] == 0 for r in rows), rows[:5]
+    assert connected_components.last_rounds <= 12, (
+        f"pointer doubling ineffective: {connected_components.last_rounds} rounds"
+    )
+
+
+def test_cc_two_components_and_isolated_pair(spark):
+    from pyspark.sql import functions as F
+
+    from ai_powered_data_pipeline_assistant_spark.operators.neardup_cluster import (
+        connected_components,
+    )
+
+    data = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    edges = spark.createDataFrame(data, "a_id long, b_id long")
+    labels = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
