@@ -200,6 +200,21 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quartiles per group (approx_percentile, accuracy 10000)
+    — the 100 TB path `value_percentiles` documents: the sketch merges
+    map-side, so no group ever materializes its full value list. No SQL
+    oracle (sketch internals are engine-specific); accuracy vs the exact
+    quartiles is pinned in tests/test_vector_quality.py."""
+    events = load_table(spark, sf_dir, "events")
+    cents = _cents("value")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile_approx(cents, 0.25, 10000) / 100.0, 4).alias("p25"),
+        F.round(F.percentile_approx(cents, 0.5, 10000) / 100.0, 4).alias("p50"),
+        F.round(F.percentile_approx(cents, 0.75, 10000) / 100.0, 4).alias("p75"),
+    )
+
+
 def top_users_collected(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Grouped array collection: the top-k users per event type gathered
     into ONE array column per group (leaderboard-as-row). collect_list is
@@ -388,6 +403,7 @@ QUERIES = {
     "distinct_users": distinct_users,
     "distinct_users_approx": distinct_users_approx,
     "value_percentiles": value_percentiles,
+    "value_percentiles_approx": value_percentiles_approx,
     "top_users_collected": top_users_collected,
     "rate_window_counts": rate_window_counts,
     "tpch_q1": tpch_q1,

@@ -11,7 +11,7 @@ ID, quality scoring, token counting, fingerprinting).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
@@ -56,6 +56,28 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"hits_{c}") for c in LANG_STOPWORDS],
         pred.alias("predicted_lang"),
     )
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang-ID heuristic against the metadata
+    label, with per-true-class shares — the evaluation table you publish
+    next to any classifier-driven curation gate.
+
+    Rides the lang_id projection; the matrix aggregate is
+    |langs|² rows, and the class-share window runs on that tiny frame."""
+    pred = lang_id(spark, sf_dir)
+    conf = pred.groupBy("lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return conf.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6).alias(
+            "class_share"
+        ),
+    ).orderBy("lang", "predicted_lang")
 
 
 def quality_expr() -> "F.Column":
@@ -582,6 +604,17 @@ def _lang_id_sql() -> str:
 
 ORACLES["lang_id"] = _lang_id_sql()
 
+ORACLES["lang_confusion"] = f"""
+    WITH pred AS ({_lang_id_sql()}),
+    conf AS (
+        SELECT lang, predicted_lang, count(*) AS n_docs
+        FROM pred GROUP BY 1, 2)
+    SELECT lang, predicted_lang, n_docs,
+           round(n_docs / CAST(CAST(sum(n_docs) OVER (PARTITION BY lang)
+                                    AS BIGINT) AS DOUBLE), 6) AS class_share
+    FROM conf ORDER BY lang, predicted_lang
+"""
+
 
 def _redact_docs_sql() -> str:
     """The same ordered redaction chain in DuckDB (RE2). The rule set uses
@@ -605,6 +638,7 @@ ORACLES["redact_docs"] = _redact_docs_sql()
 
 QUERIES = {
     "lang_id": lang_id,
+    "lang_confusion": lang_confusion,
     "quality_score": quality_score,
     "token_stats": token_stats,
     "doc_fingerprint": doc_fingerprint,

@@ -83,3 +83,26 @@ def test_embedding_neardup_lsh_recall(spark, sf_dir):
     if exact:
         recall = len(approx) / len(exact)
         assert recall >= 0.5, f"LSH recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    """approx_percentile(accuracy=10000) must land within 2% relative error
+    of the exact quartiles on every group (at test scale the sketch holds
+    all values, so it is usually exact)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.aggregates import (
+        value_percentiles,
+        value_percentiles_approx,
+    )
+
+    exact = {
+        r["event_type"]: (r["p25"], r["p50"], r["p75"])
+        for r in value_percentiles(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: (r["p25"], r["p50"], r["p75"])
+        for r in value_percentiles_approx(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for et, ex in exact.items():
+        for e, a in zip(ex, approx[et]):
+            assert abs(a - e) <= max(0.02 * abs(e), 0.02), (et, ex, approx[et])
