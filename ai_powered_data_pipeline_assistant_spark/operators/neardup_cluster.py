@@ -172,6 +172,26 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row profile of the verified near-dup graph: node/edge counts and
+    degree spread — the health check run before clustering (a degree
+    explosion means the LSH threshold is too loose). Degrees come from one
+    groupBy over the symmetrized edge list; the edge count is derived as
+    sum(degree)/2, so the pair pipeline runs exactly once."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    sym = pairs.select(F.col("a_id").alias("node")).unionAll(
+        pairs.select(F.col("b_id").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("degree") / 2).cast("long").alias("n_edges"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+        F.round(F.avg("degree"), 4).alias("avg_degree"),
+    )
+
+
 _VERIFIED_EDGES_CTE = f"""
         {minhash_lsh_cte("documents")},
         verified AS (
@@ -208,7 +228,24 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["neardup_degree_stats"] = f"""
+    WITH {minhash_lsh_cte("documents")},
+    verified AS (
+        SELECT c.a_id, c.b_id
+        FROM candidates c JOIN pairs p ON c.a_id = p.a_id AND c.b_id = p.b_id
+        WHERE p.jaccard >= {JACCARD_THRESHOLD}),
+    sym AS (SELECT a_id AS node FROM verified
+            UNION ALL SELECT b_id FROM verified),
+    deg AS (SELECT node, count(*) AS degree FROM sym GROUP BY 1)
+    SELECT count(*) AS n_nodes,
+           CAST(CAST(sum(degree) AS BIGINT) / 2 AS BIGINT) AS n_edges,
+           min(degree) AS min_degree, max(degree) AS max_degree,
+           round(avg(degree), 4) AS avg_degree
+    FROM deg
+"""
+
 QUERIES = {
     "neardup_clusters": neardup_clusters,
     "neardup_keep_best": neardup_keep_best,
+    "neardup_degree_stats": neardup_degree_stats,
 }

@@ -108,6 +108,34 @@ def value_ntiles(spark: SparkSession, sf_dir: str, n: int = 4) -> DataFrame:
     )
 
 
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative revenue over order history — the running-
+    total ledger view. Partitioned by customer, so the window parallelizes
+    across the key space (one shuffle, per-key sort); integer-cents math
+    keeps the running sums exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            cents.alias("cents"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.round(F.sum("cents").over(w) / 100.0, 2).alias("running_revenue"),
+        )
+    )
+
+
 def value_moving_avg(spark: SparkSession, sf_dir: str, n: int = 7) -> DataFrame:
     """Trailing n-row moving average of `value` per event_type (the
     time-series smoothing primitive). Integer-cents sums inside the window
@@ -203,6 +231,17 @@ def user_activity_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "customer_running_revenue": """
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS order_date,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) / 100.0, 2)
+                   AS running_revenue
+        FROM orders
+    """,
     "value_moving_avg": """
         SELECT event_id, event_type,
                count(*) OVER w AS n_in_window,
@@ -289,6 +328,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "customer_running_revenue": customer_running_revenue,
     "value_moving_avg": value_moving_avg,
     "user_activity_pareto": user_activity_pareto,
     "retention_last_n": retention_last_n,
