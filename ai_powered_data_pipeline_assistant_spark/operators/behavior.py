@@ -175,6 +175,58 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_WINDOW = 50  # trailing rows (incl. current)
+ANOMALY_MIN_N = 20  # warm-up before flagging
+ANOMALY_Z = 3  # z-score threshold
+
+
+def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection per event_type, computed
+    ENTIRELY in int64 — the float-discipline pattern this engine uses for
+    cross-engine exactness, applied to monitoring.
+
+    z² > Z² is algebraically rearranged to an integer comparison:
+        (n·x − s)²·(n−1) > Z²·n·(n·s2 − s²)
+    over integer-cents window sums (s, s2, n), so the anomaly decision is
+    bit-identical on any engine and any partitioning — no σ rounding, no
+    float accumulation order. Magnitudes stay < 2^47 at cents scale. One
+    shuffle on event_type; the window sort is per-key.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ANOMALY_WINDOW - 1), 0)
+    )
+    base = events.select(
+        "event_id", "event_type", "ts", cents.alias("x")
+    ).select(
+        "event_id",
+        "event_type",
+        "x",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("s2"),
+    )
+    lhs = (F.col("n") * F.col("x") - F.col("s"))
+    flagged = base.filter(
+        (F.col("n") >= ANOMALY_MIN_N)
+        & (
+            lhs * lhs * (F.col("n") - 1)
+            > F.lit(ANOMALY_Z * ANOMALY_Z)
+            * F.col("n")
+            * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+        )
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("x") / 100.0, 2).alias("value"),
+        "n",
+    ).orderBy("event_id")
+
+
 def chars_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of document lengths: HIST_BUCKETS buckets of
     HIST_WIDTH chars, last bucket open-ended. Pure column expression +
@@ -273,6 +325,27 @@ ORACLES: dict[str, str] = {
                max(gap_us) AS max_gap_us
         FROM g GROUP BY user_id ORDER BY user_id
     """,
+    "value_anomalies": f"""
+        WITH base AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS x,
+                   count(*) OVER w AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
+                   sum(CAST(round(value * 100) AS BIGINT)
+                       * CAST(round(value * 100) AS BIGINT)) OVER w AS s2
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN {ANOMALY_WINDOW - 1} PRECEDING
+                                  AND CURRENT ROW))
+        SELECT event_id, event_type, round(x / 100.0, 2) AS value, n
+        FROM base
+        WHERE n >= {ANOMALY_MIN_N}
+          AND CAST((n * x - s) AS BIGINT) * CAST((n * x - s) AS BIGINT)
+              * (n - 1)
+              > {ANOMALY_Z * ANOMALY_Z} * n
+                * CAST((n * s2 - s * s) AS BIGINT)
+        ORDER BY event_id
+    """,
     "chars_histogram": f"""
         WITH b AS (SELECT least(n_chars // {HIST_WIDTH},
                                {HIST_BUCKETS - 1}) AS bucket
@@ -295,6 +368,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "funnel_counts": funnel_counts,
+    "value_anomalies": value_anomalies,
     "cohort_retention": cohort_retention,
     "daily_counts_gapfill": daily_counts_gapfill,
     "event_gaps": event_gaps,
