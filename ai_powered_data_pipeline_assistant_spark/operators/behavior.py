@@ -248,6 +248,28 @@ def chars_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour event counts — the traffic heatmap grid. ISO
+    weekday numbering (Mon=1) avoids engine-specific DOW conventions; one
+    map-side-combined groupBy on a ≤168-key space."""
+    events = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events.select(
+            F.dayofweek(ts).alias("dow_raw"),
+            F.hour(ts).alias("hour"),
+        )
+        # Spark dayofweek: Sun=1..Sat=7 → ISO Mon=1..Sun=7
+        .select(
+            ((F.col("dow_raw") + 5) % 7 + 1).cast("long").alias("iso_dow"),
+            F.col("hour").cast("long").alias("hour"),
+        )
+        .groupBy("iso_dow", "hour")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("iso_dow", "hour")
+    )
+
+
 def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top TOP_PER_LANG longest documents per language (deterministic
     doc_id tie-break) — the grouped-top-N pattern."""
@@ -355,6 +377,11 @@ ORACLES: dict[str, str] = {
                count(*) AS n_docs
         FROM b GROUP BY bucket ORDER BY bucket
     """,
+    "activity_heatmap": """
+        SELECT isodow(ts) AS iso_dow, CAST(hour(ts) AS BIGINT) AS hour,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "top_docs_per_lang": f"""
         WITH ranked AS (
             SELECT lang, doc_id, n_chars,
@@ -374,4 +401,5 @@ QUERIES = {
     "event_gaps": event_gaps,
     "chars_histogram": chars_histogram,
     "top_docs_per_lang": top_docs_per_lang,
+    "activity_heatmap": activity_heatmap,
 }
