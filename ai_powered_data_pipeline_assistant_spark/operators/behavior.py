@@ -175,6 +175,36 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix: for each (prev → next)
+    pair of consecutive events within a user's stream, the count and the
+    row-normalized transition probability — the Markov view of user
+    behavior. One lag window + one tiny groupBy; the normalizing window
+    runs on the ≤|types|² aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    norm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm).cast("double"), 6).alias(
+            "p_transition"
+        ),
+    ).orderBy("prev_type", "next_type")
+
+
 ANOMALY_WINDOW = 50  # trailing rows (incl. current)
 ANOMALY_MIN_N = 20  # warm-up before flagging
 ANOMALY_Z = 3  # z-score threshold
@@ -347,6 +377,20 @@ ORACLES: dict[str, str] = {
                max(gap_us) AS max_gap_us
         FROM g GROUP BY user_id ORDER BY user_id
     """,
+    "event_transitions": """
+        WITH pairs AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type,
+                   event_type AS next_type
+            FROM events),
+        counts AS (
+            SELECT prev_type, next_type, count(*) AS n
+            FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        SELECT prev_type, next_type, n,
+               round(n / CAST(CAST(sum(n) OVER (PARTITION BY prev_type)
+                                   AS BIGINT) AS DOUBLE), 6) AS p_transition
+        FROM counts ORDER BY prev_type, next_type
+    """,
     "value_anomalies": f"""
         WITH base AS (
             SELECT event_id, event_type,
@@ -402,4 +446,5 @@ QUERIES = {
     "chars_histogram": chars_histogram,
     "top_docs_per_lang": top_docs_per_lang,
     "activity_heatmap": activity_heatmap,
+    "event_transitions": event_transitions,
 }
