@@ -122,9 +122,55 @@ def pca_variance_report(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> Dat
     )
 
 
-ORACLES: dict[str, str] = {}  # eigensolve is not SQL-expressible: rows-only
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 affine quantization (the vector-store compression
+    step: 4 bytes/dim → 1) with per-vector reconstruction-error stats.
+
+    scale/zero-point derive from each vector's own min/max (asymmetric
+    per-row quantization); everything is array HOFs on the JVM — no
+    shuffle, no Python. Output keeps the int8 codes plus max-abs and mean
+    reconstruction error so a caller can gate on quality. Rows-only check
+    (per-element float round-trips aren't SQL-oracle-stable); numeric
+    bounds are pinned in tests/test_embedding_stats.py."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    lo = F.array_min("embedding")
+    hi = F.array_max("embedding")
+    scale = (hi - lo) / F.lit(255.0)
+    safe_scale = F.when(scale == 0, F.lit(1.0)).otherwise(scale)
+    q = F.expr(
+        "transform(embedding, x -> CAST(round((x - _lo) / _scale) - 128 AS TINYINT))"
+    )
+    deq = F.expr(
+        "transform(_codes, c -> (CAST(c AS DOUBLE) + 128) * _scale + _lo)"
+    )
+    err = F.expr(
+        "transform(arrays_zip(embedding, _deq), p -> abs(p.embedding - p.`_deq`))"
+    )
+    out = (
+        emb.withColumn("_lo", lo.cast("double"))
+        .withColumn("_scale", safe_scale.cast("double"))
+        .withColumn("_codes", q)
+        .withColumn("_deq", deq)
+        .withColumn("_err", err)
+    )
+    return out.select(
+        "vec_id",
+        "_codes",
+        F.round(F.array_max("_err"), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate("_err", F.lit(0.0), lambda a, x: a + x)
+            / F.size("_err"),
+            6,
+        ).alias("mean_abs_err"),
+        F.col("_scale").alias("scale"),
+        F.col("_lo").alias("zero_point"),
+    ).orderBy("vec_id")
+
+
+ORACLES: dict[str, str] = {}  # eigensolve / float round-trips: rows-only
 
 QUERIES = {
     "pca_project": pca_project,
     "pca_variance_report": pca_variance_report,
+    "embedding_quantize": embedding_quantize,
 }

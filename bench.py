@@ -81,11 +81,12 @@ def main() -> None:
         F.row_number().over(Window.partitionBy("id").orderBy("id"))
     ).count()
 
-    # Best-of-2 per query: the first pass pays one-time codegen JIT and is
+    # Best-of-N per query: the first pass pays one-time codegen JIT and is
     # exposed to host noise (this box shows multi-second scheduling jitter);
     # the minimum approximates steady-state per-query latency, which is the
-    # number that scales to a cluster.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # number that scales to a cluster. N=3 damps the documented up-to-3×
+    # host-noise variance at ~2 min extra wall time per bench run.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")

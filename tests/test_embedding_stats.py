@@ -58,3 +58,20 @@ def test_variance_report_shape(spark, sf_dir):
     cum = [r["cum_var_ratio"] for r in rows]
     assert all(cum[i] <= cum[i + 1] + 1e-12 for i in range(len(cum) - 1))
     assert 0 < cum[-1] <= 1.0 + 1e-9
+
+
+def test_quantize_error_bounds(spark, sf_dir):
+    """int8 affine quantization must reconstruct within scale/2 per element
+    (rounding bound), codes must span int8, and errors must be finite."""
+    from ai_powered_data_pipeline_assistant_spark.operators.embedding_stats import (
+        embedding_quantize,
+    )
+
+    rows = embedding_quantize(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert len(r["_codes"]) == 64
+        assert all(-128 <= c <= 127 for c in r["_codes"])
+        # max error bounded by half a quantization step (+ fp slack)
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6, r
+        assert 0 <= r["mean_abs_err"] <= r["max_abs_err"] + 1e-9
