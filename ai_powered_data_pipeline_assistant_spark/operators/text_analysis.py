@@ -80,6 +80,55 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "predicted_lang")
 
 
+ENTROPY_SCALE = 1_000_000
+
+
+def char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the character-trigram distribution —
+    the randomness signal curation pipelines use to catch gibberish /
+    binary-as-text (low entropy = repetitive boilerplate, implausibly high
+    = random bytes).
+
+    H = −Σ (c/n)·ln(c/n) is an order-dependent float sum in the naive
+    form; here each trigram group's term c·ln(c/n) is rounded and
+    int64-scaled ONCE, per-document accumulation sums integers (exact under
+    any partitioning), and the final division happens identically in both
+    engines — the same discipline as `unigram_logprob`. One explode + one
+    (doc, trigram) groupBy + one per-doc agg."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    tris = F.expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0)), "
+        "i -> substring(text, i, 3))"
+    )
+    occ = (
+        docs.select("doc_id", F.length("text").alias("len"), tris.alias("tris"))
+        .filter(F.col("len") >= 3)
+        .select("doc_id", (F.col("len") - 2).alias("n"), F.explode("tris").alias("tri"))
+    )
+    counts = occ.groupBy("doc_id", "n", "tri").agg(F.count("*").alias("c"))
+    term = (
+        F.round(
+            F.col("c") * F.log(F.col("c") / F.col("n").cast("double")) * ENTROPY_SCALE,
+            0,
+        )
+        .cast("long")
+        .alias("t_int")
+    )
+    return (
+        counts.select("doc_id", "n", term)
+        .groupBy("doc_id", "n")
+        .agg(F.sum("t_int").alias("sum_t"))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_trigrams"),
+            F.round(
+                -(F.col("sum_t") / F.lit(float(ENTROPY_SCALE))) / F.col("n"), 6
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def quality_expr() -> "F.Column":
     """The composite quality score as a reusable column expression over a
     `text` column (shared by quality_score and the curation pipeline)."""
@@ -604,6 +653,26 @@ def _lang_id_sql() -> str:
 
 ORACLES["lang_id"] = _lang_id_sql()
 
+ORACLES["char_trigram_entropy"] = f"""
+    WITH occ AS (
+        SELECT doc_id, length(text) - 2 AS n, substr(text, i, 3) AS tri
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, greatest(length(text) - 2, 0) + 1))
+                      AS i)
+        WHERE length(text) >= 3),
+    counts AS (
+        SELECT doc_id, n, tri, count(*) AS c FROM occ GROUP BY 1, 2, 3),
+    terms AS (
+        SELECT doc_id, n,
+               CAST(round(c * ln(c / CAST(n AS DOUBLE)) * {ENTROPY_SCALE}, 0)
+                    AS BIGINT) AS t_int
+        FROM counts)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_trigrams,
+           round(-(CAST(sum(t_int) AS BIGINT) / {ENTROPY_SCALE}.0) / n, 6)
+               AS entropy
+    FROM terms GROUP BY doc_id, n ORDER BY doc_id
+"""
+
 ORACLES["lang_confusion"] = f"""
     WITH pred AS ({_lang_id_sql()}),
     conf AS (
@@ -639,6 +708,7 @@ ORACLES["redact_docs"] = _redact_docs_sql()
 QUERIES = {
     "lang_id": lang_id,
     "lang_confusion": lang_confusion,
+    "char_trigram_entropy": char_trigram_entropy,
     "quality_score": quality_score,
     "token_stats": token_stats,
     "doc_fingerprint": doc_fingerprint,
