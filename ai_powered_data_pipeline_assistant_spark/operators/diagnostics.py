@@ -103,48 +103,62 @@ def hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROFILE_COLS = ("user_id", "event_type", "value", "props")
 
 
-def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column data-profiling summary of the events table: row count,
-    null count, distinct count (nulls excluded, SQL semantics) — the
-    first-look report every ingestion pipeline runs on a new source.
+DOCS_PROFILE_COLS = ("text", "lang", "source", "n_chars")
+
+
+def _profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Per-column profiling summary of any frame: row count, null count,
+    distinct count (nulls excluded, SQL semantics) — the first-look report
+    every ingestion pipeline runs on a new source.
 
     ONE aggregation pass computes every column's stats (the multi
     countDistinct plans a single Expand + two-phase aggregate — one
     shuffle, not one job per column); the per-column rows come from an
     unpivot of that single summary row."""
-    events = load_table(spark, sf_dir, "events")
     aggs = [F.count("*").alias("n_rows")]
-    for c in PROFILE_COLS:
+    for c in cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
         aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
-    one = events.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', nn_{c}, nd_{c}" for c in PROFILE_COLS
-    )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
     return one.selectExpr(
         "n_rows",
-        f"stack({len(PROFILE_COLS)}, {stack_args}) "
+        f"stack({len(cols)}, {stack_args}) "
         "AS (column_name, n_nulls, n_distinct)",
     ).select("column_name", "n_rows", "n_nulls", "n_distinct").orderBy(
         "column_name"
     )
 
 
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-table column profile (see _profile)."""
+    return _profile(load_table(spark, sf_dir, "events"), PROFILE_COLS)
+
+
+def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents-table column profile (see _profile)."""
+    return _profile(load_table(spark, sf_dir, "documents"), DOCS_PROFILE_COLS)
+
+
 _COUNTS_CTE = "SELECT user_id, count(*) AS cnt FROM events GROUP BY 1"
 
-_PROFILE_UNION = "\n        UNION ALL ".join(
-    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+def _profile_sql(table: str, cols: tuple[str, ...]) -> str:
+    union = "\n        UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
                count(*) - count({c}) AS n_nulls,
-               count(DISTINCT {c}) AS n_distinct FROM events"""
-    for c in PROFILE_COLS
-)
+               count(DISTINCT {c}) AS n_distinct FROM {table}"""
+        for c in cols
+    )
+    return f"""
+        SELECT column_name, n_rows, n_nulls, n_distinct FROM (
+            {union}
+        ) ORDER BY column_name
+    """
+
 
 ORACLES: dict[str, str] = {
-    "column_profile": f"""
-        SELECT column_name, n_rows, n_nulls, n_distinct FROM (
-            {_PROFILE_UNION}
-        ) ORDER BY column_name
-    """,
+    "column_profile": _profile_sql("events", PROFILE_COLS),
+    "docs_profile": _profile_sql("documents", DOCS_PROFILE_COLS),
     "key_skew_stats": f"""
         WITH counts AS ({_COUNTS_CTE}),
         ranked AS (
@@ -184,4 +198,5 @@ QUERIES = {
     "key_skew_stats": key_skew_stats,
     "hot_keys": hot_keys,
     "column_profile": column_profile,
+    "docs_profile": docs_profile,
 }
