@@ -125,6 +125,46 @@ def quality_metrics_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_metrics_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-scorable audit of the HLL path: the sketch estimate must land
+    within 10% of the exact distinct count (HLL++ default rsd 5%). The
+    oracle recomputes row_cnt / distinct_text exactly and asserts the
+    engine's accuracy claim as a boolean."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count("*").alias("row_cnt"),
+        F.count_distinct("text").alias("exact_distinct"),
+        F.approx_count_distinct("text").alias("approx_distinct"),
+    )
+    return agg.select(
+        "row_cnt",
+        F.col("exact_distinct").alias("distinct_text"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= F.greatest(F.lit(2.0), F.col("exact_distinct").cast("double") * 0.1)
+        ).alias("within_tol"),
+    )
+
+
+def distinct_users_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL audit (the `distinct_users_approx` pin from
+    tests/test_vector_quality.py as a driver-checkable query): estimate
+    within max(2, 10%) of exact for every event type."""
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("distinct_users"),
+        F.approx_count_distinct("user_id").alias("approx_distinct"),
+    )
+    return per.select(
+        "event_type",
+        "distinct_users",
+        (
+            F.abs(F.col("approx_distinct") - F.col("distinct_users"))
+            <= F.greatest(F.lit(2.0), F.col("distinct_users").cast("double") * 0.1)
+        ).alias("within_tol"),
+    )
+
+
 def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form behind cube/rollup): totals
     by (status, priority), by status alone, and grand total — one scan, one
@@ -215,6 +255,37 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_percentiles_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-scorable audit of the t-digest path: each approx quartile must
+    land within max(2% relative, 0.02 absolute) of the exact interpolated
+    quartile per group (the tests/test_vector_quality.py pin). The oracle
+    recomputes the group keys and asserts the claim per quartile."""
+    ex = value_percentiles(spark, sf_dir).select(
+        "event_type",
+        F.col("p25").alias("e25"),
+        F.col("p50").alias("e50"),
+        F.col("p75").alias("e75"),
+    )
+    ap = value_percentiles_approx(spark, sf_dir).select(
+        "event_type",
+        F.col("p25").alias("a25"),
+        F.col("p50").alias("a50"),
+        F.col("p75").alias("a75"),
+    )
+
+    def ok(a: str, e: str) -> F.Column:
+        return F.abs(F.col(a) - F.col(e)) <= F.greatest(
+            F.abs(F.col(e)) * 0.02, F.lit(0.02)
+        )
+
+    return ex.join(ap, "event_type").select(
+        "event_type",
+        ok("a25", "e25").alias("p25_ok"),
+        ok("a50", "e50").alias("p50_ok"),
+        ok("a75", "e75").alias("p75_ok"),
+    )
+
+
 def top_users_collected(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Grouped array collection: the top-k users per event type gathered
     into ONE array column per group (leaderboard-as-row). collect_list is
@@ -228,8 +299,13 @@ def top_users_collected(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFra
     w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), "user_id")
     ranked = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
     return ranked.groupBy("event_type").agg(
-        F.sort_array(
-            F.collect_list(F.format_string("%d|%05d|%05d", "rk", "user_id", "cnt"))
+        # scalarized (joined to one string): the correctness driver's pandas
+        # canonicalizer cannot hash array cells
+        F.concat_ws(
+            ";",
+            F.sort_array(
+                F.collect_list(F.format_string("%d|%05d|%05d", "rk", "user_id", "cnt"))
+            ),
         ).alias("top_users")
     )
 
@@ -332,11 +408,11 @@ ORACLES: dict[str, str] = {
     """,
     "pivot_counts": """
         SELECT user_id % 10 AS user_shard,
-               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS evt_click,
-               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS evt_view,
-               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS evt_purchase,
-               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS evt_signup,
-               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS evt_error
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS evt_click,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS evt_view,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS evt_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS evt_signup,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS evt_error
         FROM events GROUP BY 1
     """,
     "distinct_users": """
@@ -352,9 +428,29 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) / 100.0, 4) AS p75
         FROM events GROUP BY 1
     """,
+    # Sketch audits: the oracle recomputes the exact side and asserts the
+    # engine's accuracy claim (the boolean) — how HLL/t-digest estimates
+    # become driver-scorable without a sketch-internals oracle.
+    "quality_metrics_approx_audit": """
+        SELECT CAST(count(*) AS BIGINT) AS row_cnt,
+               CAST(count(DISTINCT text) AS BIGINT) AS distinct_text,
+               true AS within_tol
+        FROM documents
+    """,
+    "distinct_users_approx_audit": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS distinct_users,
+               true AS within_tol
+        FROM events GROUP BY 1
+    """,
+    "value_percentiles_approx_audit": """
+        SELECT event_type,
+               true AS p25_ok, true AS p50_ok, true AS p75_ok
+        FROM events GROUP BY 1
+    """,
     "top_users_collected": """
         SELECT event_type,
-               list_sort(list(printf('%d|%05d|%05d', rk, user_id, cnt))) AS top_users
+               array_to_string(list_sort(list(printf('%d|%05d|%05d', rk, user_id, cnt))), ';') AS top_users
         FROM (
             SELECT event_type, user_id, cnt,
                    row_number() OVER (PARTITION BY event_type
@@ -397,13 +493,16 @@ QUERIES = {
     "rollup_counts": rollup_counts,
     "grouped_stats": grouped_stats,
     "quality_metrics": quality_metrics,
-    "quality_metrics_approx": quality_metrics_approx,  # rows-only (HLL sketch)
+    # the raw sketch queries (quality_metrics_approx, distinct_users_approx,
+    # value_percentiles_approx) are library surface — estimates have no
+    # stable SQL mirror; these *_audit twins pin them for the driver
+    "quality_metrics_approx_audit": quality_metrics_approx_audit,
+    "distinct_users_approx_audit": distinct_users_approx_audit,
+    "value_percentiles_approx_audit": value_percentiles_approx_audit,
     "grouping_sets_counts": grouping_sets_counts,
     "pivot_counts": pivot_counts,
     "distinct_users": distinct_users,
-    "distinct_users_approx": distinct_users_approx,
     "value_percentiles": value_percentiles,
-    "value_percentiles_approx": value_percentiles_approx,
     "top_users_collected": top_users_collected,
     "rate_window_counts": rate_window_counts,
     "tpch_q1": tpch_q1,

@@ -30,10 +30,24 @@ from ai_powered_data_pipeline_assistant_spark.catalog import load_table
 
 PCA_K = 8
 PROJ_ROUND = 6
+# Level-2 reducer count for the moment aggregation: the driver receives at
+# most this many (d²+d)-double partials no matter how many input partitions
+# exist. At d=1536 one partial is ~19 MB, so driver transfer stays ~150 MB
+# even on a 10k-partition table (vs partitions×19 MB with a flat collect).
+MOMENT_REDUCERS = 8
 
 
 def _moments(emb: DataFrame) -> tuple[int, np.ndarray, np.ndarray]:
-    """(n, Σx, XᵀX) accumulated distributedly — one partial per partition."""
+    """(n, Σx, XᵀX) accumulated distributedly via a two-level tree reduce:
+    each input partition emits ONE partial, a fixed pool of
+    ``MOMENT_REDUCERS`` reducers merges those partials (this is where the
+    partitions×d² volume is absorbed, distributed across the cluster), and
+    the driver only ever collects ≤MOMENT_REDUCERS partials — O(d²) driver
+    transfer independent of both row count and partition count.
+
+    Float summation order is pinned (partials sorted by originating
+    partition id inside each reducer; reducer outputs sorted by min pid on
+    the driver) so results are run-to-run deterministic."""
     dim = len(emb.select("embedding").first()["embedding"])
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -53,15 +67,44 @@ def _moments(emb: DataFrame) -> tuple[int, np.ndarray, np.ndarray]:
             }
         )
 
-    parts = emb.select("embedding").mapInPandas(
-        part, schema="n long, s array<double>, xtx array<double>"
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        allp = pd.concat(chunks).sort_values("pid")
+        n = int(allp["n"].sum())
+        s = np.zeros(dim)
+        xtx = np.zeros(dim * dim)
+        for _, r in allp.iterrows():
+            s += np.asarray(r["s"], dtype=np.float64)
+            xtx += np.asarray(r["xtx"], dtype=np.float64)
+        yield pd.DataFrame(
+            {
+                "pid": [int(allp["pid"].min())],
+                "n": [n],
+                "s": [s.tolist()],
+                "xtx": [xtx.tolist()],
+            }
+        )
+
+    schema = "pid int, n long, s array<double>, xtx array<double>"
+    parts = (
+        emb.select("embedding")
+        .mapInPandas(part, schema="n long, s array<double>, xtx array<double>")
+        .withColumn("pid", F.spark_partition_id())
     )
-    # partitions × (d² + d) doubles — bounded driver transfer
-    rows = parts.collect()
+    merged = parts.repartition(MOMENT_REDUCERS, F.col("pid") % MOMENT_REDUCERS).mapInPandas(
+        merge, schema=schema
+    )
+    # ≤ MOMENT_REDUCERS × (d² + d) doubles — O(d²) driver transfer
+    rows = sorted(merged.collect(), key=lambda r: r["pid"])
     n = sum(r["n"] for r in rows)
-    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
-    xtx = np.sum([np.array(r["xtx"]).reshape(dim, dim) for r in rows], axis=0)
-    return n, s, xtx
+    s = np.zeros(dim)
+    xtx = np.zeros(dim * dim)
+    for r in rows:
+        s += np.asarray(r["s"], dtype=np.float64)
+        xtx += np.asarray(r["xtx"], dtype=np.float64)
+    return n, s, xtx.reshape(dim, dim)
 
 
 def pca_basis(emb: DataFrame, k: int = PCA_K) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -244,7 +244,7 @@ ORACLES: dict[str, str] = {
             SELECT event_type, count(*) AS type_total FROM events GROUP BY 1)
         SELECT e.event_type, d.type_total,
                count(*) AS joined_cnt,
-               sum(e.user_id) AS user_id_sum
+               CAST(sum(e.user_id) AS BIGINT) AS user_id_sum
         FROM events e JOIN type_dim d ON e.event_type = d.event_type
         GROUP BY 1, 2
     """,

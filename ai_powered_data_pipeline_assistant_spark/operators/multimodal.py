@@ -246,9 +246,9 @@ ORACLES: dict[str, str] = {
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS modality,
                count(*) AS cnt,
-               sum(length(text)) AS total_bytes,
-               sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
-                   % 1000000007) AS checksum_sum
+               CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+               CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                        % 1000000007) AS BIGINT) AS checksum_sum
         FROM documents GROUP BY 1
     """,
 }

@@ -123,7 +123,7 @@ _GRAMS_CTE = r"""
         SELECT doc_id, gram_n, gram, count(*) AS c
         FROM g GROUP BY 1, 2, 3),
     profile AS (
-        SELECT doc_id, gram_n, sum(c) AS total_grams,
+        SELECT doc_id, gram_n, CAST(sum(c) AS BIGINT) AS total_grams,
                round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_frac,
                round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
                      / CAST(sum(c) AS DOUBLE), 6) AS dup_frac

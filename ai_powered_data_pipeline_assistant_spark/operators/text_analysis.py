@@ -246,10 +246,11 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", toks.alias("toks"))
         .select("doc_id", hashes.alias("hashes"))
         .select(
-            "doc_id", F.array_sort(F.array_distinct(mins_guarded)).alias("fingerprints")
+            "doc_id", F.array_sort(F.array_distinct(mins_guarded)).alias("fps")
         )
-        .select("doc_id", F.size("fingerprints").alias("n_fingerprints"),
-                F.col("fingerprints"))
+        # scalarized for the driver: array cells crash its canonicalizer
+        .select("doc_id", F.size("fps").alias("n_fingerprints"),
+                F.concat_ws(",", "fps").alias("fingerprints"))
     )
 
 
@@ -301,7 +302,9 @@ def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         F.size(props).alias("n_keys"),
-        F.array_sort(F.map_keys(props)).alias("keys"),
+        # driver-facing outputs must be scalar: the correctness driver's
+        # pandas canonicalizer cannot hash array cells (round-2 err)
+        F.concat_ws(",", F.array_sort(F.map_keys(props))).alias("keys"),
         F.element_at(props, "k").cast("long").alias("k_value"),
     )
 
@@ -540,8 +543,8 @@ ORACLES: dict[str, str] = {
             UNION ALL
             SELECT 'custkey_positive', o_custkey > 0 FROM orders)
         SELECT rule,
-               sum(CASE WHEN passed THEN 1 ELSE 0 END) AS pass_cnt,
-               sum(CASE WHEN passed THEN 0 ELSE 1 END) AS fail_cnt
+               CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS pass_cnt,
+               CAST(sum(CASE WHEN passed THEN 0 ELSE 1 END) AS BIGINT) AS fail_cnt
         FROM checks GROUP BY rule
     """,
     "enum_rank_maps": """
@@ -584,12 +587,13 @@ ORACLES: dict[str, str] = {
     "map_column_ops": """
         SELECT event_id,
                len(json_keys(props)) AS n_keys,
-               list_sort(json_keys(props)) AS keys,
+               array_to_string(list_sort(json_keys(props)), ',') AS keys,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
         FROM events
     """,
     "winnow_fingerprints": f"""
-        SELECT doc_id, len(fps) AS n_fingerprints, fps AS fingerprints
+        SELECT doc_id, len(fps) AS n_fingerprints,
+               array_to_string(fps, ',') AS fingerprints
         FROM (
           SELECT doc_id,
                  list_sort(list_distinct(
@@ -610,7 +614,7 @@ ORACLES: dict[str, str] = {
     """,
     "json_extract_agg": """
         SELECT event_type, count(*) AS cnt,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY 1

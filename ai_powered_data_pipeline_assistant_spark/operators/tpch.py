@@ -881,10 +881,10 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_q12": """
         SELECT l_returnflag AS flag,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_priority_cnt,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_priority_cnt
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_cnt,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_cnt
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= '1996-01-01'
         GROUP BY 1

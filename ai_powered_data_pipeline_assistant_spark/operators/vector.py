@@ -392,6 +392,54 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0
     )
 
 
+def ann_lsh_recall(spark: SparkSession, sf_dir: str, n_queries: int = 5,
+                   k: int = 5, min_recall: float = 0.2) -> DataFrame:
+    """Driver-scorable audit of the LSH ANN path: recall@k of
+    ``ann_lsh_topk`` against the exact ``ann_brute_topk``, pinned as a
+    one-row boolean (threshold matches tests/test_vector_quality.py).
+
+    The approx result itself has no stable SQL mirror (bucket bits hinge on
+    float sign — a last-ulp flip across engines moves a vector between
+    buckets), but the EXACT side is SQL-expressible, so the oracle
+    recomputes ``exact_pairs`` and asserts the engine's recall claim."""
+    exact = ann_brute_topk(spark, sf_dir, n_queries, k).select("query_id", "vec_id")
+    approx = (
+        ann_lsh_topk(spark, sf_dir, n_queries, k)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    joined = exact.join(approx, ["query_id", "vec_id"], "left")
+    return joined.agg(
+        F.count("*").alias("exact_pairs"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            >= F.count("*") * F.lit(min_recall)
+        ).alias("recall_ok"),
+    )
+
+
+def embedding_neardup_lsh_recall(spark: SparkSession, sf_dir: str,
+                                 min_recall: float = 0.5) -> DataFrame:
+    """Driver-scorable audit of the LSH near-dup path: candidate recall of
+    ``embedding_neardup_lsh`` vs the exact all-pairs baseline (exact verify
+    makes precision 1 by construction, so recall is the only free metric).
+    One row: the SQL-recomputable exact pair count + the recall pin."""
+    exact = embedding_neardup_pairs(spark, sf_dir).select("a_id", "b_id")
+    approx = (
+        embedding_neardup_lsh(spark, sf_dir)
+        .select("a_id", "b_id")
+        .withColumn("hit", F.lit(1))
+    )
+    joined = exact.join(approx, ["a_id", "b_id"], "left")
+    return joined.agg(
+        F.count("*").alias("exact_pairs"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            >= F.count("*") * F.lit(min_recall)
+        ).alias("recall_ok"),
+    )
+
+
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order-function surface: per-vector min/max/fixed-point
     sum/positive-count computed INSIDE the array column (transform/filter/
@@ -514,15 +562,29 @@ def _ivf_oracle_sql(n_queries: int = 5, k: int = 5, n_lists: int = 8,
 
 ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
 ORACLES["ann_ivf_pruned"] = _ivf_oracle_sql()
+# Recall audits: the oracle recomputes the exact side (pair counts) in SQL
+# and asserts the engine's recall pin — this is how the non-SQL-expressible
+# LSH variants become driver-scorable instead of permanent no-oracle rows.
+ORACLES["ann_lsh_recall"] = f"""
+    SELECT CAST(count(*) AS BIGINT) AS exact_pairs, true AS recall_ok
+    FROM ({ORACLES["ann_brute_topk"]})
+"""
+ORACLES["embedding_neardup_lsh_recall"] = f"""
+    SELECT CAST(count(*) AS BIGINT) AS exact_pairs, true AS recall_ok
+    FROM ({ORACLES["embedding_neardup_pairs"]})
+"""
 
+# ann_lsh_topk / embedding_neardup_lsh stay library functions (recall pinned
+# in tests + the *_recall audits above); their raw outputs are approx by
+# construction, so they are not driver-facing registry entries.
 QUERIES = {
     "cosine_topk": cosine_topk,
     "cosine_topk_filtered": cosine_topk_filtered,
     "ann_brute_topk": ann_brute_topk,
-    "ann_lsh_topk": ann_lsh_topk,
+    "ann_lsh_recall": ann_lsh_recall,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_pruned": ann_ivf_pruned,
     "embedding_neardup_pairs": embedding_neardup_pairs,
-    "embedding_neardup_lsh": embedding_neardup_lsh,  # rows-only (approx)
+    "embedding_neardup_lsh_recall": embedding_neardup_lsh_recall,
     "embedding_array_stats": embedding_array_stats,
 }

@@ -291,8 +291,9 @@ ORACLES: dict[str, str] = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         sessions AS (
             SELECT user_id, ts,
-                   sum(gap_flag) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id) AS session_idx
+                   CAST(sum(gap_flag) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                        AS BIGINT) AS session_idx
             FROM flagged)
         SELECT user_id, session_idx,
                count(*) AS event_cnt,

