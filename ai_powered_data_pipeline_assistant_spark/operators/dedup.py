@@ -74,15 +74,18 @@ def _shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         "transform(sequence(0, size(toks) - {k}), i -> "
         "concat_ws(' ', slice(toks, i + 1, {k})))".format(k=SHINGLE_K)
     )
+    # Hash + dedupe INSIDE the array (per doc) before exploding: doc_id is
+    # unique per input row, so (doc_id, h) is globally distinct by
+    # construction and the old explode→distinct shuffle (an exchange over
+    # every posting) disappears — the postings build is map-only.
+    hashes = F.array_distinct(F.transform(sh, lambda g: md5_int(g)))
     return (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
         # docs shorter than k tokens yield no shingles (and would otherwise
         # crash: sequence() descends and slice() rejects index 0); the oracle's
         # range() is ascending-only so it naturally emits nothing for them
         .filter(F.size("toks") >= SHINGLE_K)
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .select("doc_id", md5_int(F.col("shingle")).alias("h"))
-        .distinct()
+        .select("doc_id", F.explode(hashes).alias("h"))
     )
 
 
@@ -123,16 +126,21 @@ def _pair_jaccard(
     intersection join and the set sizes, so the jaccard value is consistently
     "jaccard over the rare-shingle sets" on both engines.
     """
-    postings = postings.persist()
-    rare = (
-        postings.groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_shingle_df)
-        .select("h")
+    # DF cap folded into ONE pass: a window count over the h-partitioned
+    # postings replaces the round-2 groupBy+semi-join (which cost two
+    # exchanges and — unpersisted — re-ran per consumer, 4× in the final
+    # plan). Hot-key rows cross the wire exactly once either way (the
+    # semi-join shuffled the probe side on h too); the window buffers each
+    # posting list spill-ably and drops capped keys in the same stage. The
+    # CAPPED frame is what feeds all three consumers (both self-join sides
+    # + sizes), so it is the one persisted.
+    df_w = F.count("*").over(Window.partitionBy("h"))
+    postings = (
+        postings.withColumn("_df", df_w)
+        .filter(F.col("_df") <= max_shingle_df)
+        .drop("_df")
+        .persist()
     )
-    # shuffle_hash: at scale `rare` is nearly as tall as the distinct shingle
-    # count — broadcasting it would build one giant driver-shipped map.
-    postings = postings.join(rare.hint("shuffle_hash"), "h", "left_semi")
     sizes = postings.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = postings.select(F.col("doc_id").alias("a_id"), "h")
     b = postings.select(F.col("doc_id").alias("b_id"), "h")

@@ -57,6 +57,18 @@ HEADLINE = [
     "pca_project",
 ]
 
+# The round-1 headline set, unchanged since: its sub-total is reported as
+# "common22_sec" every round so cross-round perf regressions stay visible
+# even as the headline list grows.
+COMMON_22 = [
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18",
+    "grouped_stats", "rate_window_counts", "asof_join", "range_join",
+    "sessionize", "salted_skew_join", "cosine_topk", "ann_brute_topk",
+    "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "simhash_fingerprints", "search_pipeline", "quality_score",
+    "sliding_window_counts", "media_summary", "embed_and_search",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,6 +113,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    common22 = round(sum(timings[q] for q in COMMON_22 if q in timings), 3)
     print(
         json.dumps(
             {
@@ -108,6 +121,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "common22_sec": common22,
                 "sf": sf,
             }
         )

@@ -88,12 +88,17 @@ def test_exact_dedup_partial_aggregates(spark, sf_dir):
 
 def test_jaccard_selfjoin_has_shingle_df_cap(spark, sf_dir):
     """The postings self-join must be preceded by a document-frequency drop
-    (left-semi against rare shingles) — without it one hot stop-word shingle
-    makes the join Σ posting² at web scale."""
+    (window count over h, filtered before the join) — without it one hot
+    stop-word shingle makes the join Σ posting² at web scale."""
     plan = _initial_plan(QUERIES["ngram_jaccard_pairs"](spark, sf_dir))
-    assert "LeftSemi" in plan, plan
-    # the cap itself: an aggregate on h with a count filter feeds the semi-join
-    assert "df#" in plan or "count(1)" in plan, plan
+    # the cap: a per-h window count whose filter runs BEFORE the self-join
+    assert "windowspecdefinition(h#" in plan.lower() or "Window" in plan, plan
+    assert "_df" in plan, plan
+    # and the postings build itself is map-only: no exchange keyed on the
+    # (doc_id, h) posting pair (the old explode→distinct shuffle)
+    import re
+
+    assert not re.search(r"hashpartitioning\(doc_id#\d+L?, h#", plan), plan
 
 
 def test_no_cartesian_products_anywhere(spark, sf_dir):
