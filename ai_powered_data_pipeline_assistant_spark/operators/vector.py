@@ -440,6 +440,57 @@ def embedding_neardup_lsh_recall(spark: SparkSession, sf_dir: str,
     )
 
 
+def semantic_dedup(spark: SparkSession, sf_dir: str, n_lists: int = 8,
+                   threshold: float = 0.45) -> DataFrame:
+    """SemDeDup-style semantic deduplication: route vectors to their nearest
+    coarse centroid, then find near-duplicates ONLY within each list and
+    keep the lowest vec_id of every duplicate pair (min-id-wins, one pass —
+    no iterative clustering).
+
+    The 100 TB shape: the pairwise stage is an equality join on list_id, so
+    the cost is Σ per-list² instead of n² — the same bucketing argument as
+    LSH banding, but driven by the embedding geometry (a production run
+    k-means the centroids offline; here they are the deterministic first
+    ``n_lists`` vectors, which keeps the whole operator bit-exactly
+    SQL-mirrorable, fixed-point cosine included). A vector is dropped iff
+    some same-list neighbor with a smaller id is ≥ ``threshold`` similar;
+    ``dup_of`` records the smallest such neighbor.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    centroids = ivf_centroids(emb, n_lists)
+    assigned = assign_lists(
+        emb.select("vec_id", "embedding"), "embedding", centroids, "list_id", 1
+    )
+    a = assigned.select(
+        "list_id", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec")
+    )
+    b = assigned.select(
+        "list_id", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")
+    )
+    dup_of = (
+        a.join(b, "list_id")
+        .filter(F.col("a_id") > F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            cosine_similarity(F.col("a_vec"), F.col("b_vec")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .groupBy("a_id")
+        .agg(F.min("b_id").alias("dup_of"))
+    )
+    return (
+        assigned.select("vec_id", "list_id")
+        .join(dup_of, assigned.vec_id == dup_of.a_id, "left")
+        .select(
+            "vec_id",
+            "list_id",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+        )
+    )
+
+
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order-function surface: per-vector min/max/fixed-point
     sum/positive-count computed INSIDE the array column (transform/filter/
@@ -574,6 +625,38 @@ ORACLES["embedding_neardup_lsh_recall"] = f"""
     FROM ({ORACLES["embedding_neardup_pairs"]})
 """
 
+
+def _semantic_dedup_oracle_sql(n_lists: int = 8, threshold: float = 0.45) -> str:
+    """Bit-exact DuckDB mirror of semantic_dedup (deterministic centroids,
+    fixed-point cosine, min-id-wins within list)."""
+    cos_ec = cosine_similarity_sql("e.embedding", "c.centroid")
+    cos_ab = cosine_similarity_sql("a.embedding", "b.embedding")
+    return f"""
+        WITH centroids AS (
+            SELECT vec_id AS list_id, embedding AS centroid
+            FROM embeddings WHERE vec_id < {n_lists}),
+        assigned AS (
+            SELECT vec_id, embedding, list_id FROM (
+                SELECT e.vec_id, e.embedding, c.list_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cos_ec} DESC, c.list_id) AS crk
+                FROM embeddings e CROSS JOIN centroids c)
+            WHERE crk = 1),
+        dups AS (
+            SELECT a.vec_id AS a_id, min(b.vec_id) AS dup_of
+            FROM assigned a JOIN assigned b
+              ON a.list_id = b.list_id AND a.vec_id > b.vec_id
+            WHERE {cos_ab} >= {threshold}
+            GROUP BY 1)
+        SELECT s.vec_id, s.list_id,
+               d.dup_of IS NULL AS is_kept,
+               d.dup_of
+        FROM assigned s LEFT JOIN dups d ON s.vec_id = d.a_id
+    """
+
+
+ORACLES["semantic_dedup"] = _semantic_dedup_oracle_sql()
+
 # ann_lsh_topk / embedding_neardup_lsh stay library functions (recall pinned
 # in tests + the *_recall audits above); their raw outputs are approx by
 # construction, so they are not driver-facing registry entries.
@@ -586,5 +669,6 @@ QUERIES = {
     "ann_ivf_pruned": ann_ivf_pruned,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_neardup_lsh_recall": embedding_neardup_lsh_recall,
+    "semantic_dedup": semantic_dedup,
     "embedding_array_stats": embedding_array_stats,
 }

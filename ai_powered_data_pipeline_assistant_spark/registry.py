@@ -39,7 +39,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     webcorpus,
     windows,
 )
-from ai_powered_data_pipeline_assistant_spark.sources import formats
+from ai_powered_data_pipeline_assistant_spark.sources import formats, layout
 
 _MODULES = [
     relational,
@@ -67,6 +67,7 @@ _MODULES = [
     embedding_stats,
     tpch,
     formats,
+    layout,
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -89,43 +89,97 @@ def ensure_ivf_layout(
     return out
 
 
-def write_bucketed(
-    spark: SparkSession, sf_dir: str, table_name: str, n_buckets: int = 8
-) -> None:
-    """Persist `orders` bucketed by o_custkey (saveAsTable — bucketing needs
-    catalog metadata so readers learn the hash layout)."""
-    import shutil
+def _bucketed_table(
+    spark: SparkSession, sf_dir: str, source: str, bucket_col: str,
+    n_buckets: int = 8,
+) -> str:
+    """Idempotently materialize one source table bucketed on ``bucket_col``
+    (saveAsTable — bucketing needs catalog metadata so readers learn the
+    hash layout). External-path under /tmp so the repo tree stays clean; the
+    write is a once-per-layout index build, skipped when the catalog already
+    knows the table."""
+    import os
+    import tempfile
 
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(f"{warehouse}/{table_name}", ignore_errors=True)
-    orders = load_table(spark, sf_dir, "orders")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"bkt_{source}_{tag}_{n_buckets}"
+    if spark.catalog.tableExists(name):
+        return name
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed", name)
+    df = load_table(spark, sf_dir, source)
     (
-        orders.write.mode("overwrite")
-        .bucketBy(n_buckets, "o_custkey")
-        .sortBy("o_custkey")
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
         .format("parquet")
-        .saveAsTable(table_name)
+        .saveAsTable(name)
     )
+    return name
 
 
-def bucketed_join(
-    spark: SparkSession, left_table: str, right_table: str
-) -> DataFrame:
-    """Join two tables bucketed on the same key: with compatible bucket
-    counts Catalyst plans a SortMergeJoin with NO Exchange on either side —
-    the shuffle happened once at write time and is amortized over every
-    subsequent join. (The aggregate below also runs shuffle-free: partial
-    and final HashAggregate collapse onto the bucketed scan.)
+def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located FK join: customer and orders both bucketed (8 buckets) on
+    the customer key, joined WITHOUT any Exchange — the shuffle happened
+    once at write time and is amortized over every subsequent join, which is
+    how a 100 TB fact table joins its dimensions daily without re-shuffling
+    100 TB daily. The per-customer aggregate also runs shuffle-free: the
+    groupBy key is the bucket column, so partial and final HashAggregate
+    collapse onto the bucketed scan (plan-asserted: zero Exchange anywhere
+    in tests/test_plans.py).
 
     merge-hinted so the demonstration holds at test scale too — at fact
-    scale neither side broadcasts and SMJ is what Catalyst picks anyway.
-    """
-    left = spark.table(left_table)
-    right = spark.table(right_table).groupBy("o_custkey").agg(
-        F.count("*").alias("order_cnt"),
-        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias(
-            "total_spend"
-        ),
+    scale neither side broadcasts and SMJ is what Catalyst picks anyway."""
+    cust_t = _bucketed_table(spark, sf_dir, "customer", "c_custkey")
+    orders_t = _bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    cust = spark.table(cust_t).select("c_custkey", "c_name", "c_nationkey")
+    orders = spark.table(orders_t)
+    joined = cust.hint("merge").join(
+        orders.hint("merge"), cust.c_custkey == orders.o_custkey
     )
-    return left.hint("merge").join(right.hint("merge"), "o_custkey")
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count("*").alias("order_cnt"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
+        ).alias("total_spend"),
+    )
+
+
+def events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned point read: events laid out partitionBy(event_type,
+    day), then one (event_type, day) slice read back. The filter must prune
+    at planning time (PartitionFilters in the scan, plan-asserted) — the
+    directory layout is the lakehouse replacement for the reference's
+    B-tree indexes on (event_type, created_at). The layout build is a
+    write-once index; reads open ONLY the matching directory."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_evpart_{tag}")
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+        write_partitioned_events(spark, sf_dir, out)
+    pruned = read_pruned(spark, out, "click", "2024-01-01")
+    return pruned.select("event_id", "user_id", "ts")
+
+
+ORACLES: dict[str, str] = {
+    "bucketed_join_rollup": """
+        SELECT c_custkey, c_name,
+               count(*) AS order_cnt,
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     / 100.0, 2) AS total_spend
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1, 2
+    """,
+    "events_partition_pruned": """
+        SELECT event_id, user_id, ts
+        FROM events
+        WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-01'
+    """,
+}
+
+QUERIES = {
+    "bucketed_join_rollup": bucketed_join_rollup,
+    "events_partition_pruned": events_partition_pruned,
+}

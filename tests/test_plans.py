@@ -219,3 +219,22 @@ def test_pareto_prefix_sum_is_partitioned(spark, sf_dir):
     assert re.search(
         r"windowspecdefinition\(bucket#\d+", plan
     ), plan
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """customer ⋈ orders over 8-bucket layouts must plan with ZERO Exchange:
+    not on either join side (bucket layout replaces the shuffle) and not for
+    the per-customer aggregate (groupBy key == bucket column)."""
+    plan = _initial_plan(QUERIES["bucketed_join_rollup"](spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_partition_pruned_read(spark, sf_dir):
+    """The (event_type, day) point read must prune at the scan: the
+    partition predicate shows up as PartitionFilters, and no post-scan
+    Filter re-checks the partition columns."""
+    df = QUERIES["events_partition_pruned"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "PartitionFilters" in plan, plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0], plan
