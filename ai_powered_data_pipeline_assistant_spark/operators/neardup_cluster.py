@@ -82,11 +82,22 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
     sym = (
         edges.select(F.col("a_id").alias("node"), F.col("b_id").alias("nbr"))
         .union(edges.select(F.col("b_id").alias("node"), F.col("a_id").alias("nbr")))
-        .localCheckpoint()
+        # lazy: the count below materializes the checkpoint — eager
+        # checkpoints would run one extra job each
+        .localCheckpoint(eager=False)
     )
+    # Right-size the iteration's partitioning to the EDGE LIST, not the
+    # session default: post-LSH edge lists are orders of magnitude smaller
+    # than the corpus, and dragging dozens of near-empty partitions through
+    # every round costs more task-scheduling overhead than the joins
+    # themselves. ~500k edges per partition, capped for adversarial graphs.
+    n_edges = sym.count()
+    parts = max(1, min(n_edges // 500_000 + 1, 2048))
+    if parts < sym.rdd.getNumPartitions():
+        sym = sym.repartition(parts, "node").localCheckpoint(eager=False)
     labels = (
         sym.select("node").distinct().select("node", F.col("node").alias("label"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     connected_components.last_rounds = 0
     prev = labels.agg(F.sum("label")).first()[0]
     if prev is None:  # no edges → no clustered nodes
@@ -118,7 +129,9 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
                     F.coalesce("hop_label", F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint()
+            # lazy: materialized by the convergence sum right below —
+            # one job per round instead of two
+            .localCheckpoint(eager=False)
         )
         labels = new_labels
         connected_components.last_rounds = rnd + 1

@@ -11,6 +11,8 @@ ID, quality scoring, token counting, fingerprinting).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -251,6 +253,53 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scalarized for the driver: array cells crash its canonicalizer
         .select("doc_id", F.size("fps").alias("n_fingerprints"),
                 F.concat_ws(",", "fps").alias("fingerprints"))
+    )
+
+
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization — the first step of any multilingual corpus
+    pipeline: NFC normalization, accent stripping (NFD + drop combining
+    marks), lowercasing, whitespace collapse. The corpus itself is ASCII, so
+    the text is seeded with a deterministic accented suffix per doc (the
+    redact_docs pattern) to prove the transforms fire.
+
+    Runs as an Arrow-batched pandas UDF (unicodedata is not expressible in
+    JVM column functions) — vectorized str ops per batch, no per-row Python.
+    Output is the md5 of the normalized text (driver-hashable scalar) plus
+    before/after lengths."""
+    from pyspark.sql.functions import pandas_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit("  Café Ñandú ÜBER façade "),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+
+    @pandas_udf("string")
+    def normalize(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(t: str) -> str:
+            t = unicodedata.normalize("NFC", t)
+            t = "".join(
+                c
+                for c in unicodedata.normalize("NFD", t)
+                if not unicodedata.combining(c)
+            )
+            return " ".join(t.lower().split())
+
+        return s.map(one)
+
+    return docs.select(
+        "doc_id",
+        F.length(seeded).alias("raw_len"),
+        normalize(seeded).alias("norm"),
+    ).select(
+        "doc_id",
+        "raw_len",
+        F.length("norm").alias("norm_len"),
+        F.md5("norm").alias("norm_md5"),
     )
 
 
@@ -605,6 +654,20 @@ ORACLES: dict[str, str] = {
                     for i in range(1, len(toks) - {WINNOW_K - 2})] AS hashes
             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)))
     """,
+    "normalize_text": r"""
+        SELECT doc_id,
+               length(seeded) AS raw_len,
+               length(norm) AS norm_len,
+               md5(norm) AS norm_md5
+        FROM (
+            SELECT doc_id, seeded,
+                   regexp_replace(trim(lower(strip_accents(nfc_normalize(seeded)))),
+                                  '\s+', ' ', 'g') AS norm
+            FROM (SELECT doc_id,
+                         text || '  Café Ñandú ÜBER façade '
+                              || CAST(doc_id % 100 AS VARCHAR) AS seeded
+                  FROM documents))
+    """,
     "redact_docs": None,  # filled below (generated from REDACTION_RULES)
     "snippet_truncate": """
         SELECT doc_id,
@@ -711,6 +774,7 @@ ORACLES["redact_docs"] = _redact_docs_sql()
 
 QUERIES = {
     "lang_id": lang_id,
+    "normalize_text": normalize_text,
     "lang_confusion": lang_confusion,
     "char_trigram_entropy": char_trigram_entropy,
     "quality_score": quality_score,

@@ -88,6 +88,26 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame
     )
 
 
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `session_window` sessionization (the built-in behind the
+    `sessionize` hand-rolled plan): per-user sessions with a 30-minute
+    inactivity gap, one shuffle on the grouping key, windows merged by the
+    engine — the same operator Structured Streaming runs incrementally with
+    a watermark. Oracle = the gap-islands formulation at full microsecond
+    precision; session_end is last-event + gap by session_window's
+    definition."""
+    events = load_table(spark, sf_dir, "events")
+    grouped = events.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count("*").alias("event_cnt"))
+    return grouped.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "event_cnt",
+    )
+
+
 def value_ntiles(spark: SparkSession, sf_dir: str, n: int = 4) -> DataFrame:
     """NTILE quantile sharding per group — the training-data trick of
     splitting a corpus into equal-size quality shards. Deterministic
@@ -281,6 +301,26 @@ ORACLES: dict[str, str] = {
             FROM events)
         GROUP BY 1, 2
     """,
+    "session_window_counts": """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= 1800000000
+                        THEN 1 ELSE 0 END AS gap_flag
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+            SELECT user_id, ts,
+                   CAST(sum(gap_flag) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                        AS BIGINT) AS s
+            FROM flagged)
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS event_cnt
+        FROM sessions GROUP BY user_id, s
+    """,
     "sessionize": """
         WITH flagged AS (
             SELECT user_id, event_id, ts,
@@ -335,5 +375,6 @@ QUERIES = {
     "retention_last_n": retention_last_n,
     "sliding_window_counts": sliding_window_counts,
     "sessionize": sessionize,
+    "session_window_counts": session_window_counts,
     "value_ntiles": value_ntiles,
 }

@@ -55,6 +55,10 @@ HEADLINE = [
     "daily_counts_gapfill",
     "token_budget",
     "pca_project",
+    "semantic_dedup",
+    "bucketed_join_rollup",
+    "session_window_counts",
+    "normalize_text",
 ]
 
 # The round-1 headline set, unchanged since: its sub-total is reported as

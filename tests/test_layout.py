@@ -10,9 +10,8 @@ from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
 from ai_powered_data_pipeline_assistant_spark.sources.layout import (
-    bucketed_join,
+    bucketed_join_rollup,
     read_pruned,
-    write_bucketed,
     write_partitioned_events,
 )
 
@@ -72,13 +71,19 @@ def test_ivf_layout_prunes_partitions(spark, sf_dir):
     assert got == want
 
 
-def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
-    write_bucketed(spark, sf_dir, "orders_bucketed")
-    joined = bucketed_join(spark, "orders_bucketed", "orders_bucketed")
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Zero Exchange anywhere: not on either join side (bucket layout
+    replaces the shuffle) and not for the per-customer aggregate (groupBy
+    key == bucket column). Values must equal the plain shuffled join."""
+    joined = bucketed_join_rollup(spark, sf_dir)
     plan = _plan(joined)
     assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
-    # sanity: result matches a plain self-aggregation join
+    customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    agg = orders.groupBy("o_custkey").count()
-    assert joined.count() == orders.join(agg, "o_custkey").count()
-    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    want = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("order_cnt"))
+    )
+    got = {(r["c_custkey"], r["order_cnt"]) for r in joined.collect()}
+    assert got == {(r["c_custkey"], r["order_cnt"]) for r in want.collect()}
