@@ -165,6 +165,33 @@ def distinct_users_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KANON_K = 30
+
+
+def kanon_report(spark: SparkSession, sf_dir: str, k: int = KANON_K) -> DataFrame:
+    """k-anonymity aggregate suppression — the privacy-preserving report
+    shape for user-level data: per-(event_type, cohort) counts are published
+    only when the cohort holds ≥ k events; smaller cohorts merge into one
+    `__suppressed__` bucket per event type so totals still reconcile.
+    Two cheap aggregations (map-side combined), no row-level data leaves
+    the executors."""
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy(
+        "event_type", (F.col("user_id") % 50).alias("cohort_raw")
+    ).agg(F.count("*").alias("cnt"))
+    bucketed = g.select(
+        "event_type",
+        F.when(F.col("cnt") >= k, F.col("cohort_raw").cast("string"))
+        .otherwise(F.lit("__suppressed__"))
+        .alias("cohort"),
+        "cnt",
+    )
+    return bucketed.groupBy("event_type", "cohort").agg(
+        F.sum("cnt").alias("event_cnt"),
+        F.count("*").alias("merged_cohorts"),
+    )
+
+
 def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form behind cube/rollup): totals
     by (status, priority), by status alone, and grand total — one scan, one
@@ -428,6 +455,17 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) / 100.0, 4) AS p75
         FROM events GROUP BY 1
     """,
+    "kanon_report": """
+        WITH g AS (
+            SELECT event_type, user_id % 50 AS cohort_raw, count(*) AS cnt
+            FROM events GROUP BY 1, 2)
+        SELECT event_type,
+               CASE WHEN cnt >= 30 THEN CAST(cohort_raw AS VARCHAR)
+                    ELSE '__suppressed__' END AS cohort,
+               CAST(sum(cnt) AS BIGINT) AS event_cnt,
+               count(*) AS merged_cohorts
+        FROM g GROUP BY 1, 2
+    """,
     # Sketch audits: the oracle recomputes the exact side and asserts the
     # engine's accuracy claim (the boolean) — how HLL/t-digest estimates
     # become driver-scorable without a sketch-internals oracle.
@@ -500,6 +538,7 @@ QUERIES = {
     "distinct_users_approx_audit": distinct_users_approx_audit,
     "value_percentiles_approx_audit": value_percentiles_approx_audit,
     "grouping_sets_counts": grouping_sets_counts,
+    "kanon_report": kanon_report,
     "pivot_counts": pivot_counts,
     "distinct_users": distinct_users,
     "value_percentiles": value_percentiles,

@@ -248,6 +248,87 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_jaccard(_shingles(docs), JACCARD_THRESHOLD)
 
 
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str,
+                      min_containment: float = CONTAINMENT_THRESHOLD) -> DataFrame:
+    """Directional shingle containment |A∩B| / |A| — the quote/subset
+    detector Jaccard misses: a short doc fully quoted inside a long one has
+    high containment but low Jaccard (the union is dominated by the long
+    side). Emits (src_id, dst_id, containment) for every ordered pair with
+    containment ≥ threshold: "src is ≥60% contained in dst".
+
+    Same bucketed shape as `_pair_jaccard` (one capped postings self-join,
+    intersections computed once per unordered pair, both orientations
+    derived from that single row) — no extra join work over plain Jaccard.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    postings = _shingles(docs)
+    df_w = F.count("*").over(Window.partitionBy("h"))
+    postings = (
+        postings.withColumn("_df", df_w)
+        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .drop("_df")
+        .persist()
+    )
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = postings.select(F.col("doc_id").alias("a_id"), "h")
+    b = postings.select(F.col("doc_id").alias("b_id"), "h")
+    inter = (
+        a.hint("shuffle_hash")
+        .join(b.hint("shuffle_hash"), "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    both = inter.join(
+        sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id"
+    ).join(
+        sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id"
+    )
+    directional = both.select(
+        F.col("a_id").alias("src_id"),
+        F.col("b_id").alias("dst_id"),
+        F.round(F.col("inter") / F.col("a_sz").cast("double"), 6).alias("containment"),
+    ).union(
+        both.select(
+            F.col("b_id").alias("src_id"),
+            F.col("a_id").alias("dst_id"),
+            F.round(F.col("inter") / F.col("b_sz").cast("double"), 6).alias(
+                "containment"
+            ),
+        )
+    )
+    return directional.filter(F.col("containment") >= min_containment)
+
+
+CROSSCORPUS_SPLIT = 7
+
+
+def crosscorpus_neardup(spark: SparkSession, sf_dir: str,
+                        threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Incremental (cross-corpus) near-dup: today's batch (doc_id % 7 == 0)
+    checked against the existing corpus (the rest) — the daily-crawl
+    production shape, where the corpus side's signatures are precomputed
+    once and only the batch is hashed fresh. Same banded LSH join +
+    candidate-only exact verify as the self-pair operator; the pairing rule
+    is batch-membership instead of a < b, so output rows are
+    (batch doc, corpus doc, jaccard)."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    m = CROSSCORPUS_SPLIT
+    pairs = minhash_lsh_pairs_for(
+        docs.select("doc_id", "text"),
+        threshold=threshold,
+        pair_cond=lambda a, b: (a % m == 0) & (b % m != 0),
+    )
+    return pairs.select(
+        F.col("a_id").alias("batch_id"),
+        F.col("b_id").alias("corpus_id"),
+        "jaccard",
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature per doc: 16 universal-hash permutation minima.
 
@@ -290,11 +371,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_pairs_for(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, pair_cond=None
 ) -> DataFrame:
     """MinHash+LSH verified pairs over ANY (doc_id, text) frame — the
     composable core behind `minhash_lsh_pairs` and the curation pipeline's
-    near-dup stage (operators/curation.py)."""
+    near-dup stage (operators/curation.py).
+
+    ``pair_cond(a_id, b_id) -> Column`` selects which candidate orientations
+    survive; the default ``a < b`` yields undirected self-pairs, and
+    `crosscorpus_neardup` passes a batch-vs-corpus membership predicate
+    instead (same signatures, same band join, different pairing rule)."""
+    if pair_cond is None:
+        pair_cond = lambda a, b: a < b  # noqa: E731
     postings = _shingles(docs).persist()
     h = F.col("h") % HASH_MOD
     aggs = [
@@ -322,7 +410,7 @@ def minhash_lsh_pairs_for(
     b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_key")
     candidates = (
         a.join(b, ["band", "band_key"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(pair_cond(F.col("a_id"), F.col("b_id")))
         .select("a_id", "b_id")
         .distinct()
     )
@@ -510,7 +598,8 @@ def _minhash_sig_sql() -> str:
     """
 
 
-def minhash_lsh_cte(source: str = "documents") -> str:
+def minhash_lsh_cte(source: str = "documents",
+                    candidate_cond: str = "a.doc_id < b.doc_id") -> str:
     """The full MinHash+LSH pipeline as a CTE chain (postings → sigs →
     bands → candidates → sizes/inter/pairs) over any (doc_id, text)
     relation — embeddable in a larger WITH clause (curation oracle reuses
@@ -536,7 +625,7 @@ def minhash_lsh_cte(source: str = "documents") -> str:
         candidates AS (
             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
             FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+              ON a.band = b.band AND a.band_key = b.band_key AND {candidate_cond}),
         {_PAIR_JACCARD_SQL}
     """
 
@@ -605,6 +694,33 @@ ORACLES: dict[str, str] = {
         {_PAIR_JACCARD_SQL}
         SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
+    "containment_pairs": f"""
+        WITH raw_postings AS ({_SHINGLE_SQL}),
+        postings AS (
+            SELECT p.* FROM raw_postings p
+            WHERE p.h IN (SELECT h FROM raw_postings
+                          GROUP BY h HAVING count(*) <= {MAX_SHINGLE_DF})),
+        {_PAIR_JACCARD_SQL}
+        SELECT * FROM (
+            SELECT a_id AS src_id, b_id AS dst_id,
+                   round(inter / CAST(sa.sz AS DOUBLE), 6) AS containment
+            FROM inter JOIN sizes sa ON sa.doc_id = a_id
+            UNION ALL
+            SELECT b_id, a_id,
+                   round(inter / CAST(sb.sz AS DOUBLE), 6)
+            FROM inter JOIN sizes sb ON sb.doc_id = b_id)
+        WHERE containment >= {CONTAINMENT_THRESHOLD}
+    """,
+    "crosscorpus_neardup": f"""
+        WITH {minhash_lsh_cte("documents",
+                              f"a.doc_id % {CROSSCORPUS_SPLIT} = 0"
+                              f" AND b.doc_id % {CROSSCORPUS_SPLIT} <> 0")}
+        SELECT c.a_id AS batch_id, c.b_id AS corpus_id, p.jaccard
+        FROM candidates c JOIN pairs p
+          ON (c.a_id = p.a_id AND c.b_id = p.b_id)
+          OR (c.a_id = p.b_id AND c.b_id = p.a_id)
+        WHERE p.jaccard >= {JACCARD_THRESHOLD}
+    """,
     "set_ops_summary": """
         WITH a AS (SELECT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
              b AS (SELECT sha256(text) AS h FROM documents WHERE doc_id % 3 = 0),
@@ -651,6 +767,8 @@ QUERIES = {
     "firstwins_dedup": firstwins_dedup,
     "upsert_merge": upsert_merge,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "containment_pairs": containment_pairs,
+    "crosscorpus_neardup": crosscorpus_neardup,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_fingerprints": simhash_fingerprints,

@@ -294,3 +294,58 @@ def test_session_window_stream(spark, tmp_path):
         assert end - start == span + 1800, (start, end, r["events"])
     # user 2's session is still open (watermark hasn't passed it) → not emitted
     assert not spark.sql("SELECT * FROM sessions WHERE user_id = 2").collect()
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir, tmp_path):
+    """The streaming session-window aggregation must produce exactly the
+    sessions the batch session_window operator computes on the same input
+    once every watermark has passed (sentinel far-future events per user
+    close all real sessions in append mode; sentinels are filtered out of
+    the comparison)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.windows import (
+        session_window_counts,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
+        sessionize_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # ONE shared far-future sentinel per user: it advances the global
+    # watermark far past every real session (so they all close and emit in
+    # append mode) while the sentinel sessions themselves stay open — the
+    # emitted output is then exactly the batch result.
+    sentinels = (
+        events.select("user_id")
+        .distinct()
+        .select("user_id", F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"))
+    )
+    src_dir = str(tmp_path / "events_src")
+    events.union(sentinels).coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    out_dir = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["event_cnt"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want_df = session_window_counts(spark, sf_dir)
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["event_cnt"])
+        for r in want_df.collect()
+    }
+    assert got == want, (
+        f"streaming sessions diverge from batch: missing {len(want - got)}, "
+        f"extra {len(got - want)}"
+    )
