@@ -133,28 +133,3 @@ def run_job_stream(requests_stream: DataFrame, kb: DataFrame, out_path: str, che
         .start()
     )
 
-
-def sessionize_stream(events_stream: DataFrame, gap: str = "30 minutes",
-                      watermark: str = "2 hours") -> DataFrame:
-    """Streaming sessionization with native session windows: per-user
-    sessions close ``gap`` after their last event; the watermark bounds how
-    long an open session's state is retained (late events inside the
-    watermark still extend their session, later ones are dropped). This is
-    the incremental form of the batch `session_window_counts` operator —
-    same windowing, same output schema, state kept per OPEN session only."""
-    from pyspark.sql import functions as F
-
-    # testdata ts can surface as TIMESTAMP_NTZ; watermarks require TIMESTAMP
-    # (session tz is pinned UTC, so the cast is exact)
-    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return (
-        events_stream.withWatermark("ts", watermark)
-        .groupBy("user_id", F.session_window("ts", gap))
-        .agg(F.count("*").alias("event_cnt"))
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "event_cnt",
-        )
-    )

@@ -305,11 +305,15 @@ def test_streaming_session_windows_match_batch(spark, sf_dir, tmp_path):
     from ai_powered_data_pipeline_assistant_spark.operators.windows import (
         session_window_counts,
     )
-    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
-        sessionize_stream,
+    from ai_powered_data_pipeline_assistant_spark.streaming.sessions import (
+        session_counts_stream,
     )
 
-    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    events = (
+        load_table(spark, sf_dir, "events")
+        # watermarks need TIMESTAMP, not the NTZ surface type (UTC-pinned)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
     # ONE shared far-future sentinel per user: it advances the global
     # watermark far past every real session (so they all close and emit in
     # append mode) while the sentinel sessions themselves stay open — the
@@ -325,9 +329,14 @@ def test_streaming_session_windows_match_batch(spark, sf_dir, tmp_path):
     stream = spark.readStream.schema(events.schema).parquet(src_dir)
     out_dir = str(tmp_path / "sess_out")
     ckpt = str(tmp_path / "sess_ckpt")
+    sessions = session_counts_stream(stream).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        F.col("events").alias("event_cnt"),
+    )
     q = (
-        sessionize_stream(stream)
-        .writeStream.outputMode("append")
+        sessions.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .format("parquet")
         .option("path", out_dir)
