@@ -313,7 +313,33 @@ def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-style co-occurrence: for every unordered pair of event types,
+    how many users exhibit BOTH — the 2-itemset support table behind
+    recommendation / feature-affinity analysis. The self-join runs on the
+    DISTINCT (user, type) pairs, so per-user join work is bounded by the
+    type-alphabet size (constant), never by the user's event count."""
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("user_cnt"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "event_cooccurrence": """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS user_cnt
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """,
     "funnel_counts": """
         WITH per_user AS (
             SELECT user_id,
@@ -447,4 +473,5 @@ QUERIES = {
     "top_docs_per_lang": top_docs_per_lang,
     "activity_heatmap": activity_heatmap,
     "event_transitions": event_transitions,
+    "event_cooccurrence": event_cooccurrence,
 }
