@@ -446,6 +446,33 @@ def minhash_lsh_pairs_for(
     )
 
 
+def dedup_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stop comparison of the engine's dedup detectors over the same
+    corpus — the report a data engineer runs to pick a method and threshold:
+    per method, how many duplicate PAIRS it flags (exact reports redundant
+    doc copies). Each leg is the existing operator unchanged, so cost and
+    plan properties match the standalone queries; the four aggregates union
+    into a 4-row summary."""
+    legs = [
+        (
+            "exact_copies",
+            exact_dedup(spark, sf_dir).agg(
+                F.sum(F.col("dup_cnt") - 1).alias("n")
+            ),
+        ),
+        ("minhash_lsh_pairs", minhash_lsh_pairs(spark, sf_dir).agg(F.count("*").alias("n"))),
+        ("simhash_pairs", simhash_neardup_pairs(spark, sf_dir).agg(F.count("*").alias("n"))),
+        ("jaccard_pairs", ngram_jaccard_pairs(spark, sf_dir).agg(F.count("*").alias("n"))),
+    ]
+    out = None
+    for name, agg in legs:
+        row = agg.select(
+            F.lit(name).alias("method"), F.coalesce("n", F.lit(0)).cast("long").alias("flagged")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     tokens = (
@@ -745,6 +772,29 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["dedup_method_report"] = f"""
+    SELECT 'exact_copies' AS method,
+           CAST(sum(c - 1) AS BIGINT) AS flagged
+    FROM (SELECT count(*) AS c FROM documents GROUP BY sha256(text))
+    UNION ALL
+    SELECT 'minhash_lsh_pairs', CAST(count(*) AS BIGINT)
+    FROM ({_minhash_lsh_sql()})
+    UNION ALL
+    SELECT 'simhash_pairs', CAST(count(*) AS BIGINT)
+    FROM (WITH sims AS ({_simhash_sql()})
+          SELECT 1 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+    UNION ALL
+    SELECT 'jaccard_pairs', CAST(count(*) AS BIGINT)
+    FROM (WITH raw_postings AS ({_SHINGLE_SQL}),
+          postings AS (
+              SELECT p.* FROM raw_postings p
+              WHERE p.h IN (SELECT h FROM raw_postings
+                            GROUP BY h HAVING count(*) <= {MAX_SHINGLE_DF})),
+          {_PAIR_JACCARD_SQL}
+          SELECT 1 FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD})
+"""
+
 ORACLES["decontaminate"] = f"""
     WITH postings AS ({_SHINGLE_SQL}),
     eval_p AS (SELECT doc_id AS eval_doc_id, h FROM postings
@@ -767,6 +817,7 @@ QUERIES = {
     "firstwins_dedup": firstwins_dedup,
     "upsert_merge": upsert_merge,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "dedup_method_report": dedup_method_report,
     "containment_pairs": containment_pairs,
     "crosscorpus_neardup": crosscorpus_neardup,
     "minhash_signatures": minhash_signatures,
