@@ -185,6 +185,43 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/dev/test split: every document is assigned by the
+    hash of its near-dup FAMILY representative (connected-component label of
+    the verified MinHash+LSH graph; singletons use their own doc_id), so two
+    near-duplicate documents can never straddle train and test — the eval
+    contamination a plain per-doc hash split (`train_test_split`) allows.
+
+    Scale design: the component labels cover only docs with at least one
+    near-dup (tiny post-LSH), so they broadcast onto the corpus scan as a
+    left join — the corpus itself is never shuffled. Bucketing is the same
+    md5 % 100 convention as `train_test_split`, on the group id.
+    """
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import md5_int
+    from ai_powered_data_pipeline_assistant_spark.operators.clustering import (
+        DEV_PCT,
+        SPLIT_BUCKETS,
+        TRAIN_PCT,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("family_id")
+    )
+    joined = docs.select("doc_id").join(F.broadcast(labels), "doc_id", "left")
+    group = F.coalesce(F.col("family_id"), F.col("doc_id"))
+    bucket = md5_int(group.cast("string")) % SPLIT_BUCKETS
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + DEV_PCT, F.lit("dev"))
+        .otherwise(F.lit("test"))
+    )
+    return joined.select(
+        "doc_id", group.alias("group_id"), split.alias("split")
+    ).orderBy("doc_id")
+
+
 def neardup_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row profile of the verified near-dup graph: node/edge counts and
     degree spread — the health check run before clustering (a degree
@@ -241,6 +278,30 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def _cluster_safe_split_oracle() -> str:
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import md5_int_sql
+    from ai_powered_data_pipeline_assistant_spark.operators.clustering import (
+        DEV_PCT,
+        SPLIT_BUCKETS,
+        TRAIN_PCT,
+    )
+
+    bucket = f"{md5_int_sql('CAST(group_id AS VARCHAR)')} % {SPLIT_BUCKETS}"
+    return f"""
+        WITH RECURSIVE {_VERIFIED_EDGES_CTE},
+        assigned AS (
+            SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        SELECT doc_id, group_id,
+               CASE WHEN {bucket} < {TRAIN_PCT} THEN 'train'
+                    WHEN {bucket} < {TRAIN_PCT + DEV_PCT} THEN 'dev'
+                    ELSE 'test' END AS split
+        FROM assigned ORDER BY doc_id
+    """
+
+
+ORACLES["cluster_safe_split"] = _cluster_safe_split_oracle()
+
 ORACLES["neardup_degree_stats"] = f"""
     WITH {minhash_lsh_cte("documents")},
     verified AS (
@@ -261,4 +322,5 @@ QUERIES = {
     "neardup_clusters": neardup_clusters,
     "neardup_keep_best": neardup_keep_best,
     "neardup_degree_stats": neardup_degree_stats,
+    "cluster_safe_split": cluster_safe_split,
 }

@@ -67,6 +67,27 @@ def test_cc_chain_converges_logarithmically(spark):
     )
 
 
+def test_cluster_safe_split_families_never_straddle(spark, sf_dir):
+    """The whole point of the operator: every near-dup family maps to
+    exactly one split, and every document is assigned exactly once."""
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+    from ai_powered_data_pipeline_assistant_spark.operators.neardup_cluster import (
+        cluster_safe_split,
+    )
+
+    out = cluster_safe_split(spark, sf_dir)
+    straddlers = (
+        out.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+
+
 def test_cc_two_components_and_isolated_pair(spark):
     from pyspark.sql import functions as F
 
