@@ -26,7 +26,7 @@ grouping sets internally). At 100 TB swap exact distinct for HLL
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
@@ -313,6 +313,59 @@ def value_percentiles_approx_audit(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type value stats: clamp every value into the group's
+    discrete [p05, p95] before averaging, so a handful of corrupt extremes
+    (bad sensor rows, test purchases) can't move the reported mean — the
+    robust-aggregation step of a metrics pipeline.
+
+    Exactness: bounds are DISCRETE rank picks (the value at integer rank
+    ``(n*5) div 100`` / ``ceil(n*95/100)`` over fixed-point cents) — no
+    fraction-of-a-double interpolation, so both engines pick the identical
+    element. Clamped sums are int64 → order-free.
+
+    Scale: ONE shuffle. The rank window hash-partitions by event_type and
+    the follow-up groupBy reuses that partitioning (no second Exchange —
+    asserted in tests/test_plans.py). Per-group value lists are never
+    materialized; at 100 TB with huge groups swap the rank window for the
+    two-phase bucketed prefix-sum used by `user_activity_pareto`.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select("event_type", _cents("value").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    grp = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(grp).alias("n"),
+    )
+    lo_rank = F.greatest(F.lit(1), F.expr("(n * 5) DIV 100"))
+    hi_rank = F.least(F.col("n"), F.expr("(n * 95 + 99) DIV 100"))
+    bounded = ranked.select(
+        "event_type",
+        "cents",
+        F.max(F.when(F.col("rn") == lo_rank, F.col("cents"))).over(grp).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("cents"))).over(grp).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        bounded.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("lo") / 100.0, 4).alias("p05"),
+            F.round(F.max("hi") / 100.0, 4).alias("p95"),
+            F.round(F.sum("cents") / (F.count("*") * 100.0), 4).alias("raw_avg"),
+            F.round(F.sum(clamped) / (F.count("*") * 100.0), 4).alias("winsor_avg"),
+            F.sum(
+                ((F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")))
+                .cast("long")
+            ).alias("clipped_cnt"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def top_users_collected(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Grouped array collection: the top-k users per event type gathered
     into ONE array column per group (leaderboard-as-row). collect_list is
@@ -486,6 +539,32 @@ ORACLES: dict[str, str] = {
                true AS p25_ok, true AS p50_ok, true AS p75_ok
         FROM events GROUP BY 1
     """,
+    "winsorized_stats": """
+        WITH ranked AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(round(value * 100) AS BIGINT)) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events),
+        bounded AS (
+            SELECT event_type, cents, n,
+                   max(CASE WHEN rn = greatest(1, (n * 5) // 100)
+                            THEN cents END)
+                       OVER (PARTITION BY event_type) AS lo,
+                   max(CASE WHEN rn = least(n, (n * 95 + 99) // 100)
+                            THEN cents END)
+                       OVER (PARTITION BY event_type) AS hi
+            FROM ranked)
+        SELECT event_type, count(*) AS n,
+               round(max(lo) / 100.0, 4) AS p05,
+               round(max(hi) / 100.0, 4) AS p95,
+               round(CAST(sum(cents) AS BIGINT) / (count(*) * 100.0), 4) AS raw_avg,
+               round(CAST(sum(least(greatest(cents, lo), hi)) AS BIGINT)
+                     / (count(*) * 100.0), 4) AS winsor_avg,
+               CAST(sum(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS clipped_cnt
+        FROM bounded GROUP BY 1 ORDER BY 1
+    """,
     "top_users_collected": """
         SELECT event_type,
                array_to_string(list_sort(list(printf('%d|%05d|%05d', rk, user_id, cnt))), ';') AS top_users
@@ -542,6 +621,7 @@ QUERIES = {
     "pivot_counts": pivot_counts,
     "distinct_users": distinct_users,
     "value_percentiles": value_percentiles,
+    "winsorized_stats": winsorized_stats,
     "top_users_collected": top_users_collected,
     "rate_window_counts": rate_window_counts,
     "tpch_q1": tpch_q1,

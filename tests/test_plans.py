@@ -238,3 +238,12 @@ def test_partition_pruned_read(spark, sf_dir):
     plan = _formatted(df)
     assert "PartitionFilters" in plan, plan
     assert "event_type" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0], plan
+
+
+def test_winsorized_stats_single_hash_shuffle(spark, sf_dir):
+    """The rank window and the follow-up groupBy share one event_type hash
+    partitioning — a second hash Exchange would double the shuffle volume
+    of every robust-stats run at scale. (The only other Exchange allowed is
+    the final presentation orderBy's range partitioning.)"""
+    plan = _initial_plan(QUERIES["winsorized_stats"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
