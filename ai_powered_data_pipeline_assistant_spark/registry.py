@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ai_powered_data_pipeline_assistant_spark.operators import (
     aggregates,
+    batching,
     behavior,
     clustering,
     corpus,
@@ -44,6 +45,7 @@ from ai_powered_data_pipeline_assistant_spark.sources import formats, layout
 _MODULES = [
     relational,
     aggregates,
+    batching,
     behavior,
     joins,
     vector,
