@@ -772,8 +772,80 @@ def _redact_docs_sql() -> str:
 
 ORACLES["redact_docs"] = _redact_docs_sql()
 
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability profile: word/sentence/vowel-group counts
+    (all integer regexp counts — JVM-side, codegen'd) and a Flesch
+    reading-ease score with a coarse difficulty band — the readability gate
+    of a curation pipeline (e.g. keep 'easy' prose for instruction data).
+
+    Syllables are approximated by vowel-group count, the standard cheap
+    proxy. Cross-engine exactness: the three counts are integers; the score
+    is one fixed shape of exactly-rounded double ops (int/int division,
+    constant multiply, subtract) that both engines evaluate bit-identically,
+    then rounded to 4 decimals; the band thresholds compare the ROUNDED
+    score so banding can't disagree at boundaries.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    sentences = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))).cast(
+            "long"
+        ),
+    )
+    vowel_groups = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        vowel_groups.alias("vowel_groups"),
+    )
+    w_safe = F.greatest(F.lit(1).cast("long"), F.col("words"))
+    fk = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words") / F.col("sentences"))
+        - F.lit(84.6) * (F.col("vowel_groups") / w_safe),
+        4,
+    )
+    scored = base.withColumn("fk_score", fk)
+    band = (
+        F.when(F.col("fk_score") >= 60, F.lit("easy"))
+        .when(F.col("fk_score") >= 30, F.lit("medium"))
+        .otherwise(F.lit("hard"))
+    )
+    return scored.withColumn("band", band)
+
+
+ORACLES["readability_scores"] = r"""
+    WITH counted AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS words,
+               greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+                                AS BIGINT)) AS sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS vowel_groups
+        FROM documents),
+    scored AS (
+        SELECT *, round(206.835
+                        - 1.015 * (words / sentences)
+                        - 84.6 * (vowel_groups / greatest(1, words)), 4)
+                      AS fk_score
+        FROM counted)
+    SELECT doc_id, lang, words, sentences, vowel_groups, fk_score,
+           CASE WHEN fk_score >= 60 THEN 'easy'
+                WHEN fk_score >= 30 THEN 'medium'
+                ELSE 'hard' END AS band
+    FROM scored
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
+    "readability_scores": readability_scores,
     "normalize_text": normalize_text,
     "lang_confusion": lang_confusion,
     "char_trigram_entropy": char_trigram_entropy,
