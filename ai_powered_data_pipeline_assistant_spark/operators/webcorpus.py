@@ -203,7 +203,80 @@ def bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOILERPLATE_PREFIX_TOKENS = 8
+BOILERPLATE_SHARE = 0.2
+
+
+def boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection: the most common
+    BOILERPLATE_PREFIX_TOKENS-token document prefix of every source and the
+    share of that source's documents starting with it. A dominant shared
+    prefix is the signature of template boilerplate (cookie banners,
+    scraped nav headers) that should be stripped before training — the
+    per-source triage view a web-curation run starts from.
+
+    Scale: one map-side-combined groupBy on (source, prefix) — the prefix
+    is a fixed-width slice, never the document body — then window top-1
+    over the per-source distinct-prefix frame (orders of magnitude smaller
+    than the corpus). Source doc totals ride the same aggregate via a
+    window sum, so the corpus is scanned once and shuffled once."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(
+        " ",
+        F.slice(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            1,
+            BOILERPLATE_PREFIX_TOKENS,
+        ),
+    )
+    counts = docs.select("source", prefix.alias("prefix")).groupBy(
+        "source", "prefix"
+    ).agg(F.count("*").alias("cnt"))
+    per_source = Window.partitionBy("source")
+    ranked = counts.select(
+        "source",
+        "prefix",
+        "cnt",
+        F.row_number()
+        .over(per_source.orderBy(F.desc("cnt"), F.asc("prefix")))
+        .alias("rn"),
+        F.sum("cnt").over(per_source).alias("n_docs"),
+    )
+    share = F.round(F.col("cnt") / F.col("n_docs").cast("double"), 6)
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("prefix").alias("top_prefix"),
+            F.col("cnt").alias("n_with_prefix"),
+            "n_docs",
+            share.alias("prefix_share"),
+            (share >= BOILERPLATE_SHARE).alias("boilerplate_flag"),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "boilerplate_prefixes": rf"""
+        WITH counts AS (
+            SELECT source,
+                   array_to_string(regexp_split_to_array(trim(lower(text)),
+                       '\s+')[1:{BOILERPLATE_PREFIX_TOKENS}], ' ') AS prefix,
+                   count(*) AS cnt
+            FROM documents GROUP BY 1, 2),
+        ranked AS (
+            SELECT source, prefix, cnt,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY cnt DESC, prefix) AS rn,
+                   CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+            FROM counts)
+        SELECT source, prefix AS top_prefix, cnt AS n_with_prefix, n_docs,
+               round(cnt / CAST(n_docs AS DOUBLE), 6) AS prefix_share,
+               round(cnt / CAST(n_docs AS DOUBLE), 6) >= {BOILERPLATE_SHARE}
+                   AS boilerplate_flag
+        FROM ranked WHERE rn = 1 ORDER BY source
+    """,
     "domain_stats": f"""
         WITH d AS (SELECT *, regexp_extract({_URL_SQL},
                        '^https?://([^/]+)', 1) AS host
@@ -264,4 +337,5 @@ QUERIES = {
     "vocab_topk": vocab_topk,
     "zipf_fit": zipf_fit,
     "bloom_dedup_gate": bloom_dedup_gate,
+    "boilerplate_prefixes": boilerplate_prefixes,
 }

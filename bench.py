@@ -59,6 +59,11 @@ HEADLINE = [
     "bucketed_join_rollup",
     "session_window_counts",
     "normalize_text",
+    "cluster_safe_split",
+    "winsorized_stats",
+    "length_batched_padding",
+    "readability_scores",
+    "compression_ratio",
 ]
 
 # The round-1 headline set, unchanged since: its sub-total is reported as
