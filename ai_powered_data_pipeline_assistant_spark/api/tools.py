@@ -95,6 +95,7 @@ class ToolRegistry:
             "generate_sql": (self._generate_sql, {"data_engineer"}),
             "schedule_pipeline": (self._schedule_pipeline, {"data_engineer"}),
             "run_query": (self._run_registered_query, {"data_engineer"}),
+            "explain_query": (self._explain_query, {"data_engineer"}),
         }
 
     def list_tools(self, role: str = "general") -> list[str]:
@@ -182,6 +183,27 @@ class ToolRegistry:
 
     def _schedule_pipeline(self, args: dict) -> DataFrame:
         return scalar_ops.schedule_arithmetic(self.spark, self.sf_dir)
+
+    def _explain_query(self, args: dict) -> DataFrame:
+        """EXPLAIN surface: the formatted physical plan of any registered
+        query as (line_no, line) rows — the observability endpoint a data
+        engineer uses to confirm pushdown/broadcast/codegen before running a
+        query at scale, without executing it. Plan modes mirror
+        DataFrame.explain (`formatted` default, `simple`, `extended`,
+        `cost`, `codegen`)."""
+        from ai_powered_data_pipeline_assistant_spark.registry import all_queries
+
+        name = args.get("name", "")
+        qs = all_queries()
+        if name not in qs:
+            raise KeyError(f"unknown query {name!r}; see list_queries")
+        df = qs[name](self.spark, self.sf_dir)
+        mode = args.get("mode", "formatted")
+        text = self.spark._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+        rows = [(i, line) for i, line in enumerate(text.splitlines())]
+        return self.spark.createDataFrame(rows, "line_no int, line string")
 
     def _run_registered_query(self, args: dict) -> DataFrame:
         """Expose the FULL operator registry through the gated tool surface

@@ -113,3 +113,22 @@ def test_run_query_tool_dispatches_registry(registry):
 
     gated = registry.execute("run_query", {"name": "status_counts"}, role="general")
     assert not gated.success and "not permitted" in gated.error
+
+
+def test_explain_query_tool_returns_plan(registry):
+    res = registry.execute(
+        "explain_query", {"name": "status_counts", "max_rows": 100},
+        role="data_engineer",
+    )
+    assert res.success, res.error
+    plan = "\n".join(r["line"] for r in res.data)
+    assert "Physical Plan" in plan
+    assert "HashAggregate" in plan
+
+    bad = registry.execute(
+        "explain_query", {"name": "nope"}, role="data_engineer"
+    )
+    assert not bad.success and "unknown query" in bad.error
+
+    gated = registry.execute("explain_query", {"name": "status_counts"})
+    assert not gated.success and "not permitted" in gated.error
