@@ -159,6 +159,46 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < rate).select("doc_id", "lang", "n_chars")
 
 
+TEMPORAL_TRAIN_PCT = 80
+EMBARGO_S = 1800  # gap between train end and test start
+
+
+def temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split with an embargo gap — the split shape
+    for forecasting/ranking models where a hash split leaks the future:
+    train is everything before the cutoff, test starts EMBARGO_S seconds
+    after it, and rows inside the gap are quarantined so near-boundary
+    autocorrelation (sessions straddling the cutoff) can't leak either.
+
+    The cutoff is integer arithmetic on epoch seconds over the corpus
+    min/max (``mn + (mx-mn)*80 div 100``) — deterministic, no sampled
+    quantiles. Bounds come from one 1-row aggregate broadcast back onto the
+    scan (no second shuffle); output is the per-split summary."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("es")
+    )
+    bounds = base.agg(F.min("es").alias("mn"), F.max("es").alias("mx"))
+    joined = base.crossJoin(broadcast(bounds))
+    cutoff = F.col("mn") + F.expr(f"((mx - mn) * {TEMPORAL_TRAIN_PCT}) DIV 100")
+    split = (
+        F.when(F.col("es") < cutoff, F.lit("1_train"))
+        .when(F.col("es") < cutoff + EMBARGO_S, F.lit("2_embargo"))
+        .otherwise(F.lit("3_test"))
+    )
+    return (
+        joined.select(split.alias("split"), "user_id", "es")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("es").alias("min_es"),
+            F.max("es").alias("max_es"),
+        )
+        .orderBy("split")
+    )
+
+
 MIX_ALPHA = 0.5  # temperature exponent: weight_s ∝ count_s^alpha
 MIX_TARGET_SHARE = 0.5  # global sample budget as a share of the corpus
 MIX_BUCKETS = 1_000_000
@@ -239,9 +279,28 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["temporal_split"] = f"""
+    WITH b AS (
+        SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS mn,
+               max(CAST(floor(epoch(ts)) AS BIGINT)) AS mx
+        FROM events),
+    a AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+               mn + ((mx - mn) * {TEMPORAL_TRAIN_PCT}) // 100 AS cutoff
+        FROM events CROSS JOIN b)
+    SELECT CASE WHEN es < cutoff THEN '1_train'
+                WHEN es < cutoff + {EMBARGO_S} THEN '2_embargo'
+                ELSE '3_test' END AS split,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           min(es) AS min_es, max(es) AS max_es
+    FROM a GROUP BY 1 ORDER BY 1
+"""
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "train_test_split": train_test_split,
+    "temporal_split": temporal_split,
     "stratified_sample": stratified_sample,
     "source_mix_resample": source_mix_resample,
 }

@@ -185,6 +185,24 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Family-size histogram of the near-dup graph: how many clusters have
+    2 docs, 3 docs, ... — the distribution that decides dedup policy (a fat
+    tail of giant families means template spam; mostly pairs means organic
+    duplication). Two tiny groupBys over the post-LSH component labels."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    sizes = (
+        connected_components(pairs)
+        .groupBy("label")
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/dev/test split: every document is assigned by the
     hash of its near-dup FAMILY representative (connected-component label of
@@ -302,6 +320,14 @@ def _cluster_safe_split_oracle() -> str:
 
 ORACLES["cluster_safe_split"] = _cluster_safe_split_oracle()
 
+ORACLES["neardup_cluster_sizes"] = f"""
+    WITH RECURSIVE {_VERIFIED_EDGES_CTE},
+    fam_sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                  FROM comp GROUP BY 1)
+    SELECT cluster_size, count(*) AS n_clusters
+    FROM fam_sizes GROUP BY 1 ORDER BY 1
+"""
+
 ORACLES["neardup_degree_stats"] = f"""
     WITH {minhash_lsh_cte("documents")},
     verified AS (
@@ -323,4 +349,5 @@ QUERIES = {
     "neardup_keep_best": neardup_keep_best,
     "neardup_degree_stats": neardup_degree_stats,
     "cluster_safe_split": cluster_safe_split,
+    "neardup_cluster_sizes": neardup_cluster_sizes,
 }
