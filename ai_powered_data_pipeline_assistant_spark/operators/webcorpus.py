@@ -130,6 +130,44 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
+OOV_VOCAB_K = 200
+
+
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage signal: the share of each document's tokens that
+    fall outside the corpus's top-OOV_VOCAB_K vocabulary — the number that
+    predicts how badly a fixed vocabulary fragments a document (high OOV =
+    token soup or out-of-domain text; a curation run gates on it).
+
+    Scale: the vocab head is TakeOrdered-K (never the full vocabulary) and
+    broadcasts into the token stream; the per-doc reduction is one
+    map-side-combined groupBy. The corpus is exploded once."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    head = (
+        _vocab(docs)
+        .orderBy(F.desc("cnt"), "term")
+        .limit(OOV_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stream = docs.select("doc_id", F.explode(toks).alias("term"))
+    joined = stream.join(F.broadcast(head), "term", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .withColumn(
+            "oov_share",
+            F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Least-squares fit of log(count) ~ log(rank) over the top ZIPF_RANKS
     vocabulary terms — Zipf's law expects a slope near -1."""
@@ -338,4 +376,24 @@ QUERIES = {
     "zipf_fit": zipf_fit,
     "bloom_dedup_gate": bloom_dedup_gate,
     "boilerplate_prefixes": boilerplate_prefixes,
+    "oov_rate": oov_rate,
 }
+
+ORACLES["oov_rate"] = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+    vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+    head AS (SELECT term FROM vocab
+             ORDER BY cnt DESC, term LIMIT {OOV_VOCAB_K}),
+    marked AS (
+        SELECT t.doc_id,
+               CASE WHEN h.term IS NULL THEN 1 ELSE 0 END AS oov
+        FROM toks t LEFT JOIN head h ON t.term = h.term)
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(CAST(sum(oov) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+               AS oov_share
+    FROM marked GROUP BY 1 ORDER BY 1
+"""
