@@ -210,10 +210,73 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-ORACLES: dict[str, str] = {}  # eigensolve / float round-trips: rows-only
+BALANCE_SCALE = 1_000_000
+
+
+def label_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card class balance over the embedding labels: per-label count
+    and share, plus the corpus-wide balance index (Shannon entropy of the
+    label distribution normalized by ln(k) — 1.0 means perfectly uniform,
+    near 0 means one label dominates) repeated on every row.
+
+    One map-side-combined groupBy; everything after runs on the k-row label
+    frame. Entropy terms are int64-scaled once per label so the sum is
+    order-free (the `char_trigram_entropy` discipline)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count("*").alias("n"))
+    whole = Window.partitionBy()
+    total = F.sum("n").over(whole)
+    k = F.count("*").over(whole)
+    term_int = F.round(
+        F.col("n") * F.log(F.col("n") / total.cast("double")) * BALANCE_SCALE, 0
+    ).cast("long")
+    stats = counts.select(
+        "label",
+        "n",
+        total.alias("total"),
+        k.alias("k"),
+        term_int.alias("t_int"),
+    ).select(
+        "label",
+        "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
+        F.round(
+            (
+                -(F.sum("t_int").over(Window.partitionBy()) / F.lit(float(BALANCE_SCALE)))
+                / F.col("total")
+            )
+            / F.log(F.col("k").cast("double")),
+            6,
+        ).alias("balance_index"),
+    )
+    return stats.orderBy("label")
+
+
+ORACLES: dict[str, str] = {
+    "label_balance_report": f"""
+        WITH counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        stats AS (
+            SELECT label, n,
+                   CAST(sum(n) OVER () AS BIGINT) AS total,
+                   count(*) OVER () AS k,
+                   CAST(round(n * ln(n / CAST(CAST(sum(n) OVER () AS BIGINT)
+                                              AS DOUBLE)) * {BALANCE_SCALE}, 0)
+                        AS BIGINT) AS t_int
+            FROM counts)
+        SELECT label, n,
+               round(n / CAST(total AS DOUBLE), 6) AS share,
+               round((-(CAST(sum(t_int) OVER () AS BIGINT)
+                        / {BALANCE_SCALE}.0) / total) / ln(CAST(k AS DOUBLE)), 6)
+                   AS balance_index
+        FROM stats ORDER BY label
+    """,
+}  # pca/quantize: eigensolve / float round-trips → rows-only
 
 QUERIES = {
     "pca_project": pca_project,
     "pca_variance_report": pca_variance_report,
     "embedding_quantize": embedding_quantize,
+    "label_balance_report": label_balance_report,
 }
