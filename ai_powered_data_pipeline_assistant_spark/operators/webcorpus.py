@@ -168,6 +168,46 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COVERAGE_KS = (10, 100, 1000)
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary sizing curve: what share of all token occurrences the top
+    10 / 100 / 1000 terms cover — the number that decides how large a fixed
+    vocabulary (or stopword list) has to be before diminishing returns.
+
+    The vocab frame is ranked once (TakeOrdered over the largest K); each
+    curve point is a conditional sum over that single K-row frame against
+    the corpus token total — no re-scan per K."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    vocab = _vocab(docs)
+    total = vocab.agg(F.sum("cnt").alias("total_tokens"))
+    top = vocab.orderBy(F.desc("cnt"), "term").limit(max(COVERAGE_KS))
+    w = Window.orderBy(F.desc("cnt"), "term")
+    ranked = top.withColumn("rank", F.row_number().over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    points = [
+        ranked.agg(
+            F.lit(k).cast("long").alias("top_k"),
+            F.sum(F.when(F.col("rank") <= k, F.col("cnt"))).alias("covered"),
+            F.max("total_tokens").alias("total_tokens"),
+        )
+        for k in COVERAGE_KS
+    ]
+    curve = points[0]
+    for p in points[1:]:
+        curve = curve.unionByName(p)
+    return curve.select(
+        "top_k",
+        "covered",
+        "total_tokens",
+        F.round(F.col("covered") / F.col("total_tokens").cast("double"), 6).alias(
+            "coverage_share"
+        ),
+    ).orderBy("top_k")
+
+
 def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Least-squares fit of log(count) ~ log(rank) over the top ZIPF_RANKS
     vocabulary terms — Zipf's law expects a slope near -1."""
@@ -377,7 +417,36 @@ QUERIES = {
     "bloom_dedup_gate": bloom_dedup_gate,
     "boilerplate_prefixes": boilerplate_prefixes,
     "oov_rate": oov_rate,
+    "vocab_coverage_curve": vocab_coverage_curve,
 }
+
+_COVERAGE_POINT = """
+    SELECT {k} AS top_k,
+           CAST(sum(CASE WHEN rank <= {k} THEN cnt END) AS BIGINT) AS covered,
+           max(total_tokens) AS total_tokens
+    FROM ranked
+"""
+
+ORACLES["vocab_coverage_curve"] = (
+    rf"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+    vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM vocab),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+               total_tokens
+        FROM vocab CROSS JOIN tot
+        ORDER BY cnt DESC, term LIMIT {max(COVERAGE_KS)}),
+    curve AS ("""
+    + " UNION ALL ".join(_COVERAGE_POINT.format(k=k) for k in COVERAGE_KS)
+    + """)
+    SELECT top_k, covered, total_tokens,
+           round(covered / CAST(total_tokens AS DOUBLE), 6) AS coverage_share
+    FROM curve ORDER BY top_k
+"""
+)
 
 ORACLES["oov_rate"] = rf"""
     WITH toks AS (
