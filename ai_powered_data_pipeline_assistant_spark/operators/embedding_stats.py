@@ -210,6 +210,50 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+DIM_SCALE = 1_000_000  # fixed-point scale for per-dimension moments
+DEAD_DIM_VAR = 1e-4  # variance floor below which a dimension is "dead"
+
+
+def dimension_variance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature QA over the embedding matrix: mean and variance
+    of every dimension, flagging near-constant ("dead") dimensions — the
+    check run before PCA/quantization, since dead dims waste index bytes
+    and can break per-dimension scaling.
+
+    Exactness: each value is scaled to int64 once (×1e6, rounded), then
+    Σx and Σx² accumulate as integers — order-free under any partitioning —
+    and variance = (Σx² − (Σx)²/n)/n happens identically in both engines.
+    At int64 scale this caps |x|·1e6 at ~3e9·√rows; for 100 TB move the
+    two sums to DECIMAL(38,0) (same plan, wider type).
+
+    Scale: one posexplode + one map-side-combined groupBy(pos) — d output
+    rows; the vectors themselves never shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    from pyspark.sql import functions as F2
+
+    vals = emb.select(F2.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F2.round(F2.col("v").cast("double") * DIM_SCALE, 0).cast("long").alias("x")
+    )
+    stats = vals.groupBy("dim").agg(
+        F2.count("*").alias("n"),
+        F2.sum("x").alias("sx"),
+        F2.sum(F2.col("x") * F2.col("x")).alias("sxx"),
+    )
+    n = F2.col("n").cast("double")
+    mean = F2.col("sx") / n / DIM_SCALE
+    var = (
+        (F2.col("sxx") - F2.col("sx") * F2.col("sx") / n)
+        / n
+        / (DIM_SCALE * DIM_SCALE)
+    )
+    return stats.select(
+        "dim",
+        F2.round(mean, 6).alias("mean"),
+        F2.round(var, 6).alias("variance"),
+        (var < DEAD_DIM_VAR).alias("dead"),
+    ).orderBy("dim")
+
+
 BALANCE_SCALE = 1_000_000
 
 
@@ -272,6 +316,26 @@ ORACLES: dict[str, str] = {
                    AS balance_index
         FROM stats ORDER BY label
     """,
+    "dimension_variance_report": f"""
+        WITH vals AS (
+            SELECT i - 1 AS dim,
+                   CAST(round(CAST(embedding[i] AS DOUBLE) * {DIM_SCALE}, 0)
+                        AS BIGINT) AS x
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+        stats AS (
+            SELECT dim, count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM vals GROUP BY 1)
+        SELECT dim,
+               round(sx / CAST(n AS DOUBLE) / {DIM_SCALE}, 6) AS mean,
+               round((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                     / ({DIM_SCALE}.0 * {DIM_SCALE}), 6) AS variance,
+               (sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                   / ({DIM_SCALE}.0 * {DIM_SCALE}) < {DEAD_DIM_VAR} AS dead
+        FROM stats ORDER BY dim
+    """,
 }  # pca/quantize: eigensolve / float round-trips → rows-only
 
 QUERIES = {
@@ -279,4 +343,5 @@ QUERIES = {
     "pca_variance_report": pca_variance_report,
     "embedding_quantize": embedding_quantize,
     "label_balance_report": label_balance_report,
+    "dimension_variance_report": dimension_variance_report,
 }
