@@ -331,7 +331,62 @@ def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Pearson correlation between event value and hour-of-day —
+    the quick seasonality probe (do purchases spike at certain hours?)
+    before committing to a full decomposition.
+
+    Cross-engine exactness: `F.corr` accumulates floats in partition order,
+    so instead the five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    accumulate as int64 over fixed-point cents × integer hours, and the
+    final r = (nΣxy − ΣxΣy)/√((nΣx²−Σx²ᵗᵒᵗ)(nΣy²−Σy²ᵗᵒᵗ)) is one fixed
+    shape of exactly-rounded double ops. Integer sums fit int64 through
+    ~10¹² rows per group at these magnitudes; wider corpora move the sums
+    to DECIMAL(38,0) with the same plan. One map-side-combined groupBy."""
+    events = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    y = F.hour("ts").cast("long")
+    base = events.select("event_type", x.alias("x"), y.alias("y"))
+    stats = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return stats.select(
+        "event_type",
+        "n",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("pearson_r"),
+    ).orderBy("event_type")
+
+
 ORACLES: dict[str, str] = {
+    "value_hour_correlation": """
+        WITH base AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS x,
+                   CAST(hour(ts) AS BIGINT) AS y
+            FROM events),
+        stats AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM base GROUP BY 1)
+        SELECT event_type, n,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                            * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+                   AS pearson_r
+        FROM stats ORDER BY event_type
+    """,
     "event_cooccurrence": """
         WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
         SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -474,4 +529,5 @@ QUERIES = {
     "activity_heatmap": activity_heatmap,
     "event_transitions": event_transitions,
     "event_cooccurrence": event_cooccurrence,
+    "value_hour_correlation": value_hour_correlation,
 }
