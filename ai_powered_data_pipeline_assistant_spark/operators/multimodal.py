@@ -26,7 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -150,6 +150,32 @@ def media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-payload dedup across modalities: sha256 the blob
+    JVM-side (no decode, no Python), keep the lowest media_id per digest,
+    and report per-modality kept/dropped counts — the first pass of any
+    multimodal ingest (identical blobs re-crawled under different ids are
+    the dominant duplicate class before perceptual hashing).
+
+    One hash shuffle on the digest; payload bytes never leave the scan
+    stage (only 32-byte digests shuffle). The oracle mirrors via sha256 of
+    the same synthesized payload text."""
+    media = media_table(spark, sf_dir)
+    w = Window.partitionBy(F.sha2("payload", 256)).orderBy("media_id")
+    marked = media.select(
+        "media_id", "modality", F.row_number().over(w).alias("rn")
+    )
+    return (
+        marked.groupBy("modality")
+        .agg(
+            F.count("*").alias("n_blobs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+        )
+        .orderBy("modality")
+    )
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -251,11 +277,28 @@ ORACLES: dict[str, str] = {
                         % 1000000007) AS BIGINT) AS checksum_sum
         FROM documents GROUP BY 1
     """,
+    # payload = utf-8(text), so sha256(payload) partitions == text partitions
+    "media_dedup": """
+        WITH marked AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM documents)
+        SELECT modality, count(*) AS n_blobs,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM marked GROUP BY 1 ORDER BY 1
+    """,
 }
 
 QUERIES = {
     "extract_features": extract_features,  # rows-only (mapInPandas stage)
     "media_summary": media_summary,
+    "media_dedup": media_dedup,
     "resize_images": resize_images,  # rows-only (stubbed decode)
     "sample_frames": sample_frames,  # rows-only (stubbed decode)
 }
