@@ -331,6 +331,65 @@ def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONVERSION_FROM = "signup"
+CONVERSION_TO = "purchase"
+
+
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert report: for every user with both a signup and a
+    later purchase, the seconds between their FIRST signup and the first
+    purchase after it — then a one-row summary (converted users, min /
+    median / max latency, mean) — the activation-latency number growth
+    teams track.
+
+    One conditional-min groupBy(user) computes first-signup and
+    first-purchase-after-signup in a single pass over events (the
+    `funnel_counts` trick — no per-stage self-join); the latency summary
+    then runs on the per-user frame (converted users only). Median is a
+    discrete rank pick, mean an integer-seconds sum — exact in both
+    engines. At billions of converted users, swap the rank window for the
+    bucketed two-phase rank (`batching._batched` shape) or t-digest."""
+    events = load_table(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    per_user = (
+        events.filter(F.col("event_type").isin(CONVERSION_FROM, CONVERSION_TO))
+        .select("user_id", "event_type", es.alias("es"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == CONVERSION_FROM, F.col("es"))
+            ).alias("first_from")
+        )
+        .join(
+            events.filter(F.col("event_type") == CONVERSION_TO).select(
+                "user_id", es.alias("to_es")
+            ),
+            "user_id",
+        )
+        .filter(F.col("to_es") >= F.col("first_from"))
+        .groupBy("user_id", "first_from")
+        .agg(F.min("to_es").alias("first_to"))
+        .select(
+            "user_id", (F.col("first_to") - F.col("first_from")).alias("lat_s")
+        )
+    )
+    w = Window.orderBy("lat_s", "user_id")
+    ranked = per_user.select(
+        "lat_s",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med_rank = F.expr("(n + 1) DIV 2")
+    return ranked.agg(
+        F.max("n").alias("n_converted"),
+        F.min("lat_s").alias("min_s"),
+        F.max(F.when(F.col("rn") == med_rank, F.col("lat_s"))).alias("median_s"),
+        F.max("lat_s").alias("max_s"),
+        F.round(F.sum("lat_s") / F.count("*").cast("double"), 4).alias("mean_s"),
+    )
+
+
 def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type Pearson correlation between event value and hour-of-day —
     the quick seasonality probe (do purchases spike at certain hours?)
@@ -367,6 +426,35 @@ def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "conversion_latency": f"""
+        WITH f AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = '{CONVERSION_FROM}'
+                            THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+                       AS first_from
+            FROM events
+            WHERE event_type IN ('{CONVERSION_FROM}', '{CONVERSION_TO}')
+            GROUP BY 1),
+        p AS (
+            SELECT e.user_id, f.first_from,
+                   min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS first_to
+            FROM events e JOIN f ON e.user_id = f.user_id
+            WHERE e.event_type = '{CONVERSION_TO}'
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) >= f.first_from
+            GROUP BY 1, 2),
+        lat AS (SELECT user_id, first_to - first_from AS lat_s FROM p),
+        ranked AS (
+            SELECT lat_s, user_id,
+                   row_number() OVER (ORDER BY lat_s, user_id) AS rn,
+                   count(*) OVER () AS n
+            FROM lat)
+        SELECT max(n) AS n_converted, min(lat_s) AS min_s,
+               max(CASE WHEN rn = (n + 1) // 2 THEN lat_s END) AS median_s,
+               max(lat_s) AS max_s,
+               round(CAST(sum(lat_s) AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
+                   AS mean_s
+        FROM ranked
+    """,
     "value_hour_correlation": """
         WITH base AS (
             SELECT event_type,
@@ -530,4 +618,5 @@ QUERIES = {
     "event_transitions": event_transitions,
     "event_cooccurrence": event_cooccurrence,
     "value_hour_correlation": value_hour_correlation,
+    "conversion_latency": conversion_latency,
 }

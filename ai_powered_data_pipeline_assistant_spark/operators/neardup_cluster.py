@@ -240,6 +240,43 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-scorable contamination check: join every verified near-dup
+    pair against `cluster_safe_split`'s assignments and count pairs whose
+    two ends landed in different splits. For the family-keyed split this is
+    ZERO by construction; the same audit run against a plain per-doc hash
+    split reports the leakage it would have shipped. One row:
+    (n_pairs, n_straddling, contamination_free)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    assign = cluster_safe_split(spark, sf_dir).select("doc_id", "split")
+    joined = (
+        pairs.join(
+            assign.select(
+                F.col("doc_id").alias("a_id"), F.col("split").alias("a_split")
+            ),
+            "a_id",
+        ).join(
+            assign.select(
+                F.col("doc_id").alias("b_id"), F.col("split").alias("b_split")
+            ),
+            "b_id",
+        )
+    )
+    return joined.agg(
+        F.count("*").alias("n_pairs"),
+        F.coalesce(
+            F.sum((F.col("a_split") != F.col("b_split")).cast("long")), F.lit(0)
+        ).alias("n_straddling"),
+        (
+            F.coalesce(
+                F.sum((F.col("a_split") != F.col("b_split")).cast("long")),
+                F.lit(0),
+            )
+            == 0
+        ).alias("contamination_free"),
+    )
+
+
 def neardup_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row profile of the verified near-dup graph: node/edge counts and
     degree spread — the health check run before clustering (a degree
@@ -320,6 +357,43 @@ def _cluster_safe_split_oracle() -> str:
 
 ORACLES["cluster_safe_split"] = _cluster_safe_split_oracle()
 
+def _split_contamination_oracle() -> str:
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import md5_int_sql
+    from ai_powered_data_pipeline_assistant_spark.operators.clustering import (
+        DEV_PCT,
+        SPLIT_BUCKETS,
+        TRAIN_PCT,
+    )
+
+    bucket = f"{md5_int_sql('CAST(group_id AS VARCHAR)')} % {SPLIT_BUCKETS}"
+    return f"""
+        WITH RECURSIVE {_VERIFIED_EDGES_CTE},
+        assigned AS (
+            SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        splits AS (
+            SELECT doc_id,
+                   CASE WHEN {bucket} < {TRAIN_PCT} THEN 'train'
+                        WHEN {bucket} < {TRAIN_PCT + DEV_PCT} THEN 'dev'
+                        ELSE 'test' END AS split
+            FROM assigned),
+        j AS (
+            SELECT sa.split AS a_split, sb.split AS b_split
+            FROM verified v
+            JOIN splits sa ON v.a_id = sa.doc_id
+            JOIN splits sb ON v.b_id = sb.doc_id)
+        SELECT count(*) AS n_pairs,
+               coalesce(CAST(sum(CASE WHEN a_split <> b_split THEN 1 ELSE 0
+                                      END) AS BIGINT), 0) AS n_straddling,
+               coalesce(CAST(sum(CASE WHEN a_split <> b_split THEN 1 ELSE 0
+                                      END) AS BIGINT), 0) = 0
+                   AS contamination_free
+        FROM j
+    """
+
+
+ORACLES["split_contamination_audit"] = _split_contamination_oracle()
+
 ORACLES["neardup_cluster_sizes"] = f"""
     WITH RECURSIVE {_VERIFIED_EDGES_CTE},
     fam_sizes AS (SELECT cluster_id, count(*) AS cluster_size
@@ -350,4 +424,5 @@ QUERIES = {
     "neardup_degree_stats": neardup_degree_stats,
     "cluster_safe_split": cluster_safe_split,
     "neardup_cluster_sizes": neardup_cluster_sizes,
+    "split_contamination_audit": split_contamination_audit,
 }
