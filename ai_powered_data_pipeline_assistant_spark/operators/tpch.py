@@ -679,7 +679,57 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency profile: per order priority, integer-day stats of
+    (first line-item ship date − order date) — the ops dashboard that shows
+    whether URGENT orders actually ship faster. First-ship is one
+    conditional-min groupBy(orderkey) over lineitem; the per-order day
+    deltas are exact epoch-second integer arithmetic (floored to days), so
+    every aggregate is order-free int64. Orders⋈first-ship joins on the
+    already-grouped orderkey — the only shuffles are the two key hashes."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.unix_timestamp("o_orderdate").alias("od")
+    )
+    first_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.unix_timestamp("l_shipdate")).alias("sd"))
+    )
+    days = F.expr("(sd - od) DIV 86400")
+    joined = orders.join(
+        first_ship, orders.o_orderkey == first_ship.l_orderkey
+    ).select("o_orderpriority", days.alias("days"))
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("days").alias("min_days"),
+            F.max("days").alias("max_days"),
+            F.round(F.sum("days") / F.count("*").cast("double"), 4).alias(
+                "avg_days"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "order_to_ship_latency": """
+        WITH fs AS (
+            SELECT l_orderkey,
+                   min(CAST(floor(epoch(l_shipdate)) AS BIGINT)) AS sd
+            FROM lineitem GROUP BY 1),
+        j AS (
+            SELECT o.o_orderpriority,
+                   (fs.sd - CAST(floor(epoch(o.o_orderdate)) AS BIGINT))
+                       // 86400 AS days
+            FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey)
+        SELECT o_orderpriority, count(*) AS n_orders,
+               min(days) AS min_days, max(days) AS max_days,
+               round(CAST(sum(days) AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
+                   AS avg_days
+        FROM j GROUP BY 1 ORDER BY 1
+    """,
     "tpch_q7": """
         SELECT supp_nation, cust_nation, l_year,
                round(sum(rev) / 1e6, 4) AS revenue
@@ -1029,4 +1079,5 @@ QUERIES = {
     "tpch_q17": tpch_q17,
     "tpch_q20": tpch_q20,
     "tpch_q22": tpch_q22,
+    "order_to_ship_latency": order_to_ship_latency,
 }
