@@ -208,6 +208,56 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("top_k")
 
 
+FREQ_SUPPORT = 0.01  # freqItems support threshold (share of token stream)
+
+
+def frequent_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass heavy-hitters via Spark's `freqItems` (Karp et al.
+    streaming frequent-items): candidate terms with share ≥ FREQ_SUPPORT of
+    the token stream, found WITHOUT the full vocabulary aggregation —
+    constant memory (1/support counters per partition), one pass, no
+    shuffle of the vocab. The sketch guarantees no false NEGATIVES (every
+    truly frequent term appears) but may include false positives; library
+    surface, pinned by `frequent_terms_audit`."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stream = docs.select(F.explode(toks).alias("term"))
+    items = stream.stat.freqItems(["term"], support=FREQ_SUPPORT)
+    return items.select(
+        F.concat_ws(",", F.array_sort(F.col("term_freqItems"))).alias(
+            "candidates"
+        )
+    )
+
+
+def frequent_terms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-scorable pin of the sketch's no-false-negative guarantee: every
+    term whose EXACT share ≥ FREQ_SUPPORT must appear in the sketch's
+    candidate set. The oracle recomputes the exact frequent set and states
+    the guarantee as a literal; the exact term list rides along so the row
+    carries real content."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stream = docs.select(F.explode(toks).alias("term"))
+    total = stream.count()
+    exact = (
+        stream.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(int(total * FREQ_SUPPORT) + 1))
+    )
+    sketch_terms = set(
+        frequent_terms_sketch(spark, sf_dir)
+        .first()["candidates"]
+        .split(",")
+    )
+    exact_terms = sorted(r["term"] for r in exact.collect())
+    missed = [t for t in exact_terms if t not in sketch_terms]
+    return spark.createDataFrame(
+        [(len(exact_terms), ",".join(exact_terms), len(missed) == 0)],
+        "n_frequent long, frequent_terms string, no_false_negatives boolean",
+    )
+
+
 def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Least-squares fit of log(count) ~ log(rank) over the top ZIPF_RANKS
     vocabulary terms — Zipf's law expects a slope near -1."""
@@ -418,7 +468,27 @@ QUERIES = {
     "boilerplate_prefixes": boilerplate_prefixes,
     "oov_rate": oov_rate,
     "vocab_coverage_curve": vocab_coverage_curve,
+    # frequent_terms_sketch itself is library surface (candidate set may
+    # contain partitioning-dependent false positives); the audit pins it.
+    "frequent_terms_audit": frequent_terms_audit,
 }
+
+ORACLES["frequent_terms_audit"] = rf"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+    tot AS (SELECT count(*) AS n FROM toks),
+    ex AS (
+        SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+    freq AS (
+        SELECT term FROM ex CROSS JOIN tot
+        WHERE cnt >= CAST(floor(n * {FREQ_SUPPORT}) AS BIGINT) + 1)
+    SELECT count(*) AS n_frequent,
+           coalesce(array_to_string(list_sort(list(term)), ','), '')
+               AS frequent_terms,
+           true AS no_false_negatives
+    FROM freq
+"""
 
 _COVERAGE_POINT = """
     SELECT {k} AS top_k,
