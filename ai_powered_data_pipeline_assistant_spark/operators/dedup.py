@@ -772,6 +772,39 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def neardup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile histogram of verified near-dup pair similarities — the
+    threshold-sensitivity view (a pile-up just above the threshold means
+    the cutoff is doing real work; mass near 1.0 means mostly exact-ish
+    clones that exact dedup would also catch). Buckets come from the
+    already-rounded jaccard via integer arithmetic, so both engines bucket
+    identically; one tiny groupBy over the pair set."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    bk = F.expr("CAST(round(jaccard * 1000000) AS BIGINT) DIV 100000")
+    return (
+        pairs.select(bk.alias("bk"))
+        .groupBy("bk")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            F.round(F.col("bk") / 10.0, 1).alias("bucket_lo"),
+            "n_pairs",
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+ORACLES["neardup_similarity_histogram"] = f"""
+    WITH {minhash_lsh_cte("documents")},
+    verified AS (
+        SELECT p.jaccard
+        FROM candidates c JOIN pairs p ON c.a_id = p.a_id AND c.b_id = p.b_id
+        WHERE p.jaccard >= {JACCARD_THRESHOLD}),
+    b AS (SELECT CAST(round(jaccard * 1000000) AS BIGINT) // 100000 AS bk
+          FROM verified)
+    SELECT round(bk / 10.0, 1) AS bucket_lo, count(*) AS n_pairs
+    FROM b GROUP BY 1 ORDER BY 1
+"""
+
 ORACLES["dedup_method_report"] = f"""
     SELECT 'exact_copies' AS method,
            CAST(sum(c - 1) AS BIGINT) AS flagged
@@ -822,6 +855,7 @@ QUERIES = {
     "crosscorpus_neardup": crosscorpus_neardup,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "neardup_similarity_histogram": neardup_similarity_histogram,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "set_ops_summary": set_ops_summary,

@@ -88,6 +88,34 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame
     )
 
 
+def session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row product-analytics rollup of the sessionized stream: session
+    and user counts, sessions per user, events per session, mean duration,
+    and the single-event-session ("bounce") share. All ratios derive from
+    int64 counts/sums, so the summary is exact under any partitioning; it
+    reuses `sessionize`'s single-shuffle plan and adds only a final
+    1-row aggregate."""
+    s = sessionize(spark, sf_dir)
+    return s.agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.count("*") / F.countDistinct("user_id").cast("double"), 4).alias(
+            "sessions_per_user"
+        ),
+        F.round(F.sum("event_cnt") / F.count("*").cast("double"), 4).alias(
+            "events_per_session"
+        ),
+        F.round(F.sum("duration_s") / F.count("*").cast("double"), 4).alias(
+            "avg_duration_s"
+        ),
+        F.round(
+            F.sum((F.col("event_cnt") == 1).cast("long"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("bounce_share"),
+    )
+
+
 def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native `session_window` sessionization (the built-in behind the
     `sessionize` hand-rolled plan): per-user sessions with a 30-minute
@@ -250,7 +278,42 @@ def user_activity_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSIONS_CTE = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+                    THEN 1 ELSE 0 END AS gap_flag
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+        SELECT user_id, ts,
+               CAST(sum(gap_flag) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                    AS BIGINT) AS session_idx
+        FROM flagged),
+    per AS (
+        SELECT user_id, session_idx, count(*) AS event_cnt,
+               CAST(floor(epoch(max(ts))) AS BIGINT)
+                   - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+        FROM sessions GROUP BY 1, 2)
+"""
+
 ORACLES: dict[str, str] = {
+    "session_summary": _SESSIONS_CTE + """
+    SELECT count(*) AS n_sessions,
+           count(DISTINCT user_id) AS n_users,
+           round(count(*) / CAST(count(DISTINCT user_id) AS DOUBLE), 4)
+               AS sessions_per_user,
+           round(CAST(sum(event_cnt) AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
+               AS events_per_session,
+           round(CAST(sum(duration_s) AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
+               AS avg_duration_s,
+           round(CAST(sum(CASE WHEN event_cnt = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+               AS bounce_share
+    FROM per
+    """,
     "customer_running_revenue": """
         SELECT o_custkey, o_orderkey,
                CAST(o_orderdate AS DATE) AS order_date,
@@ -375,6 +438,7 @@ QUERIES = {
     "retention_last_n": retention_last_n,
     "sliding_window_counts": sliding_window_counts,
     "sessionize": sessionize,
+    "session_summary": session_summary,
     "session_window_counts": session_window_counts,
     "value_ntiles": value_ntiles,
 }
