@@ -331,6 +331,42 @@ def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stickiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per ISO week: average daily active users over the
+    week divided by weekly active users — the canonical engagement ratio
+    (1.0 = every weekly user shows up daily). Two exact-distinct
+    aggregations (per-day, per-week) that share the user_id shuffle key;
+    at 100 TB swap exact distincts for HLL sketches (the
+    `distinct_users_approx` path) with the same plan shape."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        F.weekofyear("ts").alias("week"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    dau = base.groupBy("week", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = base.groupBy("week").agg(F.countDistinct("user_id").alias("wau"))
+    avg_dau = dau.groupBy("week").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.sum("dau") / F.count("*").cast("double"), 4).alias("avg_dau"),
+    )
+    return (
+        avg_dau.join(wau, "week")
+        .select(
+            "week",
+            "n_days",
+            "avg_dau",
+            "wau",
+            F.round(F.col("avg_dau") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
 CONVERSION_FROM = "signup"
 CONVERSION_TO = "purchase"
 
@@ -426,6 +462,22 @@ def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "stickiness_report": """
+        WITH base AS (
+            SELECT weekofyear(ts) AS week, CAST(ts AS DATE) AS day, user_id
+            FROM events),
+        dau AS (SELECT week, day, count(DISTINCT user_id) AS dau
+                FROM base GROUP BY 1, 2),
+        wau AS (SELECT week, count(DISTINCT user_id) AS wau
+                FROM base GROUP BY 1),
+        a AS (SELECT week, count(*) AS n_days,
+                     round(CAST(sum(dau) AS BIGINT)
+                           / CAST(count(*) AS DOUBLE), 4) AS avg_dau
+              FROM dau GROUP BY 1)
+        SELECT a.week, n_days, avg_dau, wau,
+               round(avg_dau / CAST(wau AS DOUBLE), 6) AS stickiness
+        FROM a JOIN wau USING (week) ORDER BY week
+    """,
     "conversion_latency": f"""
         WITH f AS (
             SELECT user_id,
@@ -619,4 +671,5 @@ QUERIES = {
     "event_cooccurrence": event_cooccurrence,
     "value_hour_correlation": value_hour_correlation,
     "conversion_latency": conversion_latency,
+    "stickiness_report": stickiness_report,
 }
