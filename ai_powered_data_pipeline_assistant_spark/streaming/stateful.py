@@ -103,6 +103,80 @@ def ttl_dedup_state(requests: DataFrame) -> DataFrame:
     )
 
 
+TREND_HALF_LIFE_S = 3600  # score halves every hour of event time
+TREND_THRESHOLD = 50.0
+
+TREND_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("batch_count", LongType()),
+        StructField("decayed_score", StringType()),  # fixed 4-dp decimal str
+        StructField("trending", BooleanType()),
+    ]
+)
+
+TREND_STATE_SCHEMA = StructType(
+    [
+        StructField("last_micros", LongType()),
+        StructField("score_1e4", LongType()),  # fixed-point ×10⁴
+    ]
+)
+
+
+def _trend_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Half-life decayed counter (the HN/Reddit trending primitive): on
+    each batch the stored score decays by 0.5^(Δt/half_life) in EVENT time,
+    then the batch count is added. State is two int64s per key — bounded
+    regardless of stream length; the decay uses the max event ts so
+    replayed batches age the score identically."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    n = len(rows)
+    batch_max_micros = int(rows["ts"].max().value // 1_000)
+    if state.exists:
+        last_micros, score_1e4 = state.get
+        dt_s = max(0, batch_max_micros - last_micros) / 1_000_000
+        decay = 0.5 ** (dt_s / TREND_HALF_LIFE_S)
+        score = score_1e4 / 1e4 * decay + n
+        last_micros = max(last_micros, batch_max_micros)
+    else:
+        score = float(n)
+        last_micros = batch_max_micros
+    state.update((last_micros, int(round(score * 1e4))))
+    state.setTimeoutDuration(TREND_HALF_LIFE_S * 4 * 1000)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "batch_count": [n],
+            "decayed_score": [f"{score:.4f}"],
+            "trending": [score > TREND_THRESHOLD],
+        }
+    )
+
+
+def trending_counter_state(events: DataFrame) -> DataFrame:
+    """Per-event-type half-life decayed activity score over a stream of
+    (event_type string, ts timestamp) — burst detection that forgets old
+    traffic exponentially instead of holding a timestamp list (contrast
+    `sliding_rate_limit_state`: O(1) state vs O(window) state)."""
+    return (
+        events.groupBy("event_type")
+        .applyInPandasWithState(
+            _trend_fn,
+            outputStructType=TREND_OUTPUT_SCHEMA,
+            stateStructType=TREND_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 RATE_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

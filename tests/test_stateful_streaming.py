@@ -88,3 +88,29 @@ def test_sliding_rate_limit_state(spark, tmp_path):
     # slow user: 120 s spacing → only the newest event stays in-window
     assert by_user[2]["window_count"] == 1
     assert not by_user[2]["over_limit"]
+
+
+def test_trending_counter_state(spark, sf_dir, tmp_path):
+    """One availableNow batch per event_type: score == batch count (no prior
+    state to decay), trending iff count clears the threshold; state is two
+    int64s per key."""
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+    from ai_powered_data_pipeline_assistant_spark.streaming.stateful import (
+        TREND_THRESHOLD,
+        trending_counter_state,
+    )
+
+    fixture = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    result = _run_stream(
+        spark, fixture, tmp_path, trending_counter_state, "trending"
+    )
+    rows = {r["event_type"]: r for r in result.collect()}
+    expected = {
+        r["event_type"]: r["cnt"]
+        for r in fixture.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(rows) == set(expected)
+    for et, r in rows.items():
+        assert r["batch_count"] == expected[et]
+        assert float(r["decayed_score"]) == float(expected[et])
+        assert r["trending"] == (expected[et] > TREND_THRESHOLD)
