@@ -257,6 +257,68 @@ def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+MAD_K = 3  # flag days with |cnt − median| > K × MAD
+
+
+def daily_count_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly detection per event_type: flag days whose
+    event count deviates from the type's median by more than MAD_K× the
+    median absolute deviation. MAD tolerates up to 50% outlier days, where
+    `value_anomalies`' z-score window breaks down under heavy-tailed
+    volume — the standard robust twin every monitoring stack keeps.
+
+    Both medians are DISCRETE rank picks over integers (counts, then
+    absolute deviations), and the flag compares integers (|dev| > K·MAD) —
+    bit-identical across engines, no float at all. Every window and groupBy
+    keys on event_type, so the whole plan shares one hash Exchange."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("cnt"))
+    )
+    t = Window.partitionBy("event_type")
+    r1 = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.row_number().over(t.orderBy("cnt", "day")).alias("rn"),
+        F.count("*").over(t).alias("n"),
+    )
+    med = F.max(
+        F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("cnt"))
+    ).over(t)
+    d2 = r1.select(
+        "event_type",
+        "day",
+        "cnt",
+        med.alias("med"),
+        F.abs(F.col("cnt") - med).alias("dev"),
+    )
+    r2 = d2.select(
+        "event_type",
+        "day",
+        "cnt",
+        "med",
+        "dev",
+        F.row_number().over(t.orderBy("dev", "day")).alias("rn2"),
+        F.count("*").over(t).alias("n2"),
+    )
+    mad = F.max(
+        F.when(F.col("rn2") == F.expr("(n2 + 1) DIV 2"), F.col("dev"))
+    ).over(t)
+    flagged = r2.select(
+        "event_type", "day", "cnt", "med", "dev", mad.alias("mad")
+    ).filter(F.col("dev") > MAD_K * F.col("mad"))
+    return flagged.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.col("med").alias("median_cnt"),
+        "mad",
+    ).orderBy("event_type", "day")
+
+
 def chars_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of document lengths: HIST_BUCKETS buckets of
     HIST_WIDTH chars, last bucket open-ended. Pure column expression +
@@ -462,6 +524,39 @@ def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "daily_count_anomalies_mad": f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+            FROM events GROUP BY 1, 2),
+        r1 AS (
+            SELECT event_type, day, cnt,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cnt, day) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM daily),
+        d2 AS (
+            SELECT event_type, day, cnt,
+                   max(CASE WHEN rn = (n + 1) // 2 THEN cnt END)
+                       OVER (PARTITION BY event_type) AS med
+            FROM r1),
+        d3 AS (
+            SELECT event_type, day, cnt, med, abs(cnt - med) AS dev
+            FROM d2),
+        r2 AS (
+            SELECT event_type, day, cnt, med, dev,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY dev, day) AS rn2,
+                   count(*) OVER (PARTITION BY event_type) AS n2
+            FROM d3),
+        d4 AS (
+            SELECT event_type, day, cnt, med, dev,
+                   max(CASE WHEN rn2 = (n2 + 1) // 2 THEN dev END)
+                       OVER (PARTITION BY event_type) AS mad
+            FROM r2)
+        SELECT event_type, day, cnt, med AS median_cnt, mad
+        FROM d4 WHERE dev > {MAD_K} * mad
+        ORDER BY event_type, day
+    """,
     "stickiness_report": """
         WITH base AS (
             SELECT weekofyear(ts) AS week, CAST(ts AS DATE) AS day, user_id
@@ -672,4 +767,5 @@ QUERIES = {
     "value_hour_correlation": value_hour_correlation,
     "conversion_latency": conversion_latency,
     "stickiness_report": stickiness_report,
+    "daily_count_anomalies_mad": daily_count_anomalies_mad,
 }

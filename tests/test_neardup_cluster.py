@@ -99,3 +99,42 @@ def test_cc_two_components_and_isolated_pair(spark):
     edges = spark.createDataFrame(data, "a_id long, b_id long")
     labels = {r["node"]: r["label"] for r in connected_components(edges).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Randomized cross-check of the distributed components against a pure
+    Python union-find over the same edges — catches propagation bugs hand
+    graphs miss (dense + chain + isolated mixtures)."""
+    import random
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # resolve to component minimum
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(23)
+    for trial in range(3):
+        n_nodes = rng.randrange(20, 80)
+        n_edges = rng.randrange(10, 120)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        want = union_find(edges)
+        got = _cc(spark, edges)
+        assert got == want, f"trial {trial}: {len(edges)} edges"
