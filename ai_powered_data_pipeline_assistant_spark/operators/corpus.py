@@ -220,7 +220,117 @@ def token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ("data", "model", "system")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus — the lexical ranking twin of
+    the vector search path (hybrid search runs both and fuses). Scores the
+    fixed query term set BM25_TERMS and returns the top BM25_TOP documents.
+
+    Determinism across engines: per-term scores are computed as separate
+    columns from integer tf/df/dl statistics and added in a FIXED literal
+    order, so the float expression tree is identical in Spark and DuckDB
+    (ln over integer ratios matches, as with `unigram_logprob`). Ranking
+    ties break on doc_id; the final rounded score is the output.
+
+    Scale: one token explode → (doc, term) counts filtered to the query
+    terms (predicate pushdown keeps the aggregation tiny), df and avgdl are
+    1-row/`|terms|`-row broadcast frames, and the top-k compiles to
+    TakeOrderedAndProject — no global sort."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    lengths = docs.select("doc_id", F.size(toks).cast("long").alias("dl"))
+    stream = docs.select("doc_id", F.explode(toks).alias("term")).filter(
+        F.col("term").isin(*BM25_TERMS)
+    )
+    tf = stream.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = docs.agg(
+        F.count("*").alias("n_docs"), F.sum(F.size(toks).cast("long")).alias("toks")
+    )
+    # pivot tf to one column per query term (fixed literal order)
+    wide = lengths.join(
+        tf.groupBy("doc_id").pivot("term", list(BM25_TERMS)).sum("tf"),
+        "doc_id",
+        "left",
+    ).crossJoin(F.broadcast(corpus))
+    df_map = df.groupBy().pivot("term", list(BM25_TERMS)).sum("df")
+    wide = wide.crossJoin(F.broadcast(df_map.select(
+        *[F.col(t).alias(f"df_{t}") for t in BM25_TERMS]
+    )))
+    avgdl = F.col("toks") / F.col("n_docs").cast("double")
+
+    def term_score(t: str) -> F.Column:
+        tf_c = F.coalesce(F.col(t), F.lit(0)).cast("double")
+        df_c = F.coalesce(F.col(f"df_{t}"), F.lit(0)).cast("double")
+        idf = F.log(
+            (F.col("n_docs") - df_c + 0.5) / (df_c + 0.5) + 1.0
+        )
+        denom = tf_c + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / avgdl))
+        return idf * (tf_c * (BM25_K1 + 1.0)) / denom
+
+    score = term_score(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        score = score + term_score(t)
+    scored = wide.select("doc_id", F.round(score, 4).alias("bm25"))
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP)
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+    def term_score(t: str) -> str:
+        return (
+            f"(ln((n_docs - coalesce(df_{t}, 0) + 0.5)"
+            f" / (coalesce(df_{t}, 0) + 0.5) + 1.0)"
+            f" * (coalesce(tf_{t}, 0) * ({BM25_K1} + 1.0))"
+            f" / (coalesce(tf_{t}, 0) + {BM25_K1}"
+            f" * (1.0 - {BM25_B} + {BM25_B} * (dl / (toks / CAST(n_docs AS DOUBLE))))))"
+        )
+
+    tf_cols = ", ".join(
+        f"CAST(sum(CASE WHEN term = '{t}' THEN tf END) AS DOUBLE) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(max(CASE WHEN term = '{t}' THEN df END) AS DOUBLE) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    total = " + ".join(term_score(t) for t in BM25_TERMS)
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS term
+            FROM documents),
+        lens AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                        AS BIGINT) AS dl
+            FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({terms}) GROUP BY 1, 2),
+        tfw AS (SELECT doc_id, {tf_cols} FROM tf GROUP BY 1),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        dfw AS (SELECT {df_cols} FROM dfx),
+        corpus AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CAST(len(regexp_split_to_array(trim(lower(text)),
+                        '\s+')) AS BIGINT)) AS BIGINT) AS toks
+            FROM documents)
+        SELECT doc_id, round({total}, 4) AS bm25
+        FROM lens LEFT JOIN tfw USING (doc_id)
+        CROSS JOIN corpus CROSS JOIN dfw
+        ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP}
+    """
+
+
 ORACLES: dict[str, str] = {
+    "bm25_search": _bm25_sql(),
     "token_budget": rf"""
         WITH per_source AS (
             SELECT source, count(*) AS n_docs,
@@ -328,4 +438,5 @@ QUERIES = {
     "tfidf_keywords": tfidf_keywords,
     "chunk_documents": chunk_documents,
     "corpus_manifest": corpus_manifest,
+    "bm25_search": bm25_search,
 }

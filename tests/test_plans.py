@@ -247,3 +247,10 @@ def test_winsorized_stats_single_hash_shuffle(spark, sf_dir):
     the final presentation orderBy's range partitioning.)"""
     plan = _initial_plan(QUERIES["winsorized_stats"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    """BM25 retrieval must compile its top-k to TakeOrderedAndProject —
+    a global sort of per-doc scores is the anti-pattern at corpus scale."""
+    plan = _initial_plan(QUERIES["bm25_search"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
