@@ -511,6 +511,46 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60
+RRF_POOL = 20
+RRF_TOP = 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion of the lexical BM25 ranking
+    (`corpus.bm25_search`, top RRF_POOL) and the vector cosine ranking
+    (`cosine_topk`, top RRF_POOL), score = Σ 1/(RRF_K + rank) over the
+    lists a document appears in — the standard fusion rule hybrid search
+    stacks use (no score normalization needed, rank-only). Embedding ids
+    align positionally with doc ids (the J2 zip convention).
+
+    Both inputs are already top-k TakeOrdered results, so the rank windows
+    and the fusion join run on two RRF_POOL-row frames — driver-scale
+    frames regardless of corpus size; the heavy lifting stays in the two
+    underlying retrievers."""
+    from ai_powered_data_pipeline_assistant_spark.operators.corpus import (
+        bm25_search,
+    )
+
+    lex = bm25_search(spark, sf_dir)
+    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("lr"))
+    vec = cosine_topk(spark, sf_dir, k=RRF_POOL).select(
+        F.col("vec_id").alias("doc_id"), "similarity"
+    )
+    wv = Window.orderBy(F.desc("similarity"), "doc_id")
+    vecr = vec.select("doc_id", F.row_number().over(wv).alias("vr"))
+    fused = lexr.join(vecr, "doc_id", "full_outer")
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lr")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("vr")), F.lit(0.0)
+    )
+    return (
+        fused.select("doc_id", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(RRF_TOP)
+    )
+
+
 _COS_SQL = cosine_similarity_sql("e.embedding", "q.embedding")
 
 ORACLES: dict[str, str] = {
@@ -611,6 +651,35 @@ def _ivf_oracle_sql(n_queries: int = 5, k: int = 5, n_lists: int = 8,
     """
 
 
+
+def _hybrid_rrf_sql() -> str:
+    from ai_powered_data_pipeline_assistant_spark.operators.corpus import _bm25_sql
+
+    return f"""
+        WITH lex AS ({_bm25_sql()}),
+        lexr AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lr
+                 FROM lex),
+        vec AS (SELECT e.vec_id, {_COS_SQL} AS similarity
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                ORDER BY similarity DESC, e.vec_id LIMIT {RRF_POOL}),
+        vecr AS (SELECT vec_id AS doc_id,
+                        row_number() OVER (ORDER BY similarity DESC, vec_id)
+                            AS vr
+                 FROM vec),
+        fused AS (
+            SELECT doc_id,
+                   coalesce(1.0 / ({RRF_K} + lr), 0.0)
+                       + coalesce(1.0 / ({RRF_K} + vr), 0.0) AS rrf
+            FROM lexr FULL OUTER JOIN vecr USING (doc_id))
+        SELECT doc_id, round(rrf, 6) AS rrf
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """
+
+
+ORACLES["hybrid_search_rrf"] = _hybrid_rrf_sql()
+
 ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
 ORACLES["ann_ivf_pruned"] = _ivf_oracle_sql()
 # Recall audits: the oracle recomputes the exact side (pair counts) in SQL
@@ -662,6 +731,7 @@ ORACLES["semantic_dedup"] = _semantic_dedup_oracle_sql()
 # construction, so they are not driver-facing registry entries.
 QUERIES = {
     "cosine_topk": cosine_topk,
+    "hybrid_search_rrf": hybrid_search_rrf,
     "cosine_topk_filtered": cosine_topk_filtered,
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_recall": ann_lsh_recall,
