@@ -257,6 +257,37 @@ def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+CHURN_QUIET_PCT = 20  # trailing share of the time range with no activity
+
+
+def churn_risk_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-risk roster: users active earlier in the corpus window but
+    silent for its trailing CHURN_QUIET_PCT% — the re-engagement roster a
+    growth team pulls; every user is emitted with their recency so the
+    flag threshold can be re-tuned without recomputation. The quiet-period cutoff is integer epoch arithmetic
+    on the corpus min/max (one 1-row broadcast aggregate, the
+    `temporal_split` pattern); per-user last/first activity and event count
+    come from one map-side-combined groupBy."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select("user_id", F.unix_timestamp("ts").alias("es"))
+    bounds = base.agg(F.min("es").alias("mn"), F.max("es").alias("mx"))
+    per_user = base.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("es").alias("first_es"),
+        F.max("es").alias("last_es"),
+    )
+    joined = per_user.crossJoin(F.broadcast(bounds))
+    cutoff = F.col("mx") - F.expr(
+        f"((mx - mn) * {CHURN_QUIET_PCT}) DIV 100"
+    )
+    return joined.select(
+        "user_id",
+        "n_events",
+        (F.col("mx") - F.col("last_es")).alias("silent_s"),
+        (F.col("last_es") < cutoff).alias("at_risk"),
+    ).orderBy("user_id")
+
+
 MAD_K = 3  # flag days with |cnt − median| > K × MAD
 
 
@@ -524,6 +555,20 @@ def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "churn_risk_flags": f"""
+        WITH b AS (
+            SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS mn,
+                   max(CAST(floor(epoch(ts)) AS BIGINT)) AS mx
+            FROM events),
+        per_user AS (
+            SELECT user_id, count(*) AS n_events,
+                   max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_es
+            FROM events GROUP BY 1)
+        SELECT user_id, n_events, mx - last_es AS silent_s,
+               last_es < mx - ((mx - mn) * {CHURN_QUIET_PCT}) // 100 AS at_risk
+        FROM per_user CROSS JOIN b
+        ORDER BY user_id
+    """,
     "daily_count_anomalies_mad": f"""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
@@ -768,4 +813,5 @@ QUERIES = {
     "conversion_latency": conversion_latency,
     "stickiness_report": stickiness_report,
     "daily_count_anomalies_mad": daily_count_anomalies_mad,
+    "churn_risk_flags": churn_risk_flags,
 }
