@@ -199,6 +199,44 @@ def temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHTED_TARGET_ROWS = 150  # expected sample size
+WEIGHTED_BUCKETS = 1_000_000
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Poisson sampling with PER-ROW weights: each
+    document is kept with probability ∝ its n_chars (longer docs carry
+    more token mass), scaled so the expected sample size is
+    WEIGHTED_TARGET_ROWS — the importance-sampling shape for building a
+    size-bounded pilot corpus whose token mass mirrors the full one.
+
+    Membership is the md5-bucket trick (stable under re-runs/appends, no
+    RNG state); keep_p is rounded to 6 dp before the threshold compare so
+    both engines gate on bit-identical doubles. Σw is one 1-row broadcast
+    aggregate; everything else is a pure column expression on the scan.
+    Contrast: `stratified_sample` rates per stratum, `source_mix_resample`
+    rates per source — this one rates per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    total_w = docs.agg(F.sum(F.col("n_chars").cast("long")).alias("tw"))
+    joined = docs.crossJoin(broadcast(total_w))
+    keep_p = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(WEIGHTED_TARGET_ROWS))
+            * F.col("n_chars")
+            / F.col("tw").cast("double"),
+        ),
+        6,
+    )
+    bucket = md5_int(F.col("doc_id").cast("string")) % WEIGHTED_BUCKETS
+    return (
+        joined.withColumn("keep_p", keep_p)
+        .filter(bucket < F.col("keep_p") * WEIGHTED_BUCKETS)
+        .select("doc_id", "n_chars", "keep_p")
+        .orderBy("doc_id")
+    )
+
+
 MIX_ALPHA = 0.5  # temperature exponent: weight_s ∝ count_s^alpha
 MIX_TARGET_SHARE = 0.5  # global sample budget as a share of the corpus
 MIX_BUCKETS = 1_000_000
@@ -279,6 +317,18 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["weighted_sample"] = f"""
+    WITH tw AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM documents)
+    SELECT doc_id, n_chars,
+           round(least(1.0, {float(WEIGHTED_TARGET_ROWS)} * n_chars
+                            / CAST(tw AS DOUBLE)), 6) AS keep_p
+    FROM documents CROSS JOIN tw
+    WHERE {md5_int_sql("CAST(doc_id AS VARCHAR)")} % {WEIGHTED_BUCKETS}
+          < round(least(1.0, {float(WEIGHTED_TARGET_ROWS)} * n_chars
+                             / CAST(tw AS DOUBLE)), 6) * {WEIGHTED_BUCKETS}
+    ORDER BY doc_id
+"""
+
 ORACLES["temporal_split"] = f"""
     WITH b AS (
         SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS mn,
@@ -302,5 +352,6 @@ QUERIES = {
     "train_test_split": train_test_split,
     "temporal_split": temporal_split,
     "stratified_sample": stratified_sample,
+    "weighted_sample": weighted_sample,
     "source_mix_resample": source_mix_resample,
 }

@@ -209,7 +209,63 @@ def range_join(spark: SparkSession, sf_dir: str, window_s: int = 300) -> DataFra
     )
 
 
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each FK
+    relationship, how many child rows point at a missing parent — the
+    data-quality gate run after every ingest (orphans mean a broken or
+    out-of-order load). Each check is a left-anti join on the key; parent
+    key sets are distinct-projected first, so dimension sides broadcast
+    and the fact side is scanned once per relationship with only the key
+    column read (column pruning)."""
+    checks = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey -> region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for label, child_t, child_k, parent_t, parent_k in checks:
+        child = load_table(spark, sf_dir, child_t).select(F.col(child_k).alias("k"))
+        parent = (
+            load_table(spark, sf_dir, parent_t)
+            .select(F.col(parent_k).alias("k"))
+            .distinct()
+        )
+        row = child.join(broadcast(parent), "k", "left_anti").agg(
+            F.lit(label).alias("relationship"),
+            F.count("*").alias("orphan_rows"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.withColumn("ok", F.col("orphan_rows") == 0).orderBy("relationship")
+
+
 ORACLES: dict[str, str] = {
+    "fk_integrity_audit": """
+        WITH u AS (
+            SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+                   count(*) AS orphan_rows
+            FROM lineitem WHERE l_orderkey NOT IN
+                (SELECT o_orderkey FROM orders)
+            UNION ALL
+            SELECT 'orders.o_custkey -> customer', count(*)
+            FROM orders WHERE o_custkey NOT IN
+                (SELECT c_custkey FROM customer)
+            UNION ALL
+            SELECT 'customer.c_nationkey -> nation', count(*)
+            FROM customer WHERE c_nationkey NOT IN
+                (SELECT n_nationkey FROM nation)
+            UNION ALL
+            SELECT 'supplier.s_nationkey -> nation', count(*)
+            FROM supplier WHERE s_nationkey NOT IN
+                (SELECT n_nationkey FROM nation)
+            UNION ALL
+            SELECT 'nation.n_regionkey -> region', count(*)
+            FROM nation WHERE n_regionkey NOT IN
+                (SELECT r_regionkey FROM region))
+        SELECT relationship, orphan_rows, orphan_rows = 0 AS ok
+        FROM u ORDER BY relationship
+    """,
     "range_join": """
         SELECT e.event_id AS error_id, v.event_id AS view_id, e.user_id,
                CAST(floor(epoch(v.ts)) AS BIGINT)
@@ -294,4 +350,5 @@ QUERIES = {
     "salted_skew_join": salted_skew_join,
     "asof_join": asof_join,
     "range_join": range_join,
+    "fk_integrity_audit": fk_integrity_audit,
 }
