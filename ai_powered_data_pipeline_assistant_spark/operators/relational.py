@@ -146,7 +146,38 @@ def chat_display_page(spark: SparkSession, sf_dir: str, n: int = 50) -> DataFram
     return page.orderBy("ts", "event_id").select("event_id", "ts", "event_type")
 
 
+_INVENTORY_TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def table_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog inventory: one row per registered table with its row and
+    column counts — the first query anyone runs against a new deployment
+    (and the freshness check a scheduler runs after each load). Ten 1-row
+    count aggregates unioned; each count is a metadata-cheap scan (column
+    pruning reduces it to a rowcount over parquet footers)."""
+    out = None
+    for t in _INVENTORY_TABLES:
+        df = load_table(spark, sf_dir, t)
+        row = df.agg(
+            F.lit(t).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.lit(len(df.columns)).cast("long").alias("n_cols"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name")
+
+
 ORACLES: dict[str, str] = {
+    "table_inventory": " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows, "
+        f"(SELECT count(*) FROM (DESCRIBE SELECT * FROM {t})) AS n_cols "
+        f"FROM {t}"
+        for t in _INVENTORY_TABLES
+    )
+    + " ORDER BY table_name",
     "scan_project": """
         SELECT CAST(o_orderkey AS VARCHAR) AS id,
                o_custkey AS cust_id,
@@ -204,6 +235,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "table_inventory": table_inventory,
     "scan_project": scan_project,
     "filter_eq": filter_eq,
     "keyset_page": keyset_page,

@@ -254,3 +254,28 @@ def test_bm25_topk_is_take_ordered(spark, sf_dir):
     a global sort of per-doc scores is the anti-pattern at corpus scale."""
     plan = _initial_plan(QUERIES["bm25_search"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_oov_rate_vocab_head_broadcasts(spark, sf_dir):
+    """The top-K vocab head must broadcast into the token stream — a
+    shuffle join on `term` would re-shuffle the whole exploded corpus."""
+    plan = _initial_plan(QUERIES["oov_rate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fk_integrity_parents_broadcast(spark, sf_dir):
+    """Every FK check must run as a broadcast left-anti join (dimension key
+    sets are tiny at any scale after distinct-projection)."""
+    plan = _initial_plan(QUERIES["fk_integrity_audit"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_boilerplate_prefixes_single_shuffle(spark, sf_dir):
+    """(source, prefix) aggregate and the per-source window share work; the
+    corpus itself must shuffle exactly once (fixed-width prefixes, never
+    document bodies)."""
+    plan = _initial_plan(QUERIES["boilerplate_prefixes"](spark, sf_dir))
+    # aggregate exchange on (source, prefix) + window exchange on source:
+    # the frames after the first aggregate are distinct-prefix sized
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
