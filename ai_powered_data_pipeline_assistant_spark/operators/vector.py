@@ -551,6 +551,35 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retrieval_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-diagnostics row: how much the lexical (BM25) and vector
+    (cosine) top-RRF_POOL lists agree — Jaccard of the two id sets plus
+    each side's exclusive count. Low overlap is the signal that hybrid
+    fusion is worth its cost (the two retrievers surface different
+    documents); near-total overlap means one retriever suffices. Runs on
+    two top-k frames — driver-scale regardless of corpus size."""
+    from ai_powered_data_pipeline_assistant_spark.operators.corpus import (
+        bm25_search,
+    )
+
+    lex = bm25_search(spark, sf_dir).select("doc_id", F.lit(1).alias("l"))
+    vec = cosine_topk(spark, sf_dir, k=RRF_POOL).select(
+        F.col("vec_id").alias("doc_id"), F.lit(1).alias("v")
+    )
+    j = lex.join(vec, "doc_id", "full_outer")
+    both = F.sum((F.col("l").isNotNull() & F.col("v").isNotNull()).cast("long"))
+    lex_only = F.sum((F.col("l").isNotNull() & F.col("v").isNull()).cast("long"))
+    vec_only = F.sum((F.col("l").isNull() & F.col("v").isNotNull()).cast("long"))
+    return j.agg(
+        both.alias("in_both"),
+        lex_only.alias("lex_only"),
+        vec_only.alias("vec_only"),
+        F.round(both / (both + lex_only + vec_only).cast("double"), 6).alias(
+            "jaccard"
+        ),
+    )
+
+
 _COS_SQL = cosine_similarity_sql("e.embedding", "q.embedding")
 
 ORACLES: dict[str, str] = {
@@ -680,6 +709,33 @@ def _hybrid_rrf_sql() -> str:
 
 ORACLES["hybrid_search_rrf"] = _hybrid_rrf_sql()
 
+
+def _retrieval_overlap_sql() -> str:
+    from ai_powered_data_pipeline_assistant_spark.operators.corpus import _bm25_sql
+
+    return f"""
+        WITH lex AS ({_bm25_sql()}),
+        vec AS (SELECT e.vec_id AS doc_id, {_COS_SQL} AS similarity
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                ORDER BY similarity DESC, e.vec_id LIMIT {RRF_POOL}),
+        j AS (SELECT l.doc_id AS l_id, v.doc_id AS v_id
+              FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+        SELECT CAST(sum(CASE WHEN l_id IS NOT NULL AND v_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS in_both,
+               CAST(sum(CASE WHEN l_id IS NOT NULL AND v_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS lex_only,
+               CAST(sum(CASE WHEN l_id IS NULL AND v_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS vec_only,
+               round(CAST(sum(CASE WHEN l_id IS NOT NULL AND v_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE), 6) AS jaccard
+        FROM j
+    """
+
+
+ORACLES["retrieval_overlap_report"] = _retrieval_overlap_sql()
+
 ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
 ORACLES["ann_ivf_pruned"] = _ivf_oracle_sql()
 # Recall audits: the oracle recomputes the exact side (pair counts) in SQL
@@ -732,6 +788,7 @@ ORACLES["semantic_dedup"] = _semantic_dedup_oracle_sql()
 QUERIES = {
     "cosine_topk": cosine_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "retrieval_overlap_report": retrieval_overlap_report,
     "cosine_topk_filtered": cosine_topk_filtered,
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_recall": ann_lsh_recall,
