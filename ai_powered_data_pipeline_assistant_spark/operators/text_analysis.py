@@ -843,9 +843,86 @@ ORACLES["readability_scores"] = r"""
 """
 
 
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document type-token ratio (distinct tokens / tokens) — the
+    lexical-diversity quality signal (low TTR = repetitive/templated text;
+    the cheap in-plan cousin of the zlib compressibility gate). Pure array
+    HOFs on the scan — `array_distinct` inside the row, no explode, no
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(toks).cast("long")
+    d = F.size(F.array_distinct(toks)).cast("long")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        d.alias("n_distinct"),
+        F.round(d / n.cast("double"), 6).alias("ttr"),
+    ).orderBy("doc_id")
+
+
+ORACLES["lexical_diversity"] = r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(a) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(a)) AS BIGINT) AS n_distinct,
+           round(CAST(len(list_distinct(a)) AS BIGINT)
+                 / CAST(len(a) AS DOUBLE), 6) AS ttr
+    FROM t ORDER BY doc_id
+"""
+
+
+QUALITY_BAND_EDGES = (0.4, 0.6, 0.8)
+
+
+def quality_bands_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability: per-language document counts in fixed
+    quality-score bands — the view that shows WHERE a quality threshold
+    will cut (a lang whose mass sits under the gate is about to vanish
+    from the corpus). One map-side-combined groupBy over a banded column
+    expression; band edges compare the 4-dp-rounded shared quality score
+    so both engines band identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = F.round(quality_expr(), 4)
+    lo, mid, hi = QUALITY_BAND_EDGES
+    band = (
+        F.when(q < lo, F.lit("0_low"))
+        .when(q < mid, F.lit("1_mid"))
+        .when(q < hi, F.lit("2_good"))
+        .otherwise(F.lit("3_high"))
+    )
+    return (
+        docs.select("lang", band.alias("band"))
+        .groupBy("lang", "band")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "band")
+    )
+
+
+def _quality_bands_sql() -> str:
+    lo, mid, hi = QUALITY_BAND_EDGES
+    return f"""
+        WITH q AS (SELECT lang, round({QUALITY_SQL}, 4) AS qs FROM documents)
+        SELECT lang,
+               CASE WHEN qs < {lo} THEN '0_low'
+                    WHEN qs < {mid} THEN '1_mid'
+                    WHEN qs < {hi} THEN '2_good'
+                    ELSE '3_high' END AS band,
+               count(*) AS n_docs
+        FROM q GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+ORACLES["quality_bands_by_lang"] = _quality_bands_sql()
+
+
 QUERIES = {
     "lang_id": lang_id,
     "readability_scores": readability_scores,
+    "lexical_diversity": lexical_diversity,
+    "quality_bands_by_lang": quality_bands_by_lang,
     "normalize_text": normalize_text,
     "lang_confusion": lang_confusion,
     "char_trigram_entropy": char_trigram_entropy,
