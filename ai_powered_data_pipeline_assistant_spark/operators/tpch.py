@@ -24,7 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -679,6 +679,35 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand P&L view: discounted revenue per part brand and its share of
+    total revenue. Revenue accumulates as int64 fixed-point units
+    (cents × discount-complement, the Q1 discipline) so the rollup is
+    order-free; the share rides a window over the ~|brands|-row aggregate.
+    The part dimension joins on partkey — broadcast while it fits, AQE
+    picks the shuffle join beyond that."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev_units = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    per_brand = (
+        li.select("l_partkey", rev_units.alias("rev"))
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum("rev").alias("rev_units"))
+    )
+    whole = Window.partitionBy()
+    return per_brand.select(
+        "p_brand",
+        F.round(F.col("rev_units") / 1e6, 2).alias("revenue"),
+        F.round(
+            F.col("rev_units") / F.sum("rev_units").over(whole).cast("double"), 6
+        ).alias("revenue_share"),
+    ).orderBy("p_brand")
+
+
 def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fulfillment-latency profile: per order priority, integer-day stats of
     (first line-item ship date − order date) — the ops dashboard that shows
@@ -714,6 +743,20 @@ def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "brand_revenue_share": """
+        WITH per AS (
+            SELECT p.p_brand,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS rev_units
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1)
+        SELECT p_brand,
+               round(rev_units / 1e6, 2) AS revenue,
+               round(rev_units / CAST(CAST(sum(rev_units) OVER () AS BIGINT)
+                                      AS DOUBLE), 6) AS revenue_share
+        FROM per ORDER BY p_brand
+    """,
     "order_to_ship_latency": """
         WITH fs AS (
             SELECT l_orderkey,
@@ -1080,4 +1123,5 @@ QUERIES = {
     "tpch_q20": tpch_q20,
     "tpch_q22": tpch_q22,
     "order_to_ship_latency": order_to_ship_latency,
+    "brand_revenue_share": brand_revenue_share,
 }
