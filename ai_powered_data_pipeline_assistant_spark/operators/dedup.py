@@ -805,6 +805,42 @@ ORACLES["neardup_similarity_histogram"] = f"""
     FROM b GROUP BY 1 ORDER BY 1
 """
 
+def crosssource_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror detection: verified near-dup pair counts by UNORDERED source
+    pair — which sources duplicate each other's content (a heavy
+    off-diagonal cell is a mirror/scrape relationship; the diagonal is
+    within-source duplication). Two broadcast lookups of the tiny
+    (doc_id, source) projection onto the post-LSH pair set, then one
+    groupBy over ≤|sources|² keys."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = docs.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb"))
+    joined = pairs.join(F.broadcast(a), "a_id").join(F.broadcast(b), "b_id")
+    lo = F.least("sa", "sb")
+    hi = F.greatest("sa", "sb")
+    return (
+        joined.groupBy(lo.alias("source_a"), hi.alias("source_b"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLES["crosssource_dup_matrix"] = f"""
+    WITH {minhash_lsh_cte("documents")},
+    verified AS (
+        SELECT c.a_id, c.b_id
+        FROM candidates c JOIN pairs p ON c.a_id = p.a_id AND c.b_id = p.b_id
+        WHERE p.jaccard >= {JACCARD_THRESHOLD})
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs
+    FROM verified v
+    JOIN documents da ON v.a_id = da.doc_id
+    JOIN documents db ON v.b_id = db.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLES["dedup_method_report"] = f"""
     SELECT 'exact_copies' AS method,
            CAST(sum(c - 1) AS BIGINT) AS flagged
@@ -856,6 +892,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "neardup_similarity_histogram": neardup_similarity_histogram,
+    "crosssource_dup_matrix": crosssource_dup_matrix,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "set_ops_summary": set_ops_summary,
