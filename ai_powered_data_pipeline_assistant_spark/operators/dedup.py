@@ -805,6 +805,78 @@ ORACLES["neardup_similarity_histogram"] = f"""
     FROM b GROUP BY 1 ORDER BY 1
 """
 
+MINHASH_CAL_TOL = 0.35  # 16 permutations → est std ≈ 0.12 at J=0.5
+
+
+def minhash_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: over every verified near-dup pair, compare
+    the MinHash ESTIMATE of Jaccard (fraction of matching signature
+    minima) against the exact verified Jaccard, and pin the mean absolute
+    error under MINHASH_CAL_TOL — the calibration check run before
+    trusting signature-only similarity at scale (where exact verification
+    gets sampled, not exhaustive).
+
+    Per-pair errors are scaled to int64 once, so the mean is order-free;
+    the pair set is post-LSH small and broadcasts into the two signature
+    lookups."""
+    sigs = minhash_signatures(spark, sf_dir)
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id", "jaccard")
+    sa = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"m{j}").alias(f"am{j}") for j in range(N_PERMS)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"m{j}").alias(f"bm{j}") for j in range(N_PERMS)],
+    )
+    joined = F.broadcast(pairs).join(sa, "a_id").join(sb, "b_id")
+    matches = sum(
+        (F.col(f"am{j}") == F.col(f"bm{j}")).cast("long") for j in range(N_PERMS)
+    )
+    est = matches / F.lit(float(N_PERMS))
+    err_int = F.round(F.abs(est - F.col("jaccard")) * 1_000_000).cast("long")
+    stats = joined.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum(err_int) / 1_000_000.0 / F.count("*"), 6
+        ).alias("mean_abs_err"),
+    )
+    return stats.select(
+        "n_pairs",
+        "mean_abs_err",
+        (F.col("mean_abs_err") <= MINHASH_CAL_TOL).alias("within_tol"),
+    )
+
+
+def _minhash_calibration_sql() -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(N_PERMS)
+    )
+    return f"""
+        WITH {minhash_lsh_cte("documents")},
+        verified AS (
+            SELECT c.a_id, c.b_id, p.jaccard
+            FROM candidates c
+            JOIN pairs p ON c.a_id = p.a_id AND c.b_id = p.b_id
+            WHERE p.jaccard >= {JACCARD_THRESHOLD}),
+        m AS (
+            SELECT v.jaccard, ({match_sum}) AS matches
+            FROM verified v
+            JOIN sigs sa ON v.a_id = sa.doc_id
+            JOIN sigs sb ON v.b_id = sb.doc_id),
+        stats AS (
+            SELECT count(*) AS n_pairs,
+                   round(CAST(sum(CAST(round(abs(matches / {float(N_PERMS)}
+                                                  - jaccard) * 1000000)
+                                       AS BIGINT)) AS BIGINT)
+                         / 1000000.0 / count(*), 6) AS mean_abs_err
+            FROM m)
+        SELECT n_pairs, mean_abs_err,
+               mean_abs_err <= {MINHASH_CAL_TOL} AS within_tol
+        FROM stats
+    """
+
+
 def crosssource_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror detection: verified near-dup pair counts by UNORDERED source
     pair — which sources duplicate each other's content (a heavy
@@ -825,6 +897,8 @@ def crosssource_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source_a", "source_b")
     )
 
+
+ORACLES["minhash_calibration_audit"] = _minhash_calibration_sql()
 
 ORACLES["crosssource_dup_matrix"] = f"""
     WITH {minhash_lsh_cte("documents")},
@@ -893,6 +967,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "neardup_similarity_histogram": neardup_similarity_histogram,
     "crosssource_dup_matrix": crosssource_dup_matrix,
+    "minhash_calibration_audit": minhash_calibration_audit,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "set_ops_summary": set_ops_summary,
