@@ -35,6 +35,28 @@ PCTS = (0.5, 0.9, 0.99)
 HOT_KEYS_N = 10
 
 
+def scan_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files audit: rows contributed per physical input file of the
+    events table (`input_file_name` rollup) — the check that decides when a
+    table needs compaction (many small files = scheduler overhead and poor
+    scan locality at 100 TB). Rows-only driver check: file paths and split
+    counts are environment-specific by nature."""
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    per_file = (
+        events.select(F.input_file_name().alias("file"))
+        .groupBy("file")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    return per_file.agg(
+        F.count("*").alias("n_files"),
+        F.min("n_rows").alias("min_rows"),
+        F.max("n_rows").alias("max_rows"),
+        F.sum("n_rows").alias("total_rows"),
+    )
+
+
 def partition_stats(df: DataFrame, keys: list[str]) -> DataFrame:
     """One-row skew profile of ``df`` grouped by ``keys``: key cardinality,
     total rows, min/max/avg rows per key, discrete p50/p90/p99 rows per
@@ -195,6 +217,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "scan_file_stats": scan_file_stats,  # rows-only: file paths are env-specific
     "key_skew_stats": key_skew_stats,
     "hot_keys": hot_keys,
     "column_profile": column_profile,

@@ -64,6 +64,10 @@ HEADLINE = [
     "length_batched_padding",
     "readability_scores",
     "compression_ratio",
+    "bm25_search",
+    "hybrid_search_rrf",
+    "fk_integrity_audit",
+    "stickiness_report",
 ]
 
 # The round-1 headline set, unchanged since: its sub-total is reported as
