@@ -96,6 +96,7 @@ class ToolRegistry:
             "schedule_pipeline": (self._schedule_pipeline, {"data_engineer"}),
             "run_query": (self._run_registered_query, {"data_engineer"}),
             "explain_query": (self._explain_query, {"data_engineer"}),
+            "list_queries": (self._list_queries, {"general", "data_engineer"}),
         }
 
     def list_tools(self, role: str = "general") -> list[str]:
@@ -183,6 +184,28 @@ class ToolRegistry:
 
     def _schedule_pipeline(self, args: dict) -> DataFrame:
         return scalar_ops.schedule_arithmetic(self.spark, self.sf_dir)
+
+    def _list_queries(self, args: dict) -> DataFrame:
+        """Discovery surface for `run_query` / `explain_query`: every
+        registered query with whether it carries a DuckDB oracle (i.e. is
+        value-verified, not just rows-checked) and its defining module.
+        Optional `prefix` filters by name."""
+        from ai_powered_data_pipeline_assistant_spark.registry import (
+            all_oracles,
+            all_queries,
+        )
+
+        qs = all_queries()
+        oracles = all_oracles()
+        prefix = args.get("prefix", "")
+        rows = [
+            (name, name in oracles, fn.__module__.rsplit(".", 1)[-1])
+            for name, fn in sorted(qs.items())
+            if name.startswith(prefix)
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, has_oracle boolean, module string"
+        )
 
     def _explain_query(self, args: dict) -> DataFrame:
         """EXPLAIN surface: the formatted physical plan of any registered

@@ -132,3 +132,22 @@ def test_explain_query_tool_returns_plan(registry):
 
     gated = registry.execute("explain_query", {"name": "status_counts"})
     assert not gated.success and "not permitted" in gated.error
+
+
+def test_list_queries_tool(registry):
+    res = registry.execute(
+        "list_queries", {"max_rows": 500}, role="general"
+    )
+    assert res.success, res.error
+    names = {r["name"] for r in res.data}
+    assert "status_counts" in names and "bm25_search" in names
+    by_name = {r["name"]: r for r in res.data}
+    assert by_name["status_counts"]["has_oracle"] is True
+    assert by_name["pca_project"]["has_oracle"] is False
+
+    filtered = registry.execute(
+        "list_queries", {"prefix": "tpch_", "max_rows": 500}, role="general"
+    )
+    assert filtered.success
+    assert all(r["name"].startswith("tpch_") for r in filtered.data)
+    assert len(filtered.data) >= 22
