@@ -177,6 +177,78 @@ def trending_counter_state(events: DataFrame) -> DataFrame:
     )
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")  # keep = operators/behavior.py
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("s1_view", BooleanType()),
+        StructField("s2_click", BooleanType()),
+        StructField("s3_purchase", BooleanType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("min_view", LongType()),
+        StructField("min_click", LongType()),
+        StructField("min_purchase", LongType()),
+    ]
+)
+
+
+def _funnel_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Incremental first-touch funnel: the state is each stage's earliest
+    event time (three int64 micros, -1 = unseen) — the exact sufficient
+    statistic of the batch operator's conditional-min formulation, so the
+    streaming verdict equals the batch verdict on the same events no
+    matter how they are micro-batched."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    mins = list(state.get) if state.exists else [-1, -1, -1]
+    for i, stage in enumerate(FUNNEL_STAGES):
+        sub = rows[rows["event_type"] == stage]
+        if len(sub):
+            batch_min = int(sub["ts"].min().value // 1_000)
+            mins[i] = batch_min if mins[i] < 0 else min(mins[i], batch_min)
+    state.update(tuple(mins))
+    state.setTimeoutDuration(24 * 3600 * 1000)
+    s1 = mins[0] >= 0
+    s2 = s1 and mins[1] >= 0 and mins[1] >= mins[0]
+    s3 = s2 and mins[2] >= 0 and mins[2] >= mins[1]
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "s1_view": [s1],
+            "s2_click": [s2],
+            "s3_purchase": [s3],
+        }
+    )
+
+
+def funnel_conversion_state(events: DataFrame) -> DataFrame:
+    """Real-time funnel tracking over (user_id long, event_type string,
+    ts timestamp): per-user first-touch stage verdicts maintained
+    incrementally — the streaming twin of `behavior.funnel_counts`, with
+    per-key state bounded at three int64s."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 RATE_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -114,3 +114,34 @@ def test_trending_counter_state(spark, sf_dir, tmp_path):
         assert r["batch_count"] == expected[et]
         assert float(r["decayed_score"]) == float(expected[et])
         assert r["trending"] == (expected[et] > TREND_THRESHOLD)
+
+
+def test_funnel_conversion_state_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming-vs-batch parity: the per-user stage verdicts of the
+    incremental funnel must aggregate to EXACTLY the batch
+    funnel_counts stage totals on the same events."""
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+    from ai_powered_data_pipeline_assistant_spark.operators.behavior import (
+        funnel_counts,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.stateful import (
+        funnel_conversion_state,
+    )
+
+    fixture = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    result = _run_stream(
+        spark, fixture, tmp_path, funnel_conversion_state, "funnel_state"
+    )
+    # latest verdict per user (update mode may emit once per batch)
+    latest = {r["user_id"]: r for r in result.collect()}
+    got = {
+        "view": sum(1 for r in latest.values() if r["s1_view"]),
+        "click": sum(1 for r in latest.values() if r["s2_click"]),
+        "purchase": sum(1 for r in latest.values() if r["s3_purchase"]),
+    }
+    want = {
+        r["stage"]: r["n_users"] for r in funnel_counts(spark, sf_dir).collect()
+    }
+    assert got == want, (got, want)
