@@ -254,6 +254,62 @@ def dimension_variance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
+DRIFT_Z = 3.0  # flag dimensions whose mean shift exceeds 3 standard errors
+
+
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-drift detector: split the vector store into two cohorts (old
+    = first half by vec_id, new = second half — in production: last week's
+    ingest vs before) and flag dimensions whose mean shifted by more than
+    DRIFT_Z standard errors — the check that catches a silently swapped or
+    re-normalized embedding model before it poisons retrieval.
+
+    Moments accumulate as int64-scaled sums per (cohort, dim) — one
+    posexplode + one map-side-combined groupBy — and the z-test runs on the
+    2d-row aggregate. One row per dimension with the drift verdict."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    n_total = emb.count()
+    half = n_total // 2
+    vals = emb.select(
+        (F.col("vec_id") >= half).cast("int").alias("cohort"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "cohort",
+        "dim",
+        F.round(F.col("v").cast("double") * DIM_SCALE, 0).cast("long").alias("x"),
+    )
+    stats = vals.groupBy("cohort", "dim").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    a = stats.filter(F.col("cohort") == 0).select(
+        "dim",
+        F.col("n").alias("na"),
+        F.col("sx").alias("sxa"),
+        F.col("sxx").alias("sxxa"),
+    )
+    b = stats.filter(F.col("cohort") == 1).select(
+        "dim",
+        F.col("n").alias("nb"),
+        F.col("sx").alias("sxb"),
+        F.col("sxx").alias("sxxb"),
+    )
+    j = a.join(b, "dim")
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sxa") / na
+    mb = F.col("sxb") / nb
+    va = (F.col("sxxa") - F.col("sxa") * F.col("sxa") / na) / na
+    vb = (F.col("sxxb") - F.col("sxb") * F.col("sxb") / nb) / nb
+    z2 = (mb - ma) * (mb - ma) / (va / na + vb / nb)
+    return j.select(
+        "dim",
+        F.round(ma / DIM_SCALE, 6).alias("mean_old"),
+        F.round(mb / DIM_SCALE, 6).alias("mean_new"),
+        (z2 > DRIFT_Z * DRIFT_Z).alias("drifted"),
+    ).orderBy("dim")
+
+
 BALANCE_SCALE = 1_000_000
 
 
@@ -299,6 +355,35 @@ def label_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "embedding_drift_report": f"""
+        WITH h AS (SELECT count(*) // 2 AS half FROM embeddings),
+        vals AS (
+            SELECT CASE WHEN vec_id >= half THEN 1 ELSE 0 END AS cohort,
+                   i - 1 AS dim,
+                   CAST(round(CAST(embedding[i] AS DOUBLE) * {DIM_SCALE}, 0)
+                        AS BIGINT) AS x
+            FROM embeddings CROSS JOIN h,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+        stats AS (
+            SELECT cohort, dim, count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM vals GROUP BY 1, 2),
+        j AS (
+            SELECT a.dim,
+                   CAST(a.n AS DOUBLE) AS na, a.sx AS sxa, a.sxx AS sxxa,
+                   CAST(b.n AS DOUBLE) AS nb, b.sx AS sxb, b.sxx AS sxxb
+            FROM stats a JOIN stats b ON a.dim = b.dim
+            WHERE a.cohort = 0 AND b.cohort = 1)
+        SELECT dim,
+               round(sxa / na / {DIM_SCALE}, 6) AS mean_old,
+               round(sxb / nb / {DIM_SCALE}, 6) AS mean_new,
+               (sxb / nb - sxa / na) * (sxb / nb - sxa / na)
+                   / (((sxxa - sxa * sxa / na) / na) / na
+                      + ((sxxb - sxb * sxb / nb) / nb) / nb)
+                   > {DRIFT_Z * DRIFT_Z} AS drifted
+        FROM j ORDER BY dim
+    """,
     "label_balance_report": f"""
         WITH counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
         stats AS (
@@ -344,4 +429,5 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "label_balance_report": label_balance_report,
     "dimension_variance_report": dimension_variance_report,
+    "embedding_drift_report": embedding_drift_report,
 }
