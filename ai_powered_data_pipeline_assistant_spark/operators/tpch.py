@@ -679,6 +679,38 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order revenue with the year-over-year ratio — the finance
+    seasonality view (is December's spike growth or just December?).
+    Revenue sums int64 cents per (year, month); the YoY ratio is a
+    lag-12-months self-lookup done as a window over the ≤ |months|-row
+    aggregate (integer month index = year*12+month, so a missing prior
+    month yields NULL rather than a wrong neighbor)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    monthly = (
+        orders.select(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            cents.alias("cents"),
+        )
+        .groupBy("y", "m")
+        .agg(F.sum("cents").alias("rev_cents"))
+        .withColumn("midx", F.col("y") * 12 + F.col("m"))
+    )
+    w = Window.orderBy("midx")
+    prior = F.when(
+        F.lag("midx", 12).over(w) == F.col("midx") - 12,
+        F.lag("rev_cents", 12).over(w),
+    )
+    return monthly.select(
+        "y",
+        "m",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("rev_cents") / prior.cast("double"), 6).alias("yoy_ratio"),
+    ).orderBy("y", "m")
+
+
 def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brand P&L view: discounted revenue per part brand and its share of
     total revenue. Revenue accumulates as int64 fixed-point units
@@ -743,6 +775,22 @@ def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "monthly_revenue_yoy": """
+        WITH monthly AS (
+            SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_cents,
+                   year(o_orderdate) * 12 + month(o_orderdate) AS midx
+            FROM orders GROUP BY 1, 2)
+        SELECT y, m,
+               round(rev_cents / 100.0, 2) AS revenue,
+               round(rev_cents / CAST(CASE WHEN lag(midx, 12) OVER w = midx - 12
+                                           THEN lag(rev_cents, 12) OVER w
+                                      END AS DOUBLE), 6) AS yoy_ratio
+        FROM monthly
+        WINDOW w AS (ORDER BY midx)
+        ORDER BY y, m
+    """,
     "brand_revenue_share": """
         WITH per AS (
             SELECT p.p_brand,
@@ -1124,4 +1172,5 @@ QUERIES = {
     "tpch_q22": tpch_q22,
     "order_to_ship_latency": order_to_ship_latency,
     "brand_revenue_share": brand_revenue_share,
+    "monthly_revenue_yoy": monthly_revenue_yoy,
 }
