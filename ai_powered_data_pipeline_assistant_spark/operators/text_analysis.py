@@ -874,6 +874,65 @@ ORACLES["lexical_diversity"] = r"""
 """
 
 
+LANG_SHARE_DRIFT = 0.05  # flag languages whose corpus share moved ≥ 5 pts
+
+
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition drift: per-language document share in the first
+    half of the corpus (by doc_id — in production: the previous ingest
+    window) vs the second, flagging languages whose share moved by
+    LANG_SHARE_DRIFT or more — the mix-shift alarm that catches a broken
+    source or a crawler drifting into one language. Integer counts, shares
+    rounded to 6 dp before the threshold compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    half = n_total // 2
+    counts = (
+        docs.select(
+            (F.col("doc_id") >= half).cast("int").alias("cohort"), "lang"
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("n_old"),
+            F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("n_new"),
+        )
+    )
+    whole = Window.partitionBy()
+    share_old = F.round(F.col("n_old") / F.sum("n_old").over(whole).cast("double"), 6)
+    share_new = F.round(F.col("n_new") / F.sum("n_new").over(whole).cast("double"), 6)
+    return counts.select(
+        "lang",
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        share_old.alias("share_old"),
+        share_new.alias("share_new"),
+        (F.abs(share_new - share_old) >= LANG_SHARE_DRIFT).alias("shifted"),
+    ).orderBy("lang")
+
+
+ORACLES["corpus_drift_report"] = f"""
+    WITH h AS (SELECT count(*) // 2 AS half FROM documents),
+    counts AS (
+        SELECT lang,
+               CAST(sum(CASE WHEN doc_id < half THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_old,
+               CAST(sum(CASE WHEN doc_id >= half THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new
+        FROM documents CROSS JOIN h GROUP BY 1)
+    SELECT lang, n_old, n_new,
+           round(n_old / CAST(CAST(sum(n_old) OVER () AS BIGINT) AS DOUBLE), 6)
+               AS share_old,
+           round(n_new / CAST(CAST(sum(n_new) OVER () AS BIGINT) AS DOUBLE), 6)
+               AS share_new,
+           abs(round(n_new / CAST(CAST(sum(n_new) OVER () AS BIGINT)
+                                  AS DOUBLE), 6)
+               - round(n_old / CAST(CAST(sum(n_old) OVER () AS BIGINT)
+                                    AS DOUBLE), 6)) >= {LANG_SHARE_DRIFT}
+               AS shifted
+    FROM counts ORDER BY lang
+"""
+
+
 QUALITY_BAND_EDGES = (0.4, 0.6, 0.8)
 
 
@@ -923,6 +982,7 @@ QUERIES = {
     "readability_scores": readability_scores,
     "lexical_diversity": lexical_diversity,
     "quality_bands_by_lang": quality_bands_by_lang,
+    "corpus_drift_report": corpus_drift_report,
     "normalize_text": normalize_text,
     "lang_confusion": lang_confusion,
     "char_trigram_entropy": char_trigram_entropy,
