@@ -551,6 +551,50 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_balance_report(spark: SparkSession, sf_dir: str, n_lists: int = 8) -> DataFrame:
+    """ANN index-health diagnostic: inverted-list size distribution of the
+    IVF assignment — min/max/avg list size and the imbalance factor
+    (max/avg). An unbalanced index means hot probes (one list serves most
+    queries) and wasted pruning; rebalance by retraining centroids. One
+    broadcast-argmax assignment scan + a groupBy over n_lists keys."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    centroids = ivf_centroids(emb, n_lists)
+    assigned = assign_lists(
+        emb.select("vec_id", "embedding"), "embedding", centroids, "list_id", 1
+    )
+    sizes = assigned.groupBy("list_id").agg(F.count("*").alias("n_vecs"))
+    whole = Window.partitionBy()
+    avg = F.sum("n_vecs").over(whole) / F.count("*").over(whole).cast("double")
+    return sizes.select(
+        "list_id",
+        "n_vecs",
+        F.round(F.col("n_vecs") / avg, 6).alias("load_factor"),
+    ).orderBy("list_id")
+
+
+def _ivf_balance_sql(n_lists: int = 8) -> str:
+    cos_ec = cosine_similarity_sql("e.embedding", "c.centroid")
+    return f"""
+        WITH centroids AS (
+            SELECT vec_id AS list_id, embedding AS centroid
+            FROM embeddings WHERE vec_id < {n_lists}),
+        assigned AS (
+            SELECT vec_id, list_id FROM (
+                SELECT e.vec_id, c.list_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cos_ec} DESC, c.list_id)
+                           AS crk
+                FROM embeddings e CROSS JOIN centroids c)
+            WHERE crk = 1),
+        sizes AS (SELECT list_id, count(*) AS n_vecs FROM assigned GROUP BY 1)
+        SELECT list_id, n_vecs,
+               round(n_vecs / (CAST(sum(n_vecs) OVER () AS BIGINT)
+                               / CAST(count(*) OVER () AS DOUBLE)), 6)
+                   AS load_factor
+        FROM sizes ORDER BY list_id
+    """
+
+
 def retrieval_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-diagnostics row: how much the lexical (BM25) and vector
     (cosine) top-RRF_POOL lists agree — Jaccard of the two id sets plus
@@ -736,6 +780,7 @@ def _retrieval_overlap_sql() -> str:
 
 ORACLES["retrieval_overlap_report"] = _retrieval_overlap_sql()
 
+ORACLES["ivf_balance_report"] = _ivf_balance_sql()
 ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
 ORACLES["ann_ivf_pruned"] = _ivf_oracle_sql()
 # Recall audits: the oracle recomputes the exact side (pair counts) in SQL
@@ -789,6 +834,7 @@ QUERIES = {
     "cosine_topk": cosine_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
     "retrieval_overlap_report": retrieval_overlap_report,
+    "ivf_balance_report": ivf_balance_report,
     "cosine_topk_filtered": cosine_topk_filtered,
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_recall": ann_lsh_recall,
