@@ -679,6 +679,37 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing view: per discount band (integer cents of discount rate),
+    line count, average quantity, and revenue — the table a pricing team
+    reads to see whether deeper discounts actually move volume. One
+    map-side-combined groupBy on the ≤11-value discount key; all sums are
+    int64 fixed-point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_band = F.round(F.col("l_discount") * 100).cast("long")
+    qty_cents = F.round(F.col("l_quantity") * 100).cast("long")
+    rev_units = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - disc_band)
+    )
+    return (
+        li.select(
+            disc_band.alias("discount_pct"),
+            qty_cents.alias("qty_cents"),
+            rev_units.alias("rev"),
+        )
+        .groupBy("discount_pct")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("qty_cents") / (F.count("*") * 100.0), 4).alias(
+                "avg_qty"
+            ),
+            F.round(F.sum("rev") / 1e6, 2).alias("revenue"),
+        )
+        .orderBy("discount_pct")
+    )
+
+
 def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly order revenue with the year-over-year ratio — the finance
     seasonality view (is December's spike growth or just December?).
@@ -775,6 +806,19 @@ def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "discount_effectiveness": """
+        WITH b AS (
+            SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+            FROM lineitem)
+        SELECT discount_pct, count(*) AS n_lines,
+               round(CAST(sum(qty_cents) AS BIGINT)
+                     / (count(*) * 100.0), 4) AS avg_qty,
+               round(CAST(sum(rev) AS BIGINT) / 1e6, 2) AS revenue
+        FROM b GROUP BY 1 ORDER BY 1
+    """,
     "monthly_revenue_yoy": """
         WITH monthly AS (
             SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
@@ -1173,4 +1217,5 @@ QUERIES = {
     "order_to_ship_latency": order_to_ship_latency,
     "brand_revenue_share": brand_revenue_share,
     "monthly_revenue_yoy": monthly_revenue_yoy,
+    "discount_effectiveness": discount_effectiveness,
 }

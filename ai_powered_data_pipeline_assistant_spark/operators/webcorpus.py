@@ -258,6 +258,48 @@ def frequent_terms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-number corpus diversity: the Gini coefficient of document
+    counts across sources (0 = perfectly even mix, →1 = one source owns
+    the corpus) — the anti-domination metric tracked alongside
+    `domain_cap_sample`. Computed exactly from the rank-weighted sum
+    formula over the tiny per-source count frame; integer sums until the
+    final division."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("x"))
+    w = Window.orderBy("x", "source")
+    ranked = counts.select("x", F.row_number().over(w).alias("i"))
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    gini = F.round(
+        (F.lit(2.0) * F.col("six")) / (F.col("n") * F.col("sx"))
+        - (F.col("n") + 1) / F.col("n").cast("double"),
+        6,
+    )
+    return agg.select(
+        F.col("n").alias("n_sources"),
+        F.col("sx").alias("total_docs"),
+        gini.alias("gini"),
+    )
+
+
+ORACLES_EXTRA_SOURCE_CONCENTRATION = """
+    WITH counts AS (SELECT source, count(*) AS x FROM documents GROUP BY 1),
+    ranked AS (SELECT x, row_number() OVER (ORDER BY x, source) AS i
+               FROM counts),
+    agg AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(i * x) AS BIGINT) AS six
+            FROM ranked)
+    SELECT n AS n_sources, sx AS total_docs,
+           round((2.0 * six) / (n * sx) - (n + 1) / CAST(n AS DOUBLE), 6)
+               AS gini
+    FROM agg
+"""
+
+
 def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Least-squares fit of log(count) ~ log(rank) over the top ZIPF_RANKS
     vocabulary terms — Zipf's law expects a slope near -1."""
@@ -471,7 +513,10 @@ QUERIES = {
     # frequent_terms_sketch itself is library surface (candidate set may
     # contain partitioning-dependent false positives); the audit pins it.
     "frequent_terms_audit": frequent_terms_audit,
+    "source_concentration": source_concentration,
 }
+
+ORACLES["source_concentration"] = ORACLES_EXTRA_SOURCE_CONCENTRATION
 
 ORACLES["frequent_terms_audit"] = rf"""
     WITH toks AS (
