@@ -115,15 +115,35 @@ def publish_channels(answered: DataFrame, base_path: str, checkpoint: str):
     )
 
 
+def idempotent_append(batch_df: DataFrame, batch_id: int, path: str) -> None:
+    """Exactly-once batch sink: land each micro-batch in its own
+    ``batch_id=N`` partition with DYNAMIC partition overwrite, so a batch
+    replayed after a partial write (failure between the parquet commit and
+    the checkpoint commit — the at-least-once hole of a plain
+    ``mode("append")`` foreachBatch) REPLACES its own output instead of
+    appending duplicates. Readers see the union of all batch partitions;
+    the batch_id column doubles as write provenance."""
+    (
+        batch_df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
 def run_job_stream(requests_stream: DataFrame, kb: DataFrame, out_path: str, checkpoint: str):
-    """Wire the full stream: dedup → answer → append sink via foreachBatch
-    (per-batch error isolation à la the reference's fire-and-forget publish)."""
+    """Wire the full stream: dedup → answer → idempotent batch-versioned
+    sink via foreachBatch (per-batch error isolation à la the reference's
+    fire-and-forget publish; replayed batches overwrite their own
+    partition — exactly-once end to end)."""
     answered = answer_requests(dedup_requests(requests_stream), kb)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         # Primary sink: let failures propagate so the checkpoint doesn't
-        # commit a batch whose write was lost — the stream retries it.
-        batch_df.write.mode("append").parquet(out_path)
+        # commit a batch whose write was lost — the stream retries it, and
+        # the idempotent writer makes the retry safe.
+        idempotent_append(batch_df, batch_id, out_path)
 
     return (
         answered.writeStream.outputMode("append")

@@ -358,3 +358,23 @@ def test_streaming_session_windows_match_batch(spark, sf_dir, tmp_path):
         f"streaming sessions diverge from batch: missing {len(want - got)}, "
         f"extra {len(got - want)}"
     )
+
+
+def test_idempotent_append_replay_safe(spark, tmp_path):
+    """Replaying a batch (failure between parquet write and checkpoint
+    commit) must not duplicate rows: the same batch_id overwrites its own
+    partition; a new batch_id adds rows."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
+        idempotent_append,
+    )
+
+    out = str(tmp_path / "idem_out")
+    batch = spark.range(10).select(F.col("id").alias("request_id"))
+    idempotent_append(batch, 0, out)
+    idempotent_append(batch, 0, out)  # replay of the SAME batch
+    assert spark.read.parquet(out).count() == 10
+
+    idempotent_append(batch, 1, out)  # a genuinely new batch
+    result = spark.read.parquet(out)
+    assert result.count() == 20
+    assert result.select("batch_id").distinct().count() == 2
