@@ -288,6 +288,74 @@ def churn_risk_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+WOW_ALERT_PCT = 0.30  # flag |week-over-week change| ≥ 30%
+
+
+def weekly_change_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week volume alerting per event type: weekly counts, the
+    WoW ratio, and an alert flag when volume moved ≥ WOW_ALERT_PCT in
+    either direction — the paging rule monitoring stacks hang off event
+    volumes. Integer week index (epoch days div 7) avoids engine week
+    semantics; the lag window runs over the tiny (type, week) aggregate,
+    guarded so a missing prior week yields NULL, not a wrong neighbor."""
+    events = load_table(spark, sf_dir, "events")
+    week = (F.datediff(F.to_date("ts"), F.lit(WEEK_EPOCH)) / 7).cast("long")
+    weekly = (
+        events.select("event_type", week.alias("week"))
+        .groupBy("event_type", "week")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prior = F.when(
+        F.lag("week").over(w) == F.col("week") - 1, F.lag("cnt").over(w)
+    )
+    ratio = F.round(F.col("cnt") / prior.cast("double"), 6)
+    return weekly.select(
+        "event_type",
+        "week",
+        "cnt",
+        ratio.alias("wow_ratio"),
+        F.when(
+            ratio.isNotNull(),
+            (F.abs(ratio - 1.0) >= WOW_ALERT_PCT),
+        ).alias("alert"),
+    ).orderBy("event_type", "week")
+
+
+RETENTION_DAYS = (1, 7, 30)
+
+
+def dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D1/D7/D30 retention headline: of all users, what share came
+    back exactly N days after their first activity (classic day-N
+    definition). One pass builds each user's active-day offsets from their
+    first day; the three flags are conditional maxes in the same
+    groupBy — no per-day self-joins. Rates are integer count ratios."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).withColumn("first_day", F.min("day").over(w))
+    offsets = days.select(
+        "user_id", F.datediff("day", "first_day").cast("long").alias("off")
+    )
+    flags = offsets.groupBy("user_id").agg(
+        *[
+            F.max((F.col("off") == n).cast("long")).alias(f"d{n}")
+            for n in RETENTION_DAYS
+        ]
+    )
+    return flags.agg(
+        F.count("*").alias("n_users"),
+        *[
+            F.round(F.sum(f"d{n}") / F.count("*").cast("double"), 6).alias(
+                f"d{n}_rate"
+            )
+            for n in RETENTION_DAYS
+        ],
+    )
+
+
 MAD_K = 3  # flag days with |cnt − median| > K × MAD
 
 
@@ -555,6 +623,48 @@ def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "weekly_change_alerts": f"""
+        WITH weekly AS (
+            SELECT event_type,
+                   CAST(datediff('day', DATE '{WEEK_EPOCH}', CAST(ts AS DATE))
+                        // 7 AS BIGINT) AS week,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2)
+        SELECT event_type, week, cnt,
+               round(cnt / CAST(CASE WHEN lag(week) OVER w = week - 1
+                                     THEN lag(cnt) OVER w END AS DOUBLE), 6)
+                   AS wow_ratio,
+               CASE WHEN round(cnt / CAST(CASE WHEN lag(week) OVER w = week - 1
+                                               THEN lag(cnt) OVER w
+                                          END AS DOUBLE), 6) IS NOT NULL
+                    THEN abs(round(cnt / CAST(CASE WHEN lag(week) OVER w
+                                                        = week - 1
+                                                   THEN lag(cnt) OVER w
+                                              END AS DOUBLE), 6) - 1.0)
+                         >= {WOW_ALERT_PCT}
+               END AS alert
+        FROM weekly
+        WINDOW w AS (PARTITION BY event_type ORDER BY week)
+        ORDER BY event_type, week
+    """,
+    "dn_retention": f"""
+        WITH d AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+                       AS first_day
+            FROM events),
+        offs AS (
+            SELECT user_id,
+                   CAST(datediff('day', first_day, day) AS BIGINT) AS off
+            FROM d),
+        flags AS (
+            SELECT user_id,
+                   {", ".join(f"max(CASE WHEN off = {n} THEN 1 ELSE 0 END) AS d{n}" for n in RETENTION_DAYS)}
+            FROM offs GROUP BY 1)
+        SELECT count(*) AS n_users,
+               {", ".join(f"round(CAST(sum(d{n}) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS d{n}_rate" for n in RETENTION_DAYS)}
+        FROM flags
+    """,
     "churn_risk_flags": f"""
         WITH b AS (
             SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS mn,
@@ -814,4 +924,6 @@ QUERIES = {
     "stickiness_report": stickiness_report,
     "daily_count_anomalies_mad": daily_count_anomalies_mad,
     "churn_risk_flags": churn_risk_flags,
+    "weekly_change_alerts": weekly_change_alerts,
+    "dn_retention": dn_retention,
 }
