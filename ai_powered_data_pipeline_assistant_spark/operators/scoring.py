@@ -302,3 +302,122 @@ QUERIES = {
     "compression_ratio": compression_ratio,
     "compression_ratio_audit": compression_ratio_audit,
 }
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN_PAIR = 20
+COLLOC_TOP_K = 30
+
+
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``COLLOC_TOP_K`` adjacent-bigram collocations by pointwise mutual
+    information (Church & Hanks 1990), the standard phrase-mining / tokenizer
+    -vocab-candidate primitive: PMI = ln(p(w1,w2) / (p(w1) p(w2))), support-
+    filtered at ``COLLOC_MIN_PAIR`` occurrences so rare-pair noise never
+    ranks.
+
+    Cross-engine exactness discipline: the probability ratio is assembled in
+    ONE fixed association order — (c12 * n^2) / ((c1 * c2) * m) with the
+    leading operand cast to double before any multiply (the all-integer
+    product would overflow int64 at real corpus sizes) — then a single ln +
+    round(6). Ranking uses the ROUNDED score with a (w1, w2) tie-break, the
+    same reproducibility rule as tfidf_keywords.
+
+    Scale (100 TB): bigram extraction is array-adjacent flatMap (no per-doc
+    window shuffle); unigram and bigram counts are map-side-combined
+    groupBys; the support filter prunes the bigram table BEFORE the two
+    vocab joins; the totals row is a broadcast. Nothing is quadratic and no
+    global sort touches more than the support-filtered survivors.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tarr = docs.select(toks.alias("t"))
+    totals = tarr.agg(
+        F.sum(F.size("t")).alias("n"),
+        F.sum(F.greatest(F.size("t") - F.lit(1), F.lit(0))).alias("m"),
+    )
+    uni = (
+        tarr.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        tarr.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= COLLOC_MIN_PAIR)
+    )
+    scored = (
+        big.join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * (F.col("n").cast("double") * F.col("n")))
+                    / ((F.col("c1").cast("double") * F.col("c2")) * F.col("m"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(COLLOC_TOP_K)
+        .orderBy(F.desc("pmi"), "w1", "w2")
+    )
+
+
+QUERIES["collocation_pmi"] = collocation_pmi
+
+ORACLES["collocation_pmi"] = rf"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+    totals AS (
+        SELECT CAST(sum(len(t)) AS BIGINT) AS n,
+               CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS m
+        FROM toks),
+    uni AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+    pairs AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+    big AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM pairs GROUP BY 1, 2
+        HAVING count(*) >= 20),
+    scored AS (
+        SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+               round(ln((CAST(b.c12 AS DOUBLE)
+                         * (CAST(t.n AS DOUBLE) * t.n))
+                        / ((CAST(u1.c AS DOUBLE) * u2.c) * t.m)), 6) AS pmi
+        FROM big b
+        JOIN uni u1 ON u1.tok = b.w1
+        JOIN uni u2 ON u2.tok = b.w2
+        CROSS JOIN totals t)
+    SELECT w1, w2, c12, c1, c2, pmi
+    FROM (SELECT * FROM scored
+          ORDER BY pmi DESC, w1, w2 LIMIT 30)
+    ORDER BY pmi DESC, w1, w2
+"""

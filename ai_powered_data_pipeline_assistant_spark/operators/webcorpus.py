@@ -581,3 +581,104 @@ ORACLES["oov_rate"] = rf"""
                AS oov_share
     FROM marked GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOP_K = 25
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) term-count estimates
+    for the corpus's true top-``CMS_TOP_K`` terms, with the exact counts and
+    the sketch's overestimate alongside.
+
+    Complements ``frequent_terms_sketch`` (Karp membership, no counts): the
+    CMS answers "about how often?" from CMS_DEPTH x CMS_WIDTH int64 cells —
+    state that is CONSTANT in corpus size. Every hash is the engine-portable
+    ``md5_int`` (functions/hashing.py), so the sketch — and therefore every
+    estimate — is bit-identical in any engine: the whole operator is
+    oracle-exact, no audit twin needed.
+
+    Scale (100 TB): the sketch build is a groupBy over at most
+    DEPTH*WIDTH = 2048 keys — map-side combine reduces each task's output
+    to <=2048 rows regardless of token count, so the shuffle is a few KB
+    per task. At that scale you would feed raw token occurrences straight
+    into the bucket groupBy and point-query only a candidate set (e.g. the
+    Karp sketch's); the exact per-term pass here feeds the sketch the same
+    totals (mathematically identical cells) and doubles as the report's
+    ground-truth column.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    counts = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    hashes = counts.select(
+        "term",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (
+                            md5_int(F.concat(F.lit(f"{i}:"), F.col("term")))
+                            % CMS_WIDTH
+                        ).alias("bucket"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    ).select("term", "exact_cnt", F.col("h.i").alias("i"), F.col("h.bucket").alias("bucket"))
+    sketch = hashes.groupBy("i", "bucket").agg(F.sum("exact_cnt").alias("cell"))
+    est = (
+        hashes.join(sketch, ["i", "bucket"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return (
+        est.orderBy(F.desc("exact_cnt"), "term")
+        .limit(CMS_TOP_K)
+        .select(
+            "term",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "term")
+    )
+
+
+QUERIES["cms_heavy_hitters"] = cms_heavy_hitters
+
+ORACLES["cms_heavy_hitters"] = rf"""
+    WITH counts AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS term
+              FROM documents)
+        GROUP BY term),
+    hashes AS (
+        SELECT term, exact_cnt, i,
+               {md5_int_sql("CAST(i AS VARCHAR) || ':' || term")}
+                   % {CMS_WIDTH} AS bucket
+        FROM counts, LATERAL (SELECT unnest(range(0, {CMS_DEPTH})) AS i)),
+    sketch AS (
+        SELECT i, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cell
+        FROM hashes GROUP BY i, bucket),
+    est AS (
+        SELECT h.term, h.exact_cnt, CAST(min(s.cell) AS BIGINT) AS cms_est
+        FROM hashes h JOIN sketch s USING (i, bucket)
+        GROUP BY h.term, h.exact_cnt)
+    SELECT term, exact_cnt, cms_est, cms_est - exact_cnt AS overestimate
+    FROM (SELECT * FROM est ORDER BY exact_cnt DESC, term LIMIT {CMS_TOP_K})
+    ORDER BY exact_cnt DESC, term
+"""
