@@ -927,3 +927,82 @@ QUERIES = {
     "weekly_change_alerts": weekly_change_alerts,
     "dn_retention": dn_retention,
 }
+
+
+# ---------------------------------------------------------------------------
+# Exponential time-decay engagement scoring
+# ---------------------------------------------------------------------------
+
+DECAY_HALF_LIFE_DAYS = 7
+DECAY_SCALE = 1_000_000
+DECAY_TOP_K = 20
+
+
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``DECAY_TOP_K`` users by exponentially time-decayed event count —
+    the standard recency-weighted engagement / feature-store primitive:
+    score = sum over events of 2^(-age_days / half_life), anchored at the
+    corpus's newest event so the result is a pure function of the data.
+
+    Cross-engine exactness discipline: each event's decay factor is computed
+    in ONE fixed association order — exp(-(ln(2)/H) * ((ref_us - us) /
+    86400e6)) — then rounded to an int64 at ``DECAY_SCALE`` BEFORE summing
+    (the unigram_logprob rule: round each term once, sum exactly as
+    integers), so partition/order float drift cannot touch the total.
+
+    Scale (100 TB): the anchor is a 1-row broadcast max; the per-user sum is
+    one map-side-combined groupBy; the top-K is TakeOrdered over user
+    aggregates, never a global sort of events.
+    """
+    events = load_table(spark, sf_dir, "events", parallelize=True)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = events.select("user_id", us.alias("us"))
+    ref = ev.agg(F.max("us").alias("ref_us"))
+    term = F.round(
+        F.exp(
+            -(F.log(F.lit(2.0)) / F.lit(float(DECAY_HALF_LIFE_DAYS)))
+            * ((F.col("ref_us") - F.col("us")) / F.lit(86400000000.0))
+        )
+        * DECAY_SCALE,
+        0,
+    ).cast("long")
+    per_user = (
+        ev.crossJoin(F.broadcast(ref))
+        .select("user_id", term.alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("t") / F.lit(float(DECAY_SCALE)), 6).alias(
+                "decay_score"
+            ),
+        )
+    )
+    return (
+        per_user.orderBy(F.desc("decay_score"), "user_id")
+        .limit(DECAY_TOP_K)
+        .orderBy(F.desc("decay_score"), "user_id")
+    )
+
+
+QUERIES["decayed_engagement"] = decayed_engagement
+
+ORACLES["decayed_engagement"] = rf"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us FROM events),
+    ref AS (SELECT max(us) AS ref_us FROM ev),
+    terms AS (
+        SELECT user_id,
+               CAST(round(exp(-(ln(2) / {float(DECAY_HALF_LIFE_DAYS)})
+                              * ((ref_us - us) / 86400000000.0))
+                          * {DECAY_SCALE}, 0) AS BIGINT) AS t
+        FROM ev CROSS JOIN ref),
+    per_user AS (
+        SELECT user_id, count(*) AS n_events,
+               round(CAST(sum(t) AS BIGINT) / {float(DECAY_SCALE)}, 6)
+                   AS decay_score
+        FROM terms GROUP BY user_id)
+    SELECT user_id, n_events, decay_score
+    FROM (SELECT * FROM per_user
+          ORDER BY decay_score DESC, user_id LIMIT {DECAY_TOP_K})
+    ORDER BY decay_score DESC, user_id
+"""
