@@ -973,3 +973,64 @@ QUERIES = {
     "set_ops_summary": set_ops_summary,
     "decontaminate": decontaminate,
 }
+
+
+# ---------------------------------------------------------------------------
+# Non-destructive duplication-share audit
+# ---------------------------------------------------------------------------
+
+
+def doc_duplication_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document share of distinct shingles that also occur in at least
+    one OTHER document — the non-destructive duplication audit (the metric
+    RefinedWeb-style pipelines report before deciding how hard to dedup),
+    complementing `span_dedup` (which removes) and the pair generators
+    (which enumerate): this scores every doc in one pass, no pair blow-up.
+
+    Scale (100 TB): reuses the map-only `_shingles` postings build; the
+    shingle document-frequency is one map-side-combined groupBy on the
+    8-byte hash; the flag join is hash-equi on the same key so it rides the
+    df shuffle's partitioning. Work is linear in corpus shingles — the
+    audit costs ONE aggregation more than reading the postings, vs the
+    postings self-join the pair ops need.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    postings = _shingles(docs).persist()
+    dfreq = postings.groupBy("h").agg(F.count("*").alias("df"))
+    out = (
+        postings.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.col("n_shingles").cast("double"), 6
+            ).alias("dup_share"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
+QUERIES["doc_duplication_share"] = doc_duplication_share
+
+ORACLES["doc_duplication_share"] = f"""
+    WITH postings AS ({_SHINGLE_SQL}),
+    dfreq AS (SELECT h, CAST(count(*) AS BIGINT) AS df
+              FROM postings GROUP BY h)
+    SELECT p.doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           round(CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_share
+    FROM postings p JOIN dfreq d USING (h)
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+"""
