@@ -24,6 +24,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     diagnostics,
     embedding_pipeline,
     embedding_stats,
+    graphs,
     incremental,
     joins,
     multimodal,
@@ -64,6 +65,7 @@ _MODULES = [
     windows,
     scalar_ops,
     incremental,
+    graphs,
     multimodal,
     embedding_pipeline,
     embedding_stats,
