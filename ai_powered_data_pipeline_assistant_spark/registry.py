@@ -24,6 +24,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     diagnostics,
     embedding_pipeline,
     embedding_stats,
+    entity,
     graphs,
     incremental,
     joins,
@@ -65,6 +66,7 @@ _MODULES = [
     windows,
     scalar_ops,
     incremental,
+    entity,
     graphs,
     multimodal,
     embedding_pipeline,
