@@ -1006,3 +1006,43 @@ ORACLES["decayed_engagement"] = rf"""
           ORDER BY decay_score DESC, user_id LIMIT {DECAY_TOP_K})
     ORDER BY decay_score DESC, user_id
 """
+
+
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: observed daily-of-week
+    count vs the uniform expectation (total/7). Index > 1 = overrepresented
+    weekday — the signal behind traffic-aware sampling windows and anomaly
+    baselines. One map-side-combined groupBy on a ≤ 7·|types| key space;
+    the normalizing window runs on that tiny aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    dow = F.when(F.dayofweek(ts) == 1, 7).otherwise(F.dayofweek(ts) - 1)
+    counts = (
+        events.select(F.col("event_type"), dow.alias("iso_dow"))
+        .groupBy("event_type", "iso_dow")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total_w = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        F.col("iso_dow").cast("long").alias("iso_dow"),
+        "cnt",
+        F.round(
+            F.col("cnt") * 7 / F.sum("cnt").over(total_w).cast("double"), 6
+        ).alias("seasonality_idx"),
+    ).orderBy("event_type", "iso_dow")
+
+
+QUERIES["dow_seasonality"] = dow_seasonality
+
+ORACLES["dow_seasonality"] = """
+    WITH counts AS (
+        SELECT event_type, CAST(isodow(ts) AS BIGINT) AS iso_dow,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, iso_dow, cnt,
+           round(cnt * 7 / CAST(CAST(sum(cnt) OVER (PARTITION BY event_type)
+                                     AS BIGINT) AS DOUBLE), 6)
+               AS seasonality_idx
+    FROM counts ORDER BY event_type, iso_dow
+"""

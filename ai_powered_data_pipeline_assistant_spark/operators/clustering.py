@@ -279,6 +279,86 @@ def source_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CENTROID_SCALE = 1_000_000  # fixed-point: int64 per-dim sums are order-free
+
+
+def centroid_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification audit over the labeled embeddings:
+    per-label centroids → assign every vector to its nearest centroid →
+    per-label top-1 accuracy. The eval every labeling / clustering /
+    embedding-refresh job runs to see whether classes are separable in the
+    current embedding space.
+
+    Exactness: values are int64-scaled once (×1e6) so the per-(label, dim)
+    centroid sums are order-free integers; centroid = sx / n is then the
+    SAME IEEE double on both engines, and distances only feed an argmin
+    (never displayed), so cross-engine summation-order noise at 1e-16
+    cannot flip a verdict on non-degenerate data.
+
+    Scale: centroid training is one posexplode + map-side-combined
+    groupBy(label, dim) — k·d tiny rows (same pattern and bound as
+    ``kmeans_embeddings``); assignment inlines the k·d centroid matrix as
+    literals, a single narrow projection over the scan with no join and no
+    shuffle of the vectors; the final accuracy groupBy is on k keys.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * CENTROID_SCALE, 0).cast("long"),
+        ).alias("x"),
+    )
+    cent_rows = (
+        emb.select("label", F.posexplode("x").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").alias("sx"), F.count("*").alias("n"))
+        .collect()  # bounded: k·d rows (labels × dims)
+    )
+    by_label: dict[int, list[tuple[int, float]]] = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], []).append((r["pos"], r["sx"] / r["n"]))
+    labels = sorted(by_label)
+    centroids = [[c for _, c in sorted(by_label[lb])] for lb in labels]
+
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("x"),
+                F.lit(c),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias(f"_d{i}")
+        for i, c in enumerate(centroids)
+    ]
+    with_d = emb.select("vec_id", "label", *dists)
+    best = F.least(*[F.col(f"_d{i}") for i in range(len(labels))])
+    pred = F.when(F.col("_d0") == best, F.lit(labels[0]))
+    for i in range(1, len(labels)):
+        pred = pred.when(F.col(f"_d{i}") == best, F.lit(labels[i]))
+    assigned = with_d.select("label", pred.alias("pred_label"))
+    return (
+        assigned.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n").cast("double"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
 _SPLIT_BUCKET_SQL = f"{md5_int_sql('CAST(doc_id AS VARCHAR)')} % {SPLIT_BUCKETS}"
 _SAMPLE_BUCKET_SQL = (
     md5_int_sql("lang || '|' || CAST(doc_id AS VARCHAR)") + " % 1000"
@@ -347,8 +427,38 @@ ORACLES["temporal_split"] = f"""
     FROM a GROUP BY 1 ORDER BY 1
 """
 
+ORACLES["centroid_label_accuracy"] = f"""
+    WITH vals AS (
+        SELECT vec_id, label, i - 1 AS pos,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * {CENTROID_SCALE}, 0)
+                    AS BIGINT) AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+    cents AS (
+        SELECT label AS c_label, pos,
+               CAST(sum(x) AS BIGINT) / CAST(count(*) AS DOUBLE) AS c
+        FROM vals GROUP BY 1, 2),
+    d AS (
+        SELECT v.vec_id, v.label, c.c_label,
+               sum((v.x - c.c) * (v.x - c.c)) AS d2
+        FROM vals v JOIN cents c ON v.pos = c.pos
+        GROUP BY 1, 2, 3),
+    pred AS (
+        SELECT vec_id, label, c_label AS pred_label
+        FROM d
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, c_label) = 1)
+    SELECT label, count(*) AS n,
+           CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+                      AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM pred GROUP BY 1 ORDER BY 1
+"""
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
+    "centroid_label_accuracy": centroid_label_accuracy,
     "train_test_split": train_test_split,
     "temporal_split": temporal_split,
     "stratified_sample": stratified_sample,
