@@ -1046,3 +1046,100 @@ ORACLES["dow_seasonality"] = """
                AS seasonality_idx
     FROM counts ORDER BY event_type, iso_dow
 """
+
+
+AB_SCALE = 100  # fixed-point (cents) for order-free value moments; x^2 sums
+# stay < 2^63 up to ~1e8 rows per (type, arm) — move to DECIMAL(38,0) beyond
+AB_Z = 1.96  # 95% two-sided
+
+
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are deterministically bucketed into
+    two arms (md5(user_id) parity — stable under re-runs, no RNG state),
+    and each event type's mean `value` is compared across arms with a
+    Welch z-test. The experimentation-platform shape: assignment is a pure
+    column expression on the scan, per-arm moments are ONE map-side-
+    combined groupBy (int64-scaled sums, order-free — same exactness trick
+    as `embedding_drift_report`), and the test statistic is arithmetic on
+    a ≤ |event types| aggregate.
+    """
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import md5_int
+
+    events = load_table(spark, sf_dir, "events")
+    arm = (md5_int(F.col("user_id").cast("string")) % 2).alias("arm")
+    x = F.round(F.col("value") * AB_SCALE, 0).cast("long").alias("x")
+    stats = (
+        events.select("event_type", arm, x)
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    a = stats.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("sx").alias("sxa"),
+        F.col("sxx").alias("sxxa"),
+    )
+    b = stats.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("sx").alias("sxb"),
+        F.col("sxx").alias("sxxb"),
+    )
+    j = a.join(b, "event_type")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("sxa") / na
+    mb = F.col("sxb") / nb
+    var_a = (F.col("sxxa") - F.col("sxa") * F.col("sxa") / na) / na
+    var_b = (F.col("sxxb") - F.col("sxb") * F.col("sxb") / nb) / nb
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(ma / AB_SCALE, 6).alias("mean_a"),
+        F.round(mb / AB_SCALE, 6).alias("mean_b"),
+        ((mb - ma) * (mb - ma) / (var_a / na + var_b / nb) > AB_Z * AB_Z).alias(
+            "significant"
+        ),
+    ).orderBy("event_type")
+
+
+QUERIES["ab_test_report"] = ab_test_report
+
+
+def _ab_oracle() -> str:
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import md5_int_sql
+
+    return f"""
+        WITH vals AS (
+            SELECT event_type,
+                   {md5_int_sql("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+                   CAST(round(value * {AB_SCALE}, 0) AS BIGINT) AS x
+            FROM events),
+        stats AS (
+            SELECT event_type, arm, count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM vals GROUP BY 1, 2),
+        j AS (
+            SELECT a.event_type,
+                   a.n AS n_a, CAST(a.n AS DOUBLE) AS na, a.sx AS sxa, a.sxx AS sxxa,
+                   b.n AS n_b, CAST(b.n AS DOUBLE) AS nb, b.sx AS sxb, b.sxx AS sxxb
+            FROM stats a JOIN stats b USING (event_type)
+            WHERE a.arm = 0 AND b.arm = 1)
+        SELECT event_type, n_a, n_b,
+               round(sxa / na / {AB_SCALE}, 6) AS mean_a,
+               round(sxb / nb / {AB_SCALE}, 6) AS mean_b,
+               (sxb / nb - sxa / na) * (sxb / nb - sxa / na)
+                   / (((sxxa - sxa * sxa / na) / na) / na
+                      + ((sxxb - sxb * sxb / nb) / nb) / nb)
+                   > {AB_Z * AB_Z} AS significant
+        FROM j ORDER BY event_type
+    """
+
+
+ORACLES["ab_test_report"] = _ab_oracle()

@@ -29,7 +29,7 @@ update keys — the dimension scan never shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
@@ -205,3 +205,70 @@ QUERIES = {
     "scd2_apply": scd2_apply,
     "snapshot_diff": snapshot_diff,
 }
+
+
+# ------------------------------------------------------------------ CDC
+# event_type → changelog op: the deterministic mapping that turns the
+# events table into a keyed upsert/delete stream (Debezium-shaped).
+CDC_DELETE_TYPE = "error"
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: apply a keyed CDC stream (upserts + deletes)
+    to materialize the latest state per key — the read-side half of every
+    Debezium → lakehouse pipeline, and the semantics of a Delta/Iceberg
+    `MERGE` fed from a change feed.
+
+    The events table is interpreted as the changelog: key = user_id,
+    ordered by (ts, event_id); `error` rows are tombstones, everything
+    else upserts the row's value. Last writer wins; a key whose final op
+    is a tombstone is absent from the result.
+
+    Scale: ONE hash shuffle on the key for the row_number window — the
+    canonical compaction plan (Spark's own streaming dedup and Delta's
+    MERGE-on-read do the same). No join: tombstone filtering happens on
+    the 1-row-per-key output of the window.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        events.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_timestamp("ts").alias("es"),
+            "event_id",
+            F.count("*").over(Window.partitionBy("user_id")).alias("n_ops"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        latest.filter(F.col("event_type") != CDC_DELETE_TYPE)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.round("value", 6).alias("last_value"),
+            F.col("es").alias("last_es"),
+            "n_ops",
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["cdc_apply"] = cdc_apply
+
+ORACLES["cdc_apply"] = f"""
+    WITH ranked AS (
+        SELECT user_id, event_type, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es,
+               count(*) OVER (PARTITION BY user_id) AS n_ops,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    SELECT user_id, event_type AS last_op,
+           round(value, 6) AS last_value, es AS last_es, n_ops
+    FROM ranked
+    WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'
+    ORDER BY user_id
+"""

@@ -1,0 +1,123 @@
+"""Market-basket affinity mining over the order/lineitem star: frequent
+co-purchased part pairs with support and lift.
+
+The association-rule layer (Apriori's first level) on top of the fact
+table — the relational sibling of `webcorpus.collocation_pmi` (word pairs)
+and a standard recommendation/bundling signal. The reference has no
+basket analytics at all; this is part of the analytics surface a user of
+a 100 TB retail fact table expects.
+
+Scale design:
+- Pair generation is a self-join of lineitem with itself ON THE BASKET KEY
+  (l_orderkey) — an equi-join that rides one hash shuffle; per-basket work
+  is k², where k is the basket size, which real order data bounds at tens.
+  A single-pass window cap (MAX_BASKET) guards the degenerate basket —
+  the same quadratic-blowup guard as every candidate-generation join in
+  this repo (dedup.MAX_SHINGLE_DF, entity.MAX_BLOCK).
+- Item supports and the basket count are map-side-combined aggregates;
+  both enter the lift computation as broadcast-sized frames (distinct
+  parts and a 1-row count).
+- The support filter runs on the pair AGGREGATE (post-shuffle, tiny), and
+  lift arithmetic is pure projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+MIN_SUPPORT = 3  # pair must appear in ≥ this many baskets
+MAX_BASKET = 1_000  # degenerate-basket guard
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchased part pairs with basket support and lift
+    (lift = P(a,b) / (P(a)·P(b)), > 1 ⇒ bought together more than chance).
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()  # a part repeated in one order counts once per basket
+    )
+    items = (
+        items.withColumn(
+            "_bn", F.count("*").over(Window.partitionBy("l_orderkey"))
+        )
+        .filter(F.col("_bn") <= MAX_BASKET)
+        .drop("_bn")
+        .persist()
+    )
+    n_baskets = items.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    item_support = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("a_part"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("b_part"))
+    pair_support = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a_part") < F.col("b_part"))
+        .groupBy("a_part", "b_part")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+    )
+    return (
+        pair_support.join(
+            F.broadcast(item_support.withColumnRenamed("l_partkey", "a_part")
+                        .withColumnRenamed("s", "s_a")),
+            "a_part",
+        )
+        .join(
+            F.broadcast(item_support.withColumnRenamed("l_partkey", "b_part")
+                        .withColumnRenamed("s", "s_b")),
+            "b_part",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "a_part",
+            "b_part",
+            "support",
+            "s_a",
+            "s_b",
+            F.round(
+                F.col("support") * F.col("n_baskets")
+                / (F.col("s_a") * F.col("s_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("a_part", "b_part")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "basket_pairs": f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        capped AS (
+            SELECT * FROM items
+            QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= {MAX_BASKET}),
+        nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM capped),
+        sup AS (SELECT l_partkey, count(*) AS s FROM capped GROUP BY 1),
+        pairs AS (
+            SELECT a.l_partkey AS a_part, b.l_partkey AS b_part,
+                   count(*) AS support
+            FROM capped a JOIN capped b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {MIN_SUPPORT})
+        SELECT a_part, b_part, support, sa.s AS s_a, sb.s AS s_b,
+               round(support * n_baskets / CAST(sa.s * sb.s AS DOUBLE), 6)
+                   AS lift
+        FROM pairs
+        JOIN sup sa ON sa.l_partkey = a_part
+        JOIN sup sb ON sb.l_partkey = b_part
+        CROSS JOIN nb
+        ORDER BY a_part, b_part
+    """,
+}
+
+QUERIES = {
+    "basket_pairs": basket_pairs,
+}

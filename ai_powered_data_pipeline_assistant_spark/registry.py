@@ -28,6 +28,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     graphs,
     incremental,
     joins,
+    market,
     multimodal,
     neardup_cluster,
     packing,
@@ -68,6 +69,7 @@ _MODULES = [
     incremental,
     entity,
     graphs,
+    market,
     multimodal,
     embedding_pipeline,
     embedding_stats,
