@@ -68,6 +68,15 @@ HEADLINE = [
     "hybrid_search_rrf",
     "fk_integrity_audit",
     "stickiness_report",
+    # round-3 additions: graph/sequence, entity-resolution, basket, CDC,
+    # experimentation, and model-eval families
+    "event_pagerank",
+    "markov_prediction_audit",
+    "entity_clusters",
+    "basket_pairs",
+    "cdc_apply",
+    "ab_test_report",
+    "centroid_label_accuracy",
 ]
 
 # The round-1 headline set, unchanged since: its sub-total is reported as
