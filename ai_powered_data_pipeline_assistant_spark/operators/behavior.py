@@ -1143,3 +1143,108 @@ def _ab_oracle() -> str:
 
 
 ORACLES["ab_test_report"] = _ab_oracle()
+
+
+FC_TRAIN_PCT = 80
+
+
+def forecast_baseline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline bake-off per event type: hold out the last 20% of
+    the date range, forecast each test day's volume with (a) naive
+    (last train-day count) and (b) train-mean baselines, and report both
+    MAEs — the readout that decides what an alerting threshold or capacity
+    forecast should regress against. Evaluated on days with ≥1 event
+    (gap days are a gap-fill concern, see `daily_counts_gapfill`).
+
+    Exactness: day indexes and counts are integers; cutoff is integer DIV
+    arithmetic on the 1-row broadcast min/max; the train mean is the same
+    IEEE sx/n double on both engines.
+
+    Scale: ONE map-side-combined groupBy over the facts builds the daily
+    frame (days × types rows); everything after runs on that tiny
+    aggregate — per-type last-train pick is a grouped-top-1 window, and
+    the forecasts join back broadcast.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit(WEEK_EPOCH)).cast("long").alias("day_idx"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bounds = daily.agg(F.min("day_idx").alias("mn"), F.max("day_idx").alias("mx")).select(
+        F.expr(f"mn + ((mx - mn) * {FC_TRAIN_PCT}) DIV 100").alias("cutoff")
+    )
+    tagged = daily.crossJoin(F.broadcast(bounds))
+    train = tagged.filter(F.col("day_idx") < F.col("cutoff"))
+    test = tagged.filter(F.col("day_idx") >= F.col("cutoff"))
+    last_w = Window.partitionBy("event_type").orderBy(F.desc("day_idx"))
+    naive = (
+        train.withColumn("rn", F.row_number().over(last_w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("cnt").alias("naive_fc"))
+    )
+    mean = train.groupBy("event_type").agg(
+        F.sum("cnt").alias("sx"), F.count("*").alias("nd")
+    )
+    return (
+        test.join(F.broadcast(naive), "event_type")
+        .join(F.broadcast(mean), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_test_days"),
+            F.round(F.avg(F.abs(F.col("cnt") - F.col("naive_fc"))), 6).alias(
+                "mae_naive"
+            ),
+            F.round(
+                F.avg(
+                    F.abs(
+                        F.col("cnt")
+                        - F.col("sx") / F.col("nd").cast("double")
+                    )
+                ),
+                6,
+            ).alias("mae_mean"),
+        )
+        .withColumn("mean_wins", F.col("mae_mean") <= F.col("mae_naive"))
+        .orderBy("event_type")
+    )
+
+
+QUERIES["forecast_baseline_report"] = forecast_baseline_report
+
+ORACLES["forecast_baseline_report"] = f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '{WEEK_EPOCH}', CAST(ts AS DATE))
+                    AS BIGINT) AS day_idx,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+    b AS (
+        SELECT min(day_idx) + ((max(day_idx) - min(day_idx))
+                               * {FC_TRAIN_PCT}) // 100 AS cutoff
+        FROM daily),
+    train AS (SELECT d.* FROM daily d CROSS JOIN b WHERE day_idx < cutoff),
+    test AS (SELECT d.* FROM daily d CROSS JOIN b WHERE day_idx >= cutoff),
+    naive AS (
+        SELECT event_type, cnt AS naive_fc
+        FROM train
+        QUALIFY row_number() OVER (PARTITION BY event_type
+                                   ORDER BY day_idx DESC) = 1),
+    m AS (
+        SELECT event_type, CAST(sum(cnt) AS BIGINT) AS sx, count(*) AS nd
+        FROM train GROUP BY 1)
+    SELECT t.event_type,
+           count(*) AS n_test_days,
+           round(avg(abs(t.cnt - n.naive_fc)), 6) AS mae_naive,
+           round(avg(abs(t.cnt - m.sx / CAST(m.nd AS DOUBLE))), 6) AS mae_mean,
+           round(avg(abs(t.cnt - m.sx / CAST(m.nd AS DOUBLE))), 6)
+               <= round(avg(abs(t.cnt - n.naive_fc)), 6) AS mean_wins
+    FROM test t
+    JOIN naive n USING (event_type)
+    JOIN m USING (event_type)
+    GROUP BY 1
+    ORDER BY 1
+"""

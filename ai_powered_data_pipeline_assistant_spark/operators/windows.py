@@ -442,3 +442,115 @@ QUERIES = {
     "session_window_counts": session_window_counts,
     "value_ntiles": value_ntiles,
 }
+
+
+RFM_BANDS = 5
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation rollup: every customer scored 1-5 on
+    Recency (days since last order), Frequency (order count), and Monetary
+    (lifetime revenue), then rolled up per 3-digit segment — the classic
+    CRM slicing.
+
+    Determinism: scores are equal-size rank bands ``((rn-1)·5) div n`` over
+    a fully-tiebroken row_number (metric, then custkey) — no NTILE tie
+    ambiguity, no float thresholds; monetary accumulates integer cents.
+
+    Scale: the three rank windows run on the CUSTOMER-GRAIN aggregate
+    (orders of magnitude smaller than the fact table; the one fact shuffle
+    is the per-customer groupBy). The global-ordered windows are fine at
+    dimension scale; at 100 TB-of-customers swap them for the bucketed
+    two-phase prefix sum used by `user_activity_pareto`.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("ref_day"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count("*").alias("frequency"),
+            F.sum(cents).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("ref_day", "last_day").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    n_w = Window.partitionBy()
+    ranked = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r_rn"),
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_rn"),
+        F.row_number()
+        .over(
+            Window.partitionBy().orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
+        )
+        .alias("m_rn"),
+        F.count("*").over(n_w).alias("n"),
+    )
+    scored = ranked.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        # integer DIV — identical floor semantics to the oracle's `//`
+        F.expr(f"(r_rn - 1) * {RFM_BANDS} DIV n + 1").alias("r_score"),
+        F.expr(f"(f_rn - 1) * {RFM_BANDS} DIV n + 1").alias("f_score"),
+        F.expr(f"(m_rn - 1) * {RFM_BANDS} DIV n + 1").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("recency_days"), 6).alias("avg_recency_days"),
+            F.round(F.avg("frequency"), 6).alias("avg_frequency"),
+            F.round(F.sum("monetary_cents") / 100.0, 2).alias("total_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+QUERIES["rfm_segments"] = rfm_segments
+
+ORACLES["rfm_segments"] = f"""
+    WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+    per_cust AS (
+        SELECT o_custkey,
+               CAST(datediff('day', max(CAST(o_orderdate AS DATE)),
+                             (SELECT ref_day FROM ref)) AS BIGINT)
+                   AS recency_days,
+               count(*) AS frequency,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY 1),
+    scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary_cents,
+               (row_number() OVER (ORDER BY recency_days ASC, o_custkey ASC)
+                - 1) * {RFM_BANDS} // count(*) OVER () + 1 AS r_score,
+               (row_number() OVER (ORDER BY frequency DESC, o_custkey ASC)
+                - 1) * {RFM_BANDS} // count(*) OVER () + 1 AS f_score,
+               (row_number() OVER (ORDER BY monetary_cents DESC, o_custkey ASC)
+                - 1) * {RFM_BANDS} // count(*) OVER () + 1 AS m_score
+        FROM per_cust)
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           round(avg(recency_days), 6) AS avg_recency_days,
+           round(avg(frequency), 6) AS avg_frequency,
+           round(CAST(sum(monetary_cents) AS BIGINT) / 100.0, 2)
+               AS total_revenue
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
