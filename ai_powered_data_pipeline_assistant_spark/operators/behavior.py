@@ -1248,3 +1248,110 @@ ORACLES["forecast_baseline_report"] = f"""
     GROUP BY 1
     ORDER BY 1
 """
+
+
+def ab_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion readout: the full view→click→purchase funnel
+    (`funnel_counts` ordering semantics) evaluated per experiment arm
+    (md5(user_id) parity, same assignment as `ab_test_report`), with a
+    pooled two-proportion z-test on the end-to-end conversion rate.
+
+    Everything reduces to integers (per-arm user and converter counts), so
+    both engines compute the identical IEEE test statistic; the decision
+    threshold compares against z² = 1.96². One conditional-min groupBy
+    over the facts (the `funnel_counts` plan) plus a 2-row aggregate.
+    """
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import md5_int
+
+    events = load_table(spark, sf_dir, "events")
+    arm = (md5_int(F.col("user_id").cast("string")) % 2).alias("arm")
+    mins = [
+        F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+        for s in FUNNEL_STAGES
+    ]
+    per_user = events.select("user_id", arm, "event_type", "ts").groupBy(
+        "user_id", "arm"
+    ).agg(*mins)
+    flags = per_user.select(
+        "arm",
+        F.col("t_view").isNotNull().cast("long").alias("entered"),
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_click") >= F.col("t_view"))
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_purchase") >= F.col("t_click"))
+        ).cast("long").alias("converted"),
+    )
+    per_arm = flags.groupBy("arm").agg(
+        F.sum("entered").alias("n"), F.sum("converted").alias("conv")
+    )
+    a = per_arm.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = per_arm.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa, pb = F.col("conv_a") / na, F.col("conv_b") / nb
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (na + nb)
+    z2 = (pa - pb) * (pa - pb) / (
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return j.select(
+        "n_a",
+        "conv_a",
+        F.round(pa, 6).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(pb, 6).alias("rate_b"),
+        (z2 > AB_Z * AB_Z).alias("significant"),
+    )
+
+
+QUERIES["ab_funnel_report"] = ab_funnel_report
+
+
+def _ab_funnel_oracle() -> str:
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import md5_int_sql
+
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   {md5_int_sql("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY 1, 2),
+        flags AS (
+            SELECT arm,
+                   CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS entered,
+                   CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                             AND t_click >= t_view
+                             AND t_purchase IS NOT NULL
+                             AND t_purchase >= t_click
+                        THEN 1 ELSE 0 END AS converted
+            FROM per_user),
+        per_arm AS (
+            SELECT arm, CAST(sum(entered) AS BIGINT) AS n,
+                   CAST(sum(converted) AS BIGINT) AS conv
+            FROM flags GROUP BY 1),
+        j AS (
+            SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+            FROM per_arm a CROSS JOIN per_arm b
+            WHERE a.arm = 0 AND b.arm = 1)
+        SELECT n_a, conv_a, round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+               n_b, conv_b, round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+               (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+               * (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+               / ((conv_a + conv_b) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                  * (1.0 - (conv_a + conv_b)
+                           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+               > {AB_Z * AB_Z} AS significant
+        FROM j
+    """
+
+
+ORACLES["ab_funnel_report"] = _ab_funnel_oracle()

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -302,6 +303,89 @@ def sliding_rate_limit_state(events: DataFrame) -> DataFrame:
             _rate_fn,
             outputStructType=RATE_OUTPUT_SCHEMA,
             stateStructType=RATE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+# ------------------------------------------------------------------ CDC
+CDC_DELETE_TYPE = "error"  # keep = operators/incremental.CDC_DELETE_TYPE
+
+CDC_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_op", StringType()),
+        StructField("last_value", DoubleType()),
+        StructField("last_micros", LongType()),
+        StructField("deleted", BooleanType()),
+    ]
+)
+
+CDC_STATE_SCHEMA = StructType(
+    [
+        StructField("last_micros", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_op", StringType()),
+        StructField("last_value", DoubleType()),
+    ]
+)
+
+
+def _cdc_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Last-writer-wins changelog state: per key, keep only the newest
+    (ts, event_id) row — the exact sufficient statistic of the batch
+    ``incremental.cdc_apply`` window, so the streaming materialization
+    equals the batch compaction no matter how the changelog is
+    micro-batched (including out-of-order and replayed batches: an older
+    row can never displace a newer state). State is four scalars per key,
+    bounded regardless of stream length."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows["_micros"] = rows["ts"].astype("int64") // 1_000
+    top = rows.sort_values(["_micros", "event_id"]).iloc[-1]
+    cand = (
+        int(top["_micros"]),
+        int(top["event_id"]),
+        str(top["event_type"]),
+        float(top["value"]),
+    )
+    if state.exists:
+        cur = tuple(state.get)
+        if (cand[0], cand[1]) > (cur[0], cur[1]):
+            cur = cand
+    else:
+        cur = cand
+    state.update(cur)
+    state.setTimeoutDuration(24 * 3600 * 1000)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_op": [cur[2]],
+            "last_value": [cur[3]],
+            "last_micros": [cur[0]],
+            "deleted": [cur[2] == CDC_DELETE_TYPE],
+        }
+    )
+
+
+def cdc_latest_state(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``incremental.cdc_apply``: materialized
+    latest-state view of a keyed changelog over (user_id long, event_id
+    long, event_type string, value double, ts timestamp); tombstones are
+    emitted as ``deleted`` rows so a downstream sink can drop them."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _cdc_fn,
+            outputStructType=CDC_OUTPUT_SCHEMA,
+            stateStructType=CDC_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )

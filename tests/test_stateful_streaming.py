@@ -145,3 +145,32 @@ def test_funnel_conversion_state_matches_batch(spark, sf_dir, tmp_path):
         r["stage"]: r["n_users"] for r in funnel_counts(spark, sf_dir).collect()
     }
     assert got == want, (got, want)
+
+
+def test_cdc_latest_state_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming-vs-batch parity: the materialized latest-state view must
+    equal the batch cdc_apply compaction on the same changelog (tombstoned
+    keys excluded on both sides)."""
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+    from ai_powered_data_pipeline_assistant_spark.operators.incremental import (
+        cdc_apply,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.stateful import (
+        cdc_latest_state,
+    )
+
+    fixture = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    result = _run_stream(spark, fixture, tmp_path, cdc_latest_state, "cdc_state")
+    latest = {r["user_id"]: r for r in result.collect()}
+    got = {
+        uid: (r["last_op"], round(r["last_value"], 6))
+        for uid, r in latest.items()
+        if not r["deleted"]
+    }
+    want = {
+        r["user_id"]: (r["last_op"], round(r["last_value"], 6))
+        for r in cdc_apply(spark, sf_dir).collect()
+    }
+    assert got == want
