@@ -465,3 +465,130 @@ QUERIES = {
     "weighted_sample": weighted_sample,
     "source_mix_resample": source_mix_resample,
 }
+
+
+def centroid_separation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation audit over the labeled embedding space: for every
+    label, the squared distance to its NEAREST other-class centroid vs the
+    class's mean squared distance to its OWN centroid (cohesion) — a
+    silhouette-style separability readout; ratio < 1 flags classes whose
+    members sit farther from their own centroid than the next class sits.
+
+    Same exactness scheme as `centroid_label_accuracy` (int64-scaled
+    sums → identical IEEE centroid doubles); same scale shape: one k·d
+    centroid groupBy, literal-inlined centroids for the cohesion pass
+    (no join, no vector shuffle), and the k² centroid-pair matrix is
+    driver-side arithmetic on a bounded collect.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * CENTROID_SCALE, 0).cast("long"),
+        ).alias("x"),
+    )
+    cent_rows = (
+        emb.select("label", F.posexplode("x").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").alias("sx"), F.count("*").alias("n"))
+        .collect()  # bounded: k·d rows
+    )
+    by_label: dict[int, list[tuple[int, float]]] = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], []).append((r["pos"], r["sx"] / r["n"]))
+    labels = sorted(by_label)
+    cents = {lb: [c for _, c in sorted(by_label[lb])] for lb in labels}
+
+    # nearest other-class centroid: k² pairs of k·d driver-held vectors
+    sep = {}
+    for a in labels:
+        best = None
+        for b in labels:
+            if a == b:
+                continue
+            d2 = sum((x - y) * (x - y) for x, y in zip(cents[a], cents[b]))
+            if best is None or d2 < best:
+                best = d2
+        sep[a] = best
+
+    own = F.create_map(
+        *[
+            x
+            for lb in labels
+            for x in (F.lit(lb), F.lit(cents[lb]))
+        ]
+    )
+    cohesion = (
+        emb.withColumn("c", own[F.col("label")])
+        .select(
+            "label",
+            F.aggregate(
+                F.zip_with(
+                    F.col("x"),
+                    F.col("c"),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.avg("d2").alias("mean_own_d2"))
+    )
+    scale2 = float(CENTROID_SCALE) * CENTROID_SCALE
+    sep_df = spark.createDataFrame(
+        [(lb, sep[lb]) for lb in labels], ["label", "nearest_other_d2"]
+    )
+    return (
+        cohesion.join(F.broadcast(sep_df), "label")
+        .select(
+            "label",
+            "n",
+            F.round(F.col("mean_own_d2") / scale2, 6).alias("cohesion_d2"),
+            F.round(F.col("nearest_other_d2") / scale2, 6).alias("separation_d2"),
+            (F.col("nearest_other_d2") > F.col("mean_own_d2")).alias("separable"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES["centroid_separation_report"] = centroid_separation_report
+
+ORACLES["centroid_separation_report"] = f"""
+    WITH vals AS (
+        SELECT vec_id, label, i - 1 AS pos,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * {CENTROID_SCALE}, 0)
+                    AS BIGINT) AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+    cents AS (
+        SELECT label AS c_label, pos,
+               CAST(sum(x) AS BIGINT) / CAST(count(*) AS DOUBLE) AS c
+        FROM vals GROUP BY 1, 2),
+    sep AS (
+        SELECT a.c_label AS label, min(ss.d2) AS nearest_other_d2
+        FROM (SELECT DISTINCT c_label FROM cents) a
+        JOIN LATERAL (
+            SELECT b.c_label, sum((ca.c - b.c) * (ca.c - b.c)) AS d2
+            FROM cents ca JOIN cents b ON ca.pos = b.pos
+            WHERE ca.c_label = a.c_label AND b.c_label <> a.c_label
+            GROUP BY b.c_label) ss ON true
+        GROUP BY 1),
+    own AS (
+        SELECT v.vec_id, v.label, sum((v.x - c.c) * (v.x - c.c)) AS d2
+        FROM vals v JOIN cents c
+             ON v.pos = c.pos AND c.c_label = v.label
+        GROUP BY 1, 2),
+    cohesion AS (
+        SELECT label, count(*) AS n, avg(d2) AS mean_own_d2
+        FROM own GROUP BY 1)
+    SELECT label, n,
+           round(mean_own_d2 / {float(CENTROID_SCALE) * CENTROID_SCALE}, 6)
+               AS cohesion_d2,
+           round(nearest_other_d2 / {float(CENTROID_SCALE) * CENTROID_SCALE}, 6)
+               AS separation_d2,
+           nearest_other_d2 > mean_own_d2 AS separable
+    FROM cohesion JOIN sep USING (label)
+    ORDER BY label
+"""
