@@ -8,12 +8,13 @@ basket analytics at all; this is part of the analytics surface a user of
 a 100 TB retail fact table expects.
 
 Scale design:
-- Pair generation is a self-join of lineitem with itself ON THE BASKET KEY
-  (l_orderkey) — an equi-join that rides one hash shuffle; per-basket work
-  is k², where k is the basket size, which real order data bounds at tens.
-  A single-pass window cap (MAX_BASKET) guards the degenerate basket —
-  the same quadratic-blowup guard as every candidate-generation join in
-  this repo (dedup.MAX_SHINGLE_DF, entity.MAX_BLOCK).
+- ONE hash shuffle builds per-basket part sets (collect_set groupBy);
+  pair generation is an IN-ROW k² explode over each set — no basket-key
+  self-join, no second shuffle of the facts. Per-basket work is k², which
+  real order data bounds at tens; the MAX_BASKET size filter guards the
+  degenerate basket — the same quadratic-blowup guard as every
+  candidate-generation step in this repo (dedup.MAX_SHINGLE_DF,
+  entity.MAX_BLOCK).
 - Item supports and the basket count are map-side-combined aggregates;
   both enter the lift computation as broadcast-sized frames (distinct
   parts and a 1-row count).
@@ -23,7 +24,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
@@ -36,28 +37,31 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchased part pairs with basket support and lift
     (lift = P(a,b) / (P(a)·P(b)), > 1 ⇒ bought together more than chance).
     """
-    items = (
+    # ONE shuffle builds the basket sets (collect_set dedups a repeated
+    # part in-row); pair generation is then an IN-ROW k² explode — no
+    # basket-key self-join, no window pass. The higher-order filter emits
+    # each unordered pair once (b > a), halving the exploded volume.
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()  # a part repeated in one order counts once per basket
-    )
-    items = (
-        items.withColumn(
-            "_bn", F.count("*").over(Window.partitionBy("l_orderkey"))
-        )
-        .filter(F.col("_bn") <= MAX_BASKET)
-        .drop("_bn")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .filter(F.size("parts") <= MAX_BASKET)
         .persist()
     )
-    n_baskets = items.select("l_orderkey").distinct().agg(
-        F.count("*").alias("n_baskets")
+    n_baskets = baskets.agg(F.count("*").alias("n_baskets"))
+    item_support = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("s"))
     )
-    item_support = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
-    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("a_part"))
-    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("b_part"))
     pair_support = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a_part") < F.col("b_part"))
+        baskets.select(F.explode("parts").alias("a_part"), "parts")
+        .select(
+            "a_part",
+            F.explode(
+                F.filter("parts", lambda p: p > F.col("a_part"))
+            ).alias("b_part"),
+        )
         .groupBy("a_part", "b_part")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= MIN_SUPPORT)
