@@ -183,3 +183,164 @@ QUERIES = {
     "bucketed_join_rollup": bucketed_join_rollup,
     "events_partition_pruned": events_partition_pruned,
 }
+
+
+# ------------------------------------------------------------- z-order
+ZORDER_BITS = 3  # 8×8 grid → 64 file groups per layout
+ZORDER_FILES = 1 << (2 * ZORDER_BITS)
+Z_PRED_BAND = 3  # the probed band index on each dimension
+
+
+def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning bake-off: linear clustering vs Morton (z-order)
+    interleaving of (user_id, time) over the events table.
+
+    Rows are assigned to 64 file groups two ways — linear (user_id range
+    buckets, the single-column ORDER BY layout) and z-order (bit-interleaved
+    user/time buckets, Delta OPTIMIZE ZORDER's layout) — and each group's
+    [min, max] zone map of BOTH columns is computed from the data. The
+    audit then reports, for a single-dimension predicate on each column,
+    how many file groups a stats-based reader must scan: linear prunes
+    perfectly on its sort key and not at all on the other column; z-order
+    prunes ~√-proportionally on BOTH. This is the planning math behind
+    choosing a multi-dimensional layout for a 100 TB table — computed
+    exactly (all bucket arithmetic is integer), so the whole audit is
+    oracle-checkable without writing files.
+
+    Scale: ONE pass over the facts per layout (map-side-combined groupBy
+    on the 64-key group id); the hit test runs on the 128-row stats frame.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.unix_timestamp("ts").alias("t"),
+    )
+    bounds = base.agg(
+        F.min("u").alias("umn"), F.max("u").alias("umx"),
+        F.min("t").alias("tmn"), F.max("t").alias("tmx"),
+    )
+    j = base.crossJoin(F.broadcast(bounds))
+    n_b = 1 << ZORDER_BITS
+    ub = F.expr(f"((u - umn) * {n_b}) DIV (umx - umn + 1)")
+    tb = F.expr(f"((t - tmn) * {n_b}) DIV (tmx - tmn + 1)")
+    # Morton interleave of two 3-bit buckets (integer arithmetic only —
+    # identical on any engine): z = Σ bit_i(ub)·4^i·2 ... even bits ub,
+    # odd bits tb
+    def _interleave(a, b):
+        z = F.lit(0)
+        for i in range(ZORDER_BITS):
+            z = (
+                z
+                + (a / (1 << i)).cast("long") % 2 * (1 << (2 * i))
+                + (b / (1 << i)).cast("long") % 2 * (1 << (2 * i + 1))
+            )
+        return z
+
+    tagged = j.select(
+        "u", "t", "umn", "umx", "tmn", "tmx",
+        F.expr(f"((u - umn) * {ZORDER_FILES}) DIV (umx - umn + 1)").alias(
+            "g_linear"
+        ),  # pure ORDER BY user_id layout: 64 user-rank buckets
+        _interleave(ub, tb).alias("g_zorder"),
+    )
+    stats = None
+    for layout in ("linear", "zorder"):
+        s = (
+            tagged.groupBy(F.col(f"g_{layout}").alias("g"))
+            .agg(
+                F.min("u").alias("min_u"), F.max("u").alias("max_u"),
+                F.min("t").alias("min_t"), F.max("t").alias("max_t"),
+                F.min("umn").alias("umn"), F.min("umx").alias("umx"),
+                F.min("tmn").alias("tmn"), F.min("tmx").alias("tmx"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+        stats = s if stats is None else stats.unionByName(s)
+    # probed ranges: band Z_PRED_BAND of each dimension (half-open)
+    u_lo = F.expr(f"umn + ((umx - umn + 1) * {Z_PRED_BAND}) DIV {n_b}")
+    u_hi = F.expr(f"umn + ((umx - umn + 1) * {Z_PRED_BAND + 1}) DIV {n_b}")
+    t_lo = F.expr(f"tmn + ((tmx - tmn + 1) * {Z_PRED_BAND}) DIV {n_b}")
+    t_hi = F.expr(f"tmn + ((tmx - tmn + 1) * {Z_PRED_BAND + 1}) DIV {n_b}")
+    hits = stats.select(
+        "layout",
+        ((F.col("max_u") >= u_lo) & (F.col("min_u") < u_hi))
+        .cast("long")
+        .alias("hit_user"),
+        ((F.col("max_t") >= t_lo) & (F.col("min_t") < t_hi))
+        .cast("long")
+        .alias("hit_time"),
+    )
+    agg = hits.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        F.sum("hit_user").alias("files_hit_user_pred"),
+        F.sum("hit_time").alias("files_hit_time_pred"),
+    )
+    return agg.select(
+        "layout",
+        "n_files",
+        "files_hit_user_pred",
+        F.round(F.col("files_hit_user_pred") / F.col("n_files").cast("double"), 6)
+        .alias("user_scan_frac"),
+        "files_hit_time_pred",
+        F.round(F.col("files_hit_time_pred") / F.col("n_files").cast("double"), 6)
+        .alias("time_scan_frac"),
+    ).orderBy("layout")
+
+
+QUERIES["zorder_pruning_audit"] = zorder_pruning_audit
+
+
+def _zorder_oracle() -> str:
+    n_b = 1 << ZORDER_BITS
+    interleave = " + ".join(
+        f"((ub // {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((tb // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(ZORDER_BITS)
+    )
+    return f"""
+        WITH base AS (
+            SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t
+            FROM events),
+        b AS (
+            SELECT min(u) AS umn, max(u) AS umx,
+                   min(t) AS tmn, max(t) AS tmx
+            FROM base),
+        tagged AS (
+            SELECT u, t, umn, umx, tmn, tmx,
+                   ((u - umn) * {n_b}) // (umx - umn + 1) AS ub,
+                   ((t - tmn) * {n_b}) // (tmx - tmn + 1) AS tb
+            FROM base CROSS JOIN b),
+        grouped AS (
+            SELECT 'linear' AS layout,
+                   ((u - umn) * {1 << (2 * ZORDER_BITS)}) // (umx - umn + 1) AS g,
+                   * FROM tagged
+            UNION ALL
+            SELECT 'zorder' AS layout, {interleave} AS g, * FROM tagged),
+        stats AS (
+            SELECT layout, g,
+                   min(u) AS min_u, max(u) AS max_u,
+                   min(t) AS min_t, max(t) AS max_t,
+                   min(umn) AS umn, min(umx) AS umx,
+                   min(tmn) AS tmn, min(tmx) AS tmx
+            FROM grouped GROUP BY 1, 2),
+        hits AS (
+            SELECT layout,
+                   CASE WHEN max_u >= umn + ((umx - umn + 1) * {Z_PRED_BAND}) // {n_b}
+                         AND min_u <  umn + ((umx - umn + 1) * {Z_PRED_BAND + 1}) // {n_b}
+                        THEN 1 ELSE 0 END AS hit_user,
+                   CASE WHEN max_t >= tmn + ((tmx - tmn + 1) * {Z_PRED_BAND}) // {n_b}
+                         AND min_t <  tmn + ((tmx - tmn + 1) * {Z_PRED_BAND + 1}) // {n_b}
+                        THEN 1 ELSE 0 END AS hit_time
+            FROM stats)
+        SELECT layout, count(*) AS n_files,
+               CAST(sum(hit_user) AS BIGINT) AS files_hit_user_pred,
+               round(CAST(sum(hit_user) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE), 6) AS user_scan_frac,
+               CAST(sum(hit_time) AS BIGINT) AS files_hit_time_pred,
+               round(CAST(sum(hit_time) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE), 6) AS time_scan_frac
+        FROM hits GROUP BY 1 ORDER BY 1
+    """
+
+
+ORACLES["zorder_pruning_audit"] = _zorder_oracle()
