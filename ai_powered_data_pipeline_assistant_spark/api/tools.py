@@ -13,6 +13,7 @@ rate limit (TTLCache-backed counter, 40/60 s default).
 
 from __future__ import annotations
 
+import json
 import time
 from collections import deque
 from dataclasses import dataclass, field
@@ -83,6 +84,11 @@ class ToolRegistry:
         self.sf_dir = sf_dir
         self.cache = TTLCache()
         self.rate_limiter = RateLimiter()
+        # execution journal — the reference persists every tool call with
+        # args/success/latency (reference Supabase/tool_executions.sql:2-12,
+        # executor backend/tools/executor.py:92-139); here it's an
+        # in-process ring buffer exposed as a DataFrame via execution_log()
+        self._journal: list[dict] = []
         # tool → (fn(args) -> DataFrame, allowed roles)
         self._tools = {
             "query_data_source": (self._query_data_source, {"general", "data_engineer"}),
@@ -107,26 +113,68 @@ class ToolRegistry:
         args = args or {}
         t0 = time.perf_counter()
         if tool not in self._tools:
-            return ToolResult(tool, False, error=f"unknown tool {tool!r}")
+            return self._record(args, ToolResult(tool, False, error=f"unknown tool {tool!r}"))
         fn, roles = self._tools[tool]
         if role not in roles:
-            return ToolResult(tool, False, error=f"role {role!r} not permitted")
+            return self._record(args, ToolResult(tool, False, error=f"role {role!r} not permitted"))
         if not self.rate_limiter.allow(identifier):
-            return ToolResult(tool, False, error="rate limit exceeded")
+            return self._record(args, ToolResult(tool, False, error="rate limit exceeded"))
         key = cache_key(tool, args)
         cached = self.cache.get(key)
         if cached is not None:
-            return ToolResult(tool, True, data=cached,
-                              execution_time_ms=(time.perf_counter() - t0) * 1e3)
+            return self._record(args, ToolResult(
+                tool, True, data=cached,
+                execution_time_ms=(time.perf_counter() - t0) * 1e3))
         try:
             df: DataFrame = fn(args)
             rows = [r.asDict() for r in df.limit(args.get("max_rows", 100)).collect()]
             self.cache.put(key, rows)
-            return ToolResult(tool, True, data=rows,
-                              execution_time_ms=(time.perf_counter() - t0) * 1e3)
+            return self._record(args, ToolResult(
+                tool, True, data=rows,
+                execution_time_ms=(time.perf_counter() - t0) * 1e3))
         except Exception as exc:  # noqa: BLE001 — uniform error envelope
-            return ToolResult(tool, False, error=str(exc)[:500],
-                              execution_time_ms=(time.perf_counter() - t0) * 1e3)
+            return self._record(args, ToolResult(
+                tool, False, error=str(exc)[:500],
+                execution_time_ms=(time.perf_counter() - t0) * 1e3))
+
+    _JOURNAL_CAP = 10_000  # bounded: old entries roll off
+
+    def _record(self, args: dict, result: ToolResult) -> ToolResult:
+        self._journal.append(
+            {
+                "tool_name": result.tool,
+                "arguments": json.dumps(args, sort_keys=True, default=str),
+                "success": result.success,
+                "error": result.error,
+                "execution_time_ms": float(round(result.execution_time_ms, 3)),
+            }
+        )
+        if len(self._journal) > self._JOURNAL_CAP:
+            del self._journal[: -self._JOURNAL_CAP]
+        return result
+
+    def execution_log(self) -> DataFrame:
+        """The tool_executions audit table (reference
+        Supabase/tool_executions.sql:2-12) as a DataFrame — queryable with
+        the same engine it audits."""
+        from pyspark.sql.types import (
+            BooleanType,
+            DoubleType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("tool_name", StringType()),
+                StructField("arguments", StringType()),
+                StructField("success", BooleanType()),
+                StructField("error", StringType()),
+                StructField("execution_time_ms", DoubleType()),
+            ]
+        )
+        return self.spark.createDataFrame(self._journal, schema=schema)
 
     # ---- tool implementations (thin adapters over operators) ----
     def _query_data_source(self, args: dict) -> DataFrame:

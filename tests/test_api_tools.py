@@ -151,3 +151,18 @@ def test_list_queries_tool(registry):
     assert filtered.success
     assert all(r["name"].startswith("tpch_") for r in filtered.data)
     assert len(filtered.data) >= 22
+
+
+def test_execution_log_records_every_call(spark, sf_dir):
+    from ai_powered_data_pipeline_assistant_spark.api.tools import ToolRegistry
+
+    reg = ToolRegistry(spark, sf_dir)
+    reg.execute("get_task_stats", role="general")
+    reg.execute("nope", role="general")  # unknown tool → failed entry
+    reg.execute("analyze_data_quality", role="general")  # role denied
+    log = reg.execution_log()
+    rows = {(r["tool_name"], r["success"]) for r in log.collect()}
+    assert ("get_task_stats", True) in rows
+    assert ("nope", False) in rows
+    assert ("analyze_data_quality", False) in rows
+    assert log.filter("execution_time_ms >= 0").count() == log.count()
