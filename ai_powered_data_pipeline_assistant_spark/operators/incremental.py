@@ -272,3 +272,78 @@ ORACLES["cdc_apply"] = f"""
     WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'
     ORDER BY user_id
 """
+
+
+BACKFILL_FAIL_MOD = 10  # simulate: every 10th day's partition is missing
+
+
+def backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner: diff the expected daily-partition calendar against
+    the partitions that actually materialized and emit ordered work units —
+    the scheduler-side shape of every incremental pipeline (Airflow
+    catchup, Delta RESTORE+rerun). "Materialized" is simulated
+    deterministically (md5(day) % 10 == 0 partitions are missing, the same
+    portable hash used by the split operators).
+
+    Scale: the calendar is sequence-exploded from a 1-row min/max
+    aggregate (days × 1 rows, independent of fact volume); expected per-day
+    volumes come from ONE map-side-combined groupBy; the diff is an
+    anti-join of two day-keyed tiny frames; newest-first priority is a
+    window over the missing-day set only.
+    """
+    from pyspark.sql import Window as W
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import md5_int
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_events"))
+    )
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    calendar = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    expected = calendar.join(daily, "day", "left").select(
+        "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+    materialized = expected.filter(
+        md5_int(F.col("day").cast("string")) % BACKFILL_FAIL_MOD != 0
+    )
+    missing = expected.join(materialized.select("day"), "day", "left_anti")
+    pri = W.partitionBy().orderBy(F.desc("day"))
+    return (
+        missing.withColumn("priority", F.row_number().over(pri))
+        .select("priority", "day", "n_events")
+        .orderBy("priority")
+    )
+
+
+QUERIES["backfill_plan"] = backfill_plan
+
+
+def _backfill_oracle() -> str:
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import md5_int_sql
+
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+            FROM events GROUP BY 1),
+        b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+        calendar AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+            FROM b),
+        expected AS (
+            SELECT c.day, coalesce(d.n_events, 0) AS n_events
+            FROM calendar c LEFT JOIN daily d USING (day)),
+        missing AS (
+            SELECT * FROM expected
+            WHERE {md5_int_sql("CAST(day AS VARCHAR)")} % {BACKFILL_FAIL_MOD} = 0)
+        SELECT row_number() OVER (ORDER BY day DESC) AS priority,
+               day, n_events
+        FROM missing
+        ORDER BY priority
+    """
+
+
+ORACLES["backfill_plan"] = _backfill_oracle()
