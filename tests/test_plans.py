@@ -279,3 +279,54 @@ def test_boilerplate_prefixes_single_shuffle(spark, sf_dir):
     # aggregate exchange on (source, prefix) + window exchange on source:
     # the frames after the first aggregate are distinct-prefix sized
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_basket_pairs_no_selfjoin_on_facts(spark, sf_dir):
+    """Pair generation must be the in-row explode over collect_set baskets —
+    one Exchange for the basket build, one for the pair aggregate, and NO
+    join anywhere before the (tiny) lift lookups, which must broadcast."""
+    plan = _initial_plan(QUERIES["basket_pairs"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "Generate explode" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_pagerank_iterations_broadcast_node_count(spark, sf_dir):
+    """The fixed power iteration must keep every node-count entry a
+    broadcast (BroadcastNestedLoopJoin over the 1-row aggregate), never a
+    shuffled cross product."""
+    plan = _initial_plan(QUERIES["event_pagerank"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # 4 crossJoins (init + 3 iterations) all against the broadcast 1-row agg
+    assert plan.count("BroadcastNestedLoopJoin") >= 4, plan
+
+
+def test_markov_audit_predictions_broadcast(spark, sf_dir):
+    """Scoring joins the per-prev prediction table (≤ |event types| rows)
+    broadcast — the fact-side pairs never shuffle for the join."""
+    plan = _initial_plan(QUERIES["markov_prediction_audit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_entity_matching_runs_on_vocab_aggregate(spark, sf_dir):
+    """Blocking must self-join the distinct-name AGGREGATE (HashAggregate
+    below the join), never the raw part scan against itself."""
+    plan = _initial_plan(QUERIES["entity_match_pairs"](spark, sf_dir))
+    assert "levenshtein" in plan.lower(), plan
+    join_pos = min(
+        (plan.find(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+         if plan.find(j) >= 0),
+        default=-1,
+    )
+    assert join_pos >= 0, plan
+    assert "HashAggregate" in plan[join_pos:], plan
+
+
+def test_cdc_apply_single_key_shuffle(spark, sf_dir):
+    """Compaction is ONE hash Exchange on the key feeding the window —
+    no joins at all."""
+    plan = _initial_plan(QUERIES["cdc_apply"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, plan
