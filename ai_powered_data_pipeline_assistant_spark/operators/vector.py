@@ -845,3 +845,82 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "embedding_array_stats": embedding_array_stats,
 }
+
+
+# ------------------------------------------------------------- kNN join
+KNN_QUERIES = 8  # vec_id < this = the query batch
+KNN_K = 3
+KNN_SALTS = 8
+
+
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN JOIN: top-K cosine neighbors for EVERY query in a query
+    batch (vs `cosine_topk`'s single query) — the retrieval shape of batch
+    embedding-eval and RAG index validation.
+
+    Scale design: the query batch broadcasts onto the corpus scan (each
+    corpus row scores all |Q| queries in-row — no corpus shuffle), and the
+    grouped top-K is the SALTED TWO-PHASE pattern: phase 1 takes top-K per
+    (query, salt) — KNN_SALTS× more partitions than queries, so no single
+    reducer sees a query's full candidate list; phase 2 reduces the
+    salts×K survivors per query. A naive `Window.partitionBy(q_id)` would
+    funnel the entire corpus through |Q| reducers — the grouped-top-N
+    scale killer. Exact fixed-point cosine (`functions/vector_math`), so
+    the oracle's plain QUALIFY row_number agrees bit-for-bit.
+
+    For |Q| beyond broadcast size, route both sides through the IVF
+    coarse quantizer (`ann_ivf_topk`) instead.
+    """
+    from ai_powered_data_pipeline_assistant_spark.functions.vector_math import (
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= KNN_QUERIES)
+    scored = corpus.crossJoin(broadcast(queries)).select(
+        "q_id",
+        "vec_id",
+        cosine_similarity(F.col("embedding"), F.col("q_vec")).alias("sim"),
+        (F.col("vec_id") % KNN_SALTS).alias("salt"),
+    )
+    w1 = Window.partitionBy("q_id", "salt").orderBy(F.desc("sim"), F.asc("vec_id"))
+    survivors = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KNN_K)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= KNN_K)
+        .select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "sim")
+        .orderBy("q_id", "rank")
+    )
+
+
+QUERIES["knn_join"] = knn_join
+
+ORACLES["knn_join"] = f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec
+        FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+    c AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id >= {KNN_QUERIES}),
+    scored AS (
+        SELECT q_id, c.vec_id,
+               {cosine_similarity_sql('q_vec', 'embedding')} AS sim
+        FROM c CROSS JOIN q)
+    SELECT q_id,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, vec_id ASC) AS BIGINT)
+               AS rank,
+           vec_id, sim
+    FROM scored
+    QUALIFY rank <= {KNN_K}
+    ORDER BY q_id, rank
+"""
