@@ -125,3 +125,97 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "basket_pairs": basket_pairs,
 }
+
+
+REC_TOP_K = 3
+REC_SALTS = 8
+
+
+def item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering head: for every part, the top-K
+    co-purchased parts ranked by lift (ties → higher support, lower id) —
+    the "customers also bought" table, derived entirely from
+    `basket_pairs`'s support/lift frame.
+
+    Scale: the pair frame is already the post-aggregate (bounded by the
+    support floor); both orientations of each pair are derived in-row by a
+    union, and the per-item top-K uses the same salted two-phase pattern
+    as `vector.knn_join` so no single reducer sees a hub item's full
+    candidate list.
+    """
+    pairs = basket_pairs(spark, sf_dir)
+    directed = pairs.select(
+        F.col("a_part").alias("item"),
+        F.col("b_part").alias("rec"),
+        "support",
+        "lift",
+    ).unionByName(
+        pairs.select(
+            F.col("b_part").alias("item"),
+            F.col("a_part").alias("rec"),
+            "support",
+            "lift",
+        )
+    )
+    from pyspark.sql import Window
+
+    salted = directed.withColumn("salt", F.col("rec") % REC_SALTS)
+    w1 = Window.partitionBy("item", "salt").orderBy(
+        F.desc("lift"), F.desc("support"), F.asc("rec")
+    )
+    survivors = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= REC_TOP_K)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("item").orderBy(
+        F.desc("lift"), F.desc("support"), F.asc("rec")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= REC_TOP_K)
+        .select("item", F.col("rank").cast("long").alias("rank"), "rec",
+                "support", "lift")
+        .orderBy("item", "rank")
+    )
+
+
+QUERIES["item_recommendations"] = item_recommendations
+
+ORACLES["item_recommendations"] = f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    capped AS (
+        SELECT * FROM items
+        QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= {MAX_BASKET}),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM capped),
+    sup AS (SELECT l_partkey, count(*) AS s FROM capped GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS a_part, b.l_partkey AS b_part,
+               count(*) AS support
+        FROM capped a JOIN capped b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_SUPPORT}),
+    scored AS (
+        SELECT a_part, b_part, support,
+               round(support * n_baskets / CAST(sa.s * sb.s AS DOUBLE), 6)
+                   AS lift
+        FROM pairs
+        JOIN sup sa ON sa.l_partkey = a_part
+        JOIN sup sb ON sb.l_partkey = b_part
+        CROSS JOIN nb),
+    directed AS (
+        SELECT a_part AS item, b_part AS rec, support, lift FROM scored
+        UNION ALL
+        SELECT b_part, a_part, support, lift FROM scored)
+    SELECT item,
+           CAST(row_number() OVER (PARTITION BY item
+                                   ORDER BY lift DESC, support DESC, rec ASC)
+                AS BIGINT) AS rank,
+           rec, support, lift
+    FROM directed
+    QUALIFY rank <= {REC_TOP_K}
+    ORDER BY item, rank
+"""
