@@ -626,3 +626,84 @@ QUERIES = {
     "rate_window_counts": rate_window_counts,
     "tpch_q1": tpch_q1,
 }
+
+
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of `value` per event type (weight = the
+    `props.k` metadata field + 1) — a custom grouped aggregate Spark has no
+    builtin for, implemented with Arrow-batched ``applyInPandas`` (the
+    §2.10 UDAF escape hatch, numpy-vectorized inside each group).
+
+    Median rule: values sort by (cents, event_id); the median is the first
+    row whose doubled cumulative weight reaches the group total — integer
+    arithmetic end to end, so the pandas path and the oracle's
+    window-cumsum SQL agree exactly.
+
+    Scale: ONE hash shuffle on the group key; per-group work is a sort +
+    cumsum in Arrow memory. Groups must fit an executor (event-type groups
+    are corpus-sized shards — for huge groups switch to the two-phase
+    bucketed prefix-sum (`user_activity_pareto`) which computes the same
+    rank selection without materializing a group)."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.get_json_object("props", "$.k").cast("long") + 1).alias("w"),
+    )
+
+    def _wm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cents", "event_id"], ignore_index=True)
+        total = int(pdf["w"].sum())
+        cum = pdf["w"].cumsum()
+        med = int(pdf.loc[(cum * 2 >= total).idxmax(), "cents"])
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iat[0]],
+                "n_events": [len(pdf)],
+                "total_w": [total],
+                "weighted_median": [med / 100.0],
+            }
+        )
+
+    return (
+        base.groupBy("event_type")
+        .applyInPandas(
+            _wm,
+            schema="event_type string, n_events long, total_w long, "
+            "weighted_median double",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["weighted_median"] = weighted_median
+
+ORACLES["weighted_median"] = """
+    WITH base AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS w
+        FROM events),
+    tot AS (
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(w) AS BIGINT) AS total_w
+        FROM base GROUP BY 1),
+    c AS (
+        SELECT event_type, cents,
+               CAST(sum(w) OVER (PARTITION BY event_type
+                                 ORDER BY cents, event_id) AS BIGINT) AS cw
+        FROM base),
+    hit AS (
+        SELECT c.event_type, c.cents
+        FROM c JOIN tot USING (event_type)
+        WHERE 2 * c.cw >= tot.total_w
+        QUALIFY row_number() OVER (PARTITION BY c.event_type
+                                   ORDER BY c.cents) = 1)
+    SELECT t.event_type, t.n_events, t.total_w,
+           round(h.cents / 100.0, 2) AS weighted_median
+    FROM tot t JOIN hit h USING (event_type)
+    ORDER BY t.event_type
+"""

@@ -223,3 +223,45 @@ QUERIES = {
     "column_profile": column_profile,
     "docs_profile": docs_profile,
 }
+
+
+def plan_shuffle_census(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> DataFrame:
+    """Shuffle census over the registered query surface: build every
+    query's PHYSICAL plan (never executed) and count its Exchanges, join
+    strategies, and cartesian products — the fleet-wide cost profile a
+    platform team reviews before promoting a query library to a shared
+    100 TB cluster. Library/CI surface (plans are engine-specific, so this
+    is not an oracle-checkable registry query); the repo-wide exchange
+    budget is enforced in tests/test_plans.py.
+    """
+    from ai_powered_data_pipeline_assistant_spark.registry import all_queries
+
+    rows = []
+    for name, fn in sorted(all_queries().items()):
+        if names is not None and name not in names:
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — census must cover the rest
+            rows.append((name, -1, -1, -1, -1, str(exc)[:120]))
+            continue
+        rows.append(
+            (
+                name,
+                plan.count("Exchange hashpartitioning")
+                + plan.count("Exchange rangepartitioning")
+                + plan.count("Exchange SinglePartition"),
+                plan.count("BroadcastHashJoin")
+                + plan.count("BroadcastNestedLoopJoin"),
+                plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin"),
+                plan.count("CartesianProduct"),
+                None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "query string, n_exchanges int, n_broadcast_joins int, "
+        "n_shuffle_joins int, n_cartesian int, error string",
+    )

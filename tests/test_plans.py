@@ -330,3 +330,23 @@ def test_cdc_apply_single_key_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert j not in plan, plan
+
+
+def test_plan_shuffle_census_within_budget(spark, sf_dir):
+    """Fleet-wide plan budget: every registered query must build a physical
+    plan with no cartesian products and a bounded Exchange count — the
+    regression gate for accidentally quadratic or shuffle-happy rewrites.
+    (The most exchange-heavy queries are multi-method comparison REPORTS —
+    dedup_method_report runs four dedup strategies — and the unrolled
+    3-iteration PageRank DAG; 30 is headroom above today's max of 27.)"""
+    from ai_powered_data_pipeline_assistant_spark.operators.diagnostics import (
+        plan_shuffle_census,
+    )
+
+    rows = plan_shuffle_census(spark, sf_dir).collect()
+    errors = [r["query"] for r in rows if r["error"]]
+    assert not errors, errors
+    cart = [r["query"] for r in rows if r["n_cartesian"] > 0]
+    assert not cart, cart
+    heavy = [(r["query"], r["n_exchanges"]) for r in rows if r["n_exchanges"] > 30]
+    assert not heavy, heavy
