@@ -1034,3 +1034,67 @@ ORACLES["doc_duplication_share"] = f"""
     GROUP BY p.doc_id
     ORDER BY p.doc_id
 """
+
+
+LSH_PLAN_CANDIDATES = ((2, 8), (4, 4), (8, 2), (16, 1))  # (bands, rows/band)
+LSH_PLAN_SIMS = (0.3, 0.5, 0.7, 0.9)
+
+
+def lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding planner: for each candidate (bands b, rows-per-band r)
+    split of the 16-permutation signature, the S-curve candidate
+    probability P(s) = 1 − (1 − s^r)^b at reference similarities, and the
+    curve's threshold s* = (1/b)^(1/r) — the table that justifies the
+    configured (N_BANDS, ROWS_PER_BAND) for JACCARD_THRESHOLD and shows
+    the recall/candidate-volume tradeoff of retuning. Pure closed-form
+    arithmetic over a literal grid (no data read; both engines evaluate
+    the identical IEEE expression), emitted as a DataFrame so the planner
+    is queryable/joinable like everything else.
+    """
+    rows = [(b, r) for b, r in LSH_PLAN_CANDIDATES]
+    grid = spark.createDataFrame(rows, "bands int, rows_per_band int")
+    s_star = F.pow(F.lit(1.0) / F.col("bands"), F.lit(1.0) / F.col("rows_per_band"))
+    cols = [
+        F.round(
+            F.lit(1.0)
+            - F.pow(
+                F.lit(1.0) - F.pow(F.lit(s), F.col("rows_per_band")),
+                F.col("bands"),
+            ),
+            6,
+        ).alias(f"p_at_{str(s).replace('.', '_')}")
+        for s in LSH_PLAN_SIMS
+    ]
+    return grid.select(
+        "bands",
+        "rows_per_band",
+        F.round(s_star, 6).alias("s_threshold"),
+        *cols,
+        ((F.col("bands") == N_BANDS) & (F.col("rows_per_band") == ROWS_PER_BAND)).alias(
+            "configured"
+        ),
+    ).orderBy("bands")
+
+
+QUERIES["lsh_parameter_plan"] = lsh_parameter_plan
+
+
+def _lsh_plan_oracle() -> str:
+    rows = ", ".join(f"({b}, {r})" for b, r in LSH_PLAN_CANDIDATES)
+    p_cols = ", ".join(
+        f"round(1.0 - pow(1.0 - pow({s}, rows_per_band), bands), 6)"
+        f" AS p_at_{str(s).replace('.', '_')}"
+        for s in LSH_PLAN_SIMS
+    )
+    return f"""
+        SELECT bands, rows_per_band,
+               round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s_threshold,
+               {p_cols},
+               bands = {N_BANDS} AND rows_per_band = {ROWS_PER_BAND}
+                   AS configured
+        FROM (VALUES {rows}) AS t(bands, rows_per_band)
+        ORDER BY bands
+    """
+
+
+ORACLES["lsh_parameter_plan"] = _lsh_plan_oracle()

@@ -1,0 +1,69 @@
+"""Scaling probe: time representative queries at two scale factors and
+report the runtime ratio vs the 10× data ratio — the local evidence that a
+plan's cost grows (sub)linearly with input, i.e. that the same shape
+survives a 100× cluster scale-up.
+
+Usage: python scripts/scaling_probe.py [small_sf_dir big_sf_dir]
+Prints one markdown table row per query: t_small, t_big (best-of-3 each),
+and the ratio. Ratios well under the 10× data ratio mean fixed overheads
+dominate locally; ratios near 10× are linear; anything far above flags a
+superlinear plan.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from ai_powered_data_pipeline_assistant_spark.registry import all_queries  # noqa: E402
+from ai_powered_data_pipeline_assistant_spark.session import get_spark  # noqa: E402
+
+PROBES = [
+    "tpch_q1",            # scan-heavy aggregate
+    "tpch_q9",            # multi-join
+    "minhash_lsh_pairs",  # shingle/LSH dedup
+    "ngram_jaccard_pairs",  # capped postings self-join
+    "sessionize",         # key-window
+    "funnel_counts",      # conditional-min groupBy
+    "basket_pairs",       # in-row pair explode
+    "knn_join",           # broadcast batch + salted top-k
+    "cosine_topk",        # TakeOrdered scan
+    "curate_corpus",      # composed gates
+]
+
+
+def best_of(fn, n=3) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    # warm shared infra (JVM, parquet stack, python workers)
+    spark.range(1000).count()
+    for sf in (small, big):
+        qs["tpch_q1"](spark, sf).count()
+
+    print("| query | t_sf0.01 (s) | t_sf0.1 (s) | ratio (data=10x) |")
+    print("|---|---|---|---|")
+    for name in PROBES:
+        t_small = best_of(lambda: qs[name](spark, small).count())
+        t_big = best_of(lambda: qs[name](spark, big).count())
+        print(
+            f"| {name} | {t_small:.3f} | {t_big:.3f} | "
+            f"{t_big / t_small:.2f}x |"
+        )
+
+
+if __name__ == "__main__":
+    main()
