@@ -153,3 +153,20 @@ def run_job_stream(requests_stream: DataFrame, kb: DataFrame, out_path: str, che
         .start()
     )
 
+
+
+def observed_ingest(df: DataFrame, name: str = "ingest_metrics") -> DataFrame:
+    """Attach Spark's native `observe` metrics to an ingest frame: row
+    count, null-text count, and total bytes-ish volume are accumulated BY
+    THE EXISTING JOB (no second scan, unlike a separate quality query) and
+    surface in each StreamingQueryProgress (streams) or via
+    QueryExecutionListener (batch) — the reference's monitoring counters
+    (reference backend/core/monitoring.py:28-66) as a zero-cost plan
+    annotation.
+    """
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.sum(F.length("text")).alias("chars"),
+    )

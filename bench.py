@@ -77,6 +77,11 @@ HEADLINE = [
     "cdc_apply",
     "ab_test_report",
     "centroid_label_accuracy",
+    "knn_join",
+    "item_recommendations",
+    "weighted_median",
+    "rfm_segments",
+    "zorder_pruning_audit",
 ]
 
 # The round-1 headline set, unchanged since: its sub-total is reported as

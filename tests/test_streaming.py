@@ -378,3 +378,32 @@ def test_idempotent_append_replay_safe(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == 20
     assert result.select("batch_id").distinct().count() == 2
+
+
+def test_observed_ingest_metrics_in_progress(spark, sf_dir, tmp_path):
+    """`observe` metrics must ride the streaming job itself and appear in
+    StreamingQueryProgress.observedMetrics — no extra scan or query."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import observed_ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "obs_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    observed = observed_ingest(stream)
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    metrics = None
+    for p in q.recentProgress:
+        om = p.get("observedMetrics") if isinstance(p, dict) else p["observedMetrics"]
+        if om and "ingest_metrics" in om:
+            metrics = om["ingest_metrics"]
+    assert metrics is not None, "no observed metrics in any progress event"
+    want = docs.count()
+    assert metrics["rows"] == want
+    assert metrics["null_text"] == 0
+    assert metrics["chars"] > 0
