@@ -390,3 +390,46 @@ def cdc_latest_state(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------- transformWithState (4.x)
+def running_type_counter(events: DataFrame) -> DataFrame:
+    """Cumulative per-event-type counter on the NEW Spark 4
+    ``transformWithStateInPandas`` API (the successor to
+    applyInPandasWithState: typed state handles — value/list/map — plus
+    timers, instead of a single tuple blob). State is one int64 ValueState
+    per key; each micro-batch emits the running total, so the latest row
+    per key equals the batch groupBy count over everything ingested —
+    pinned in tests across multi-batch ingestion (skipped where the
+    sandbox's protobuf install is broken — transformWithState's state
+    server speaks protobuf; the applyInPandasWithState operators above are
+    the env-independent fallback with identical semantics).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            n = sum(len(pdf) for pdf in rows)
+            prev = self._count.get()[0] if self._count.exists() else 0
+            total = prev + n
+            self._count.update((total,))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "total_events": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=_Counter(),
+        outputStructType="event_type string, total_events long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -174,3 +174,60 @@ def test_cdc_latest_state_matches_batch(spark, sf_dir, tmp_path):
         for r in cdc_apply(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_transform_with_state_running_counter(spark, sf_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas: the running counter's LAST
+    emission per key across multi-batch ingestion must equal the batch
+    groupBy count of everything ingested.
+
+    The transformWithState state-server protocol needs a working protobuf
+    install; this container ships a broken google.protobuf (no
+    descriptor), so the test skips there (the applyInPandasWithState
+    operators above cover the same semantics on this environment)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+    from ai_powered_data_pipeline_assistant_spark.streaming.stateful import (
+        running_type_counter,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    src = str(tmp_path / "tws_src")
+    # two files + maxFilesPerTrigger=1 → state must carry across batches
+    events.filter("event_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(src)
+    events.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_type_counter(stream)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_counter")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # last emission per key (update mode may emit once per batch)
+    import collections
+
+    latest: dict = collections.OrderedDict()
+    for r in spark.sql("SELECT * FROM tws_counter").collect():
+        latest[r["event_type"]] = max(
+            latest.get(r["event_type"], 0), r["total_events"]
+        )
+    want = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert latest == want
