@@ -1219,3 +1219,46 @@ QUERIES = {
     "monthly_revenue_yoy": monthly_revenue_yoy,
     "discount_effectiveness": discount_effectiveness,
 }
+
+
+LATERAL_CUST_MOD = 100
+LATERAL_TOP_N = 2
+
+
+def lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:2016 / Spark 3.2+): the newest
+    LATERAL_TOP_N orders for each sampled customer, expressed exactly as a
+    user would write it against the SQL surface — the per-row-subquery
+    shape that decorrelates into a ranked window join under Catalyst
+    (same result as the `top_docs_per_lang` grouped-top-N pattern, but
+    arriving via the SQL front door).
+    """
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(f"""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey
+                 LIMIT {LATERAL_TOP_N}) t
+        WHERE c.c_custkey % {LATERAL_CUST_MOD} = 0
+        ORDER BY c.c_custkey, t.o_orderkey
+    """)
+
+
+QUERIES["lateral_topn_per_customer"] = lateral_topn_per_customer
+
+ORACLES["lateral_topn_per_customer"] = f"""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice
+             FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_orderdate DESC, o_orderkey
+             LIMIT {LATERAL_TOP_N}) t
+    WHERE c.c_custkey % {LATERAL_CUST_MOD} = 0
+    ORDER BY c.c_custkey, t.o_orderkey
+"""
