@@ -103,32 +103,24 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
     if prev is None:  # no edges → no clustered nodes
         return labels
     for rnd in range(max_rounds):
-        nbr_min = (
-            sym.join(
+        # ONE join + ONE groupBy per round: the pointer-doubling hop is an
+        # extra DYNAMIC edge u → label(u) unioned into the neighbor list,
+        # so min over {label(nbr) : nbr ∈ N(u) ∪ {label(u)}} covers both
+        # neighbor propagation AND label(label(u)) in the same pass. The
+        # node's own label needs no separate join: the ptr edge is always
+        # present and label(label(u)) ≤ label(u) (labels start as node ids
+        # and only take node-id minima), so the min already dominates it.
+        ptr = labels.select("node", F.col("label").alias("nbr"))
+        new_labels = (
+            sym.union(ptr)
+            .join(
                 labels.select(
                     F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
                 ),
                 "nbr",
             )
             .groupBy("node")
-            .agg(F.min("nbr_label").alias("nbr_label"))
-        )
-        # label(label(u)): every label value is itself a node in `labels`
-        # (labels start as node ids and only ever take node-id minima)
-        hop = labels.select(
-            F.col("node").alias("label"), F.col("label").alias("hop_label")
-        )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .join(hop, "label", "left")
-            .select(
-                "node",
-                F.least(
-                    "label",
-                    F.coalesce("nbr_label", F.col("label")),
-                    F.coalesce("hop_label", F.col("label")),
-                ).alias("label"),
-            )
+            .agg(F.min("nbr_label").alias("label"))
             # lazy: materialized by the convergence sum right below —
             # one job per round instead of two
             .localCheckpoint(eager=False)
