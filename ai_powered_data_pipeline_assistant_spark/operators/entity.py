@@ -167,3 +167,71 @@ QUERIES = {
     "entity_match_pairs": entity_match_pairs,
     "entity_clusters": entity_clusters,
 }
+
+
+def entity_canonical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff query of entity resolution: revenue rolled up by
+    CANONICAL entity, so spelling variants ("old anvil"/"cold anvil")
+    stop fragmenting the analytics. lineitem joins part on the part key,
+    part maps to its canonical family through the (broadcast-sized)
+    cluster table, and revenue accumulates as integer cents.
+
+    Scale: the only fact-table work is one broadcast join (part dim) and
+    one map-side-combined groupBy; the cluster mapping is vocabulary-sized.
+    """
+    parts = load_table(spark, sf_dir, "part")
+    items = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    clusters = entity_clusters(spark, sf_dir).select("p_name", "canonical_name")
+    mapping = parts.select("p_partkey", "p_name").join(
+        F.broadcast(clusters), "p_name"
+    )
+    return (
+        items.join(
+            F.broadcast(
+                mapping.select(
+                    F.col("p_partkey").alias("l_partkey"), "canonical_name"
+                )
+            ),
+            "l_partkey",
+        )
+        .groupBy("canonical_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("canonical_name")
+    )
+
+
+QUERIES["entity_canonical_rollup"] = entity_canonical_rollup
+
+ORACLES["entity_canonical_rollup"] = f"""
+    WITH RECURSIVE {_VOCAB_CTE.strip()},
+    edges AS (SELECT a_id AS src, b_id AS dst FROM matched
+              UNION ALL
+              SELECT b_id, a_id FROM matched),
+    reach(src, dst) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS entity_id, min(dst) AS cluster_id
+             FROM reach GROUP BY 1),
+    assigned AS (
+        SELECT v.p_name, coalesce(c.cluster_id, v.entity_id) AS cluster_id
+        FROM vocab v LEFT JOIN comp c USING (entity_id)),
+    mapping AS (
+        SELECT p.p_partkey, canon.p_name AS canonical_name
+        FROM part p
+        JOIN assigned a ON a.p_name = p.p_name
+        JOIN vocab canon ON canon.entity_id = a.cluster_id)
+    SELECT m.canonical_name,
+           count(*) AS n_lineitems,
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) / 100.0, 2) AS revenue
+    FROM lineitem l JOIN mapping m ON m.p_partkey = l.l_partkey
+    GROUP BY 1
+    ORDER BY 1
+"""
