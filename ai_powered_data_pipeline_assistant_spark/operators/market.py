@@ -144,19 +144,22 @@ def item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate list.
     """
     pairs = basket_pairs(spark, sf_dir)
+    # both orientations via ONE in-row explode — a union of two selects
+    # would evaluate the whole basket pipeline twice
     directed = pairs.select(
-        F.col("a_part").alias("item"),
-        F.col("b_part").alias("rec"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_part").alias("item"), F.col("b_part").alias("rec")
+                ),
+                F.struct(
+                    F.col("b_part").alias("item"), F.col("a_part").alias("rec")
+                ),
+            )
+        ).alias("p"),
         "support",
         "lift",
-    ).unionByName(
-        pairs.select(
-            F.col("b_part").alias("item"),
-            F.col("a_part").alias("rec"),
-            "support",
-            "lift",
-        )
-    )
+    ).select("p.item", "p.rec", "support", "lift")
     from pyspark.sql import Window
 
     salted = directed.withColumn("salt", F.col("rec") % REC_SALTS)
