@@ -138,3 +138,62 @@ QUERIES = {
     "error_extract": error_extract,
     "safe_reciprocal": safe_reciprocal,
 }
+
+
+def arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy Arrow-native scan stage (``mapInArrow``): per-document
+    byte length and ASCII share computed directly on Arrow RecordBatches —
+    the lowest-overhead Python hook Spark offers (no pandas conversion at
+    all, unlike mapInPandas; the batch's buffers are read in place). The
+    shape a high-throughput byte-level filter (magic-number sniffing,
+    encoding detection) takes when even the pandas bridge is too much.
+
+    Oracle-exact: pure integer byte math (UTF-8 encode, count < 0x80).
+    """
+    import pyarrow as pa
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
+
+    def batches(it):
+        for rb in it:
+            texts = rb.column(1).to_pylist()
+            raw = [t.encode("utf-8") if t is not None else b"" for t in texts]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    pa.array([len(b) for b in raw], pa.int64()),
+                    pa.array(
+                        [sum(1 for byte in b if byte < 0x80) for b in raw],
+                        pa.int64(),
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "n_ascii"],
+            )
+
+    out = docs.mapInArrow(batches, schema="doc_id long, n_bytes long, n_ascii long")
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "n_ascii",
+        F.round(F.col("n_ascii") / F.col("n_bytes").cast("double"), 6).alias(
+            "ascii_share"
+        ),
+    ).orderBy("doc_id")
+
+
+QUERIES["arrow_byte_stats"] = arrow_byte_stats
+
+ORACLES["arrow_byte_stats"] = """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+                AS BIGINT) AS n_ascii,
+           round(CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+                      AS BIGINT)
+                 / CAST(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+                        AS DOUBLE), 6) AS ascii_share
+    FROM documents
+    ORDER BY doc_id
+"""
