@@ -421,3 +421,147 @@ ORACLES["collocation_pmi"] = rf"""
           ORDER BY pmi DESC, w1, w2 LIMIT 30)
     ORDER BY pmi DESC, w1, w2
 """
+
+
+# ---------------------------------------------------------------------------
+# Held-out LM evaluation
+# ---------------------------------------------------------------------------
+
+PPL_TRAIN_PCT = 80
+
+
+def heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM evaluation: train the add-one bigram LM on a
+    deterministic 80% hash split, score the 20% held-out documents, and
+    report per-language mean NLL and perplexity — the eval loop behind
+    every "did more/cleaner data help?" curation decision, and the honest
+    version of `bigram_logprob` (which trains and scores on the same
+    corpus).
+
+    Unseen-event handling: a test bigram absent from training backs off to
+    add-one mass ln(1/(c1+V)); an unseen history word scores ln(1/V) —
+    all via coalesce(0) on left joins against the train counts, identical
+    in the oracle. Per-row log-probs are int64-scaled before the document
+    sums (order-free exact); only the per-language averaging of identical
+    doubles happens in floating point, displayed at 6 dp.
+
+    Scale: train counts are two map-side-combined groupBys on the (pruned)
+    train side; test pairs join them on (w1,w2)/(w1) hash keys. The
+    vocabulary-size and split constants broadcast.
+    """
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import md5_int
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    is_train = md5_int(F.col("doc_id").cast("string")) % 100 < PPL_TRAIN_PCT
+    base = docs.select(
+        "doc_id", "lang", toks.alias("t"), is_train.alias("is_train")
+    ).filter(F.size("t") >= 2)
+
+    def pairs_of(df):
+        return df.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        ).select("doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    train = base.filter("is_train")
+    test = base.filter("NOT is_train")
+    uni = (
+        train.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    vsize = uni.agg(F.count("*").alias("v"))
+    big = pairs_of(train).groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    scored = (
+        pairs_of(test)
+        .join(big, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("tok", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce("c12", F.lit(0)) + 1)
+                    / (F.coalesce("c1", F.lit(0)) + F.col("v")).cast("double")
+                )
+                * LP_SCALE,
+                0,
+            )
+            .cast("long")
+            .alias("lp_int"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.sum("lp_int").alias("sum_lp"), F.count("*").alias("n")
+    ).select(
+        "lang",
+        (-(F.col("sum_lp") / F.lit(float(LP_SCALE))) / F.col("n")).alias("nll"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_test_docs"),
+            F.round(F.avg("nll"), 6).alias("mean_nll"),
+            F.round(F.exp(F.avg("nll")), 2).alias("perplexity"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["heldout_perplexity"] = heldout_perplexity
+
+
+def _heldout_ppl_oracle() -> str:
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import md5_int_sql
+
+    split = f"{md5_int_sql('CAST(doc_id AS VARCHAR)')} % 100 < {PPL_TRAIN_PCT}"
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+                   {split} AS is_train
+            FROM documents
+            WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2),
+        train_pairs AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+            WHERE is_train),
+        test_pairs AS (
+            SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+            WHERE NOT is_train),
+        uni AS (
+            SELECT tok, count(*) AS c1 FROM (
+                SELECT unnest(t) AS tok FROM toks WHERE is_train) GROUP BY 1),
+        vsize AS (SELECT count(*) AS v FROM uni),
+        big AS (SELECT w1, w2, count(*) AS c12 FROM train_pairs GROUP BY 1, 2),
+        scored AS (
+            SELECT tp.doc_id, tp.lang,
+                   CAST(round(ln((coalesce(b.c12, 0) + 1)
+                                 / CAST(coalesce(u.c1, 0) + v AS DOUBLE))
+                              * {LP_SCALE}, 0) AS BIGINT) AS lp_int
+            FROM test_pairs tp
+            LEFT JOIN big b ON b.w1 = tp.w1 AND b.w2 = tp.w2
+            LEFT JOIN uni u ON u.tok = tp.w1
+            CROSS JOIN vsize),
+        per_doc AS (
+            SELECT doc_id, lang,
+                   -(CAST(sum(lp_int) AS BIGINT) / {LP_SCALE}.0) / count(*)
+                       AS nll
+            FROM scored GROUP BY 1, 2)
+        SELECT lang, count(*) AS n_test_docs,
+               round(avg(nll), 6) AS mean_nll,
+               round(exp(avg(nll)), 2) AS perplexity
+        FROM per_doc GROUP BY 1 ORDER BY 1
+    """
+
+
+ORACLES["heldout_perplexity"] = _heldout_ppl_oracle()
