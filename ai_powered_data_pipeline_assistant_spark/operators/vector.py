@@ -924,3 +924,70 @@ ORACLES["knn_join"] = f"""
     QUALIFY rank <= {KNN_K}
     ORDER BY q_id, rank
 """
+
+
+DECON_EVAL_MOD = 10  # vec_id % 10 == 0 → the eval/benchmark set
+DECON_COS = 0.35  # top ~0.1% of the synthetic cosine mass (same-label tail)
+
+
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: flag corpus vectors whose cosine to ANY
+    eval-set vector reaches DECON_COS — the embedding-space sibling of the
+    n-gram `decontaminate` (paraphrased eval leakage that shingle overlap
+    misses). Returns each contaminated corpus vector with its closest eval
+    vector and similarity.
+
+    Scale: the EVAL side broadcasts (benchmarks are small by nature; same
+    broadcast rule as `decontaminate`), so the corpus scores in-row with
+    no shuffle of the vectors; the per-corpus-vector max rides the same
+    narrow projection. For eval sets beyond broadcast size, the sign-bit
+    LSH bands of `embedding_neardup_lsh` are the candidate-generation
+    path. Exact fixed-point cosine → bit-exact oracle.
+    """
+    from ai_powered_data_pipeline_assistant_spark.functions.vector_math import (
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    ev = emb.filter(F.col("vec_id") % DECON_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") % DECON_EVAL_MOD != 0)
+    scored = corpus.crossJoin(broadcast(ev)).select(
+        "vec_id",
+        "eval_id",
+        cosine_similarity(F.col("embedding"), F.col("e_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("eval_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("cos") >= DECON_COS))
+        .select("vec_id", F.col("eval_id").alias("closest_eval_id"), "cos")
+        .orderBy("vec_id")
+    )
+
+
+QUERIES["semantic_decontaminate"] = semantic_decontaminate
+
+ORACLES["semantic_decontaminate"] = f"""
+    WITH ev AS (
+        SELECT vec_id AS eval_id, embedding AS e_vec
+        FROM embeddings WHERE vec_id % {DECON_EVAL_MOD} = 0),
+    corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % {DECON_EVAL_MOD} <> 0),
+    scored AS (
+        SELECT vec_id, eval_id,
+               {cosine_similarity_sql('embedding', 'e_vec')} AS cos
+        FROM corpus CROSS JOIN ev),
+    best AS (
+        SELECT vec_id, eval_id AS closest_eval_id, cos
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, eval_id ASC) = 1)
+    SELECT vec_id, closest_eval_id, cos
+    FROM best WHERE cos >= {DECON_COS}
+    ORDER BY vec_id
+"""
