@@ -197,3 +197,95 @@ QUERIES = {
     "curate_corpus": curate_corpus,
     "curation_funnel": curation_funnel,
 }
+
+
+def curation_dropped_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document drop attribution for the curation pipeline: every doc
+    labeled with the FIRST stage that rejected it (lang / quality /
+    exact_dup / near_dup) or 'kept' — the lineage view a data-ops team
+    pulls when a producer asks "why did my documents disappear?".
+    `curation_funnel` gives the counts; this gives the receipts.
+
+    Same plan pieces as `curate_corpus` (shared scan for the gates, one
+    content-hash shuffle, the banded-LSH drop set joined back left), plus
+    one left join to attach the near-dup verdict — attribution costs one
+    broadcast join over the pipeline it audits.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    flagged = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.col("lang").isin(*ALLOWED_LANGS).alias("lang_ok"),
+        (quality_expr() >= MIN_QUALITY).alias("quality_ok"),
+    )
+    # gate-failed rows must NOT occupy ranks inside a hash group (a failed
+    # doc with a lower id would otherwise make its surviving twin look
+    # like an exact_dup) → the gate condition lives in the partition key
+    w = Window.partitionBy(
+        F.when(F.col("lang_ok") & F.col("quality_ok"), F.sha2("text", 256))
+    ).orderBy("doc_id")
+    ranked = flagged.withColumn(
+        "_rn",
+        F.when(
+            F.col("lang_ok") & F.col("quality_ok"), F.row_number().over(w)
+        ),
+    )
+    kept = ranked.filter(F.col("_rn") == 1).select("doc_id", "text").persist()
+    drops = (
+        minhash_lsh_pairs_for(kept, threshold=JACCARD_THRESHOLD)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    status = (
+        F.when(~F.col("lang_ok"), F.lit("lang"))
+        .when(~F.col("quality_ok"), F.lit("quality"))
+        .when(F.col("_rn") > 1, F.lit("exact_dup"))
+        .when(F.col("near_dup"), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        ranked.join(F.broadcast(drops), "doc_id", "left")
+        .select("doc_id", "lang", status.alias("dropped_by"))
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["curation_dropped_audit"] = curation_dropped_audit
+
+
+def _dropped_audit_sql() -> str:
+    langs = ", ".join(f"'{l}'" for l in ALLOWED_LANGS)
+    return f"""
+        WITH flagged AS (
+            SELECT doc_id, lang, text,
+                   lang IN ({langs}) AS lang_ok,
+                   {QUALITY_SQL} >= {MIN_QUALITY} AS quality_ok
+            FROM documents),
+        ranked AS (
+            SELECT *, CASE WHEN lang_ok AND quality_ok THEN
+                       row_number() OVER (
+                           PARTITION BY CASE WHEN lang_ok AND quality_ok
+                                             THEN sha256(text) END
+                           ORDER BY doc_id) END AS rn
+            FROM flagged),
+        kept AS (SELECT doc_id, text FROM ranked WHERE rn = 1),
+        {minhash_lsh_cte("kept")},
+        drops AS (
+            SELECT DISTINCT p.b_id AS doc_id
+            FROM candidates c JOIN pairs p
+                 ON c.a_id = p.a_id AND c.b_id = p.b_id
+            WHERE p.jaccard >= {JACCARD_THRESHOLD})
+        SELECT r.doc_id, r.lang,
+               CASE WHEN NOT r.lang_ok THEN 'lang'
+                    WHEN NOT r.quality_ok THEN 'quality'
+                    WHEN r.rn > 1 THEN 'exact_dup'
+                    WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'kept' END AS dropped_by
+        FROM ranked r LEFT JOIN drops d USING (doc_id)
+        ORDER BY r.doc_id
+    """
+
+
+ORACLES["curation_dropped_audit"] = _dropped_audit_sql()
