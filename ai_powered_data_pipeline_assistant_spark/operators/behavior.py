@@ -1355,3 +1355,87 @@ def _ab_funnel_oracle() -> str:
 
 
 ORACLES["ab_funnel_report"] = _ab_funnel_oracle()
+
+
+def wow_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis for the latest week-over-week volume change:
+    per (event_type) segment, its event-count delta between the last two
+    FULL weeks and the share of the total delta it explains — the
+    "what drove the drop?" decomposition that turns a paging alert
+    (`weekly_change_alerts`) into a diagnosis.
+
+    Integer week indexes (same WEEK_EPOCH convention as
+    `cohort_retention`); the two-week window is derived from a broadcast
+    1-row max-week aggregate; everything else is one map-side-combined
+    groupBy and arithmetic on a ≤ |types| frame.
+    """
+    events = load_table(spark, sf_dir, "events")
+    week = (
+        F.datediff(F.to_date("ts"), F.lit(WEEK_EPOCH)).cast("long") / 7
+    ).cast("long")
+    weekly = (
+        events.select(F.col("event_type"), week.alias("week"))
+        .groupBy("event_type", "week")
+        .agg(F.count("*").alias("cnt"))
+    )
+    latest = weekly.agg(F.max("week").alias("wk"))
+    two = weekly.join(F.broadcast(latest), on=F.expr("week IN (wk, wk - 1)")).select(
+        "event_type",
+        F.when(F.col("week") == F.col("wk"), F.lit("cur"))
+        .otherwise(F.lit("prev"))
+        .alias("which"),
+        "cnt",
+    )
+    wide = (
+        two.groupBy("event_type")
+        .pivot("which", ["prev", "cur"])
+        .sum("cnt")
+        .select(
+            "event_type",
+            F.coalesce("prev", F.lit(0)).alias("prev_cnt"),
+            F.coalesce("cur", F.lit(0)).alias("cur_cnt"),
+        )
+    )
+    total_w = Window.partitionBy()
+    delta = F.col("cur_cnt") - F.col("prev_cnt")
+    total_delta = F.sum(delta).over(total_w)
+    return wide.select(
+        "event_type",
+        "prev_cnt",
+        "cur_cnt",
+        delta.alias("delta"),
+        F.when(
+            total_delta != 0,
+            F.round(delta / total_delta.cast("double"), 6),
+        ).alias("share_of_change"),
+    ).orderBy("event_type")
+
+
+QUERIES["wow_contribution"] = wow_contribution
+
+ORACLES["wow_contribution"] = f"""
+    WITH weekly AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '{WEEK_EPOCH}', CAST(ts AS DATE))
+                    // 7 AS BIGINT) AS week,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+    latest AS (SELECT max(week) AS wk FROM weekly),
+    wide AS (
+        SELECT event_type,
+               CAST(coalesce(sum(CASE WHEN week = wk - 1 THEN cnt END), 0)
+                    AS BIGINT) AS prev_cnt,
+               CAST(coalesce(sum(CASE WHEN week = wk THEN cnt END), 0)
+                    AS BIGINT) AS cur_cnt
+        FROM weekly CROSS JOIN latest
+        WHERE week IN (wk, wk - 1)
+        GROUP BY 1)
+    SELECT event_type, prev_cnt, cur_cnt,
+           cur_cnt - prev_cnt AS delta,
+           CASE WHEN CAST(sum(cur_cnt - prev_cnt) OVER () AS BIGINT) <> 0
+                THEN round((cur_cnt - prev_cnt)
+                           / CAST(CAST(sum(cur_cnt - prev_cnt) OVER ()
+                                       AS BIGINT) AS DOUBLE), 6)
+           END AS share_of_change
+    FROM wide ORDER BY event_type
+"""
