@@ -554,3 +554,73 @@ ORACLES["rfm_segments"] = f"""
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3
 """
+
+
+WATERMARK_CANDIDATES = (0, 60, 300, 1800)  # seconds
+
+
+def watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark tuning report: replay the events table in ARRIVAL order
+    (event_id), measure each event's lateness vs the running event-time
+    high-water mark, and report what share of events each candidate
+    watermark delay would drop — the analysis run before choosing
+    `withWatermark` for a production stream (too tight silently drops
+    data; too loose bloats state).
+
+    Lateness is integer seconds off one global running max (arrival-order
+    window). At 100 TB the running max moves to the two-phase bucketed
+    prefix pattern (`user_activity_pareto`); the candidate evaluation is
+    a fixed-width conditional aggregate either way.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id", F.unix_timestamp("ts").alias("es")
+    )
+    w = Window.partitionBy().orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    late = base.select(
+        (F.max("es").over(w) - F.col("es")).alias("late_s")
+    )
+    aggs = []
+    for wm in WATERMARK_CANDIDATES:
+        aggs.append(
+            F.sum(F.when(F.col("late_s") > wm, 1).otherwise(0)).alias(f"d{wm}")
+        )
+    totals = late.agg(F.count("*").alias("n"), *aggs)
+    rows = []
+    for wm in WATERMARK_CANDIDATES:
+        rows.append(
+            totals.select(
+                F.lit(wm).cast("long").alias("watermark_s"),
+                F.col(f"d{wm}").cast("long").alias("n_dropped"),
+                F.round(F.col(f"d{wm}") / F.col("n").cast("double"), 6).alias(
+                    "drop_share"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("watermark_s")
+
+
+QUERIES["watermark_planner"] = watermark_planner
+
+ORACLES["watermark_planner"] = f"""
+    WITH late AS (
+        SELECT max(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS late_s
+        FROM events),
+    totals AS (
+        SELECT count(*) AS n,
+               {", ".join(f"CAST(sum(CASE WHEN late_s > {wm} THEN 1 ELSE 0 END) AS BIGINT) AS d{wm}" for wm in WATERMARK_CANDIDATES)}
+        FROM late)
+    {" UNION ALL ".join(
+        f"SELECT CAST({wm} AS BIGINT) AS watermark_s, d{wm} AS n_dropped, "
+        f"round(d{wm} / CAST(n AS DOUBLE), 6) AS drop_share FROM totals"
+        for wm in WATERMARK_CANDIDATES)}
+    ORDER BY watermark_s
+"""
