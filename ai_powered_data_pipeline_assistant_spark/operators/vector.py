@@ -991,3 +991,60 @@ ORACLES["semantic_decontaminate"] = f"""
     FROM best WHERE cos >= {DECON_COS}
     ORDER BY vec_id
 """
+
+
+IVF_SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def ivf_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning sweep: recall@k vs the exact answer for each candidate
+    ``n_probe`` — the table an ANN operator reads before trading probe
+    count (latency, candidate volume) against recall. Deterministic end to
+    end (fixed-point cosine, id tie-breaks), so even the approximate sides
+    carry an exact oracle.
+
+    Scale: each probe setting is the standard IVF plan (broadcast
+    centroids, candidate-only scoring); the recall join compares two
+    k·|Q|-row frames — the sweep costs |probes| passes over the candidate
+    sets, never over the corpus pairs.
+    """
+    exact = ann_brute_topk(spark, sf_dir).select("query_id", "vec_id").persist()
+    k_times_q = exact.count()  # |Q|·k, bounded
+    out = None
+    for p in IVF_SWEEP_PROBES:
+        approx = ann_ivf_topk(spark, sf_dir, n_probe=p).select("query_id", "vec_id")
+        hits = approx.join(exact, ["query_id", "vec_id"]).count()
+        row = spark.range(1).select(
+            F.lit(p).cast("long").alias("n_probe"),
+            F.lit(hits).cast("long").alias("n_hits"),
+            F.lit(k_times_q).cast("long").alias("n_exact"),
+            F.round(F.lit(hits) / F.lit(float(k_times_q)), 6).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_probe")
+
+
+QUERIES["ivf_probe_recall_sweep"] = ivf_probe_recall_sweep
+
+
+def _ivf_sweep_oracle() -> str:
+    arms = []
+    for p in IVF_SWEEP_PROBES:
+        arms.append(f"""
+        SELECT CAST({p} AS BIGINT) AS n_probe,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+               round(count(*) / CAST((SELECT count(*) FROM exact) AS DOUBLE), 6)
+                   AS recall
+        FROM ({_ivf_oracle_sql(n_probe=p)}) a
+        JOIN exact x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+        """)
+    return f"""
+        WITH exact AS (
+            SELECT query_id, vec_id FROM ({ORACLES["ann_brute_topk"]}))
+        {" UNION ALL ".join(arms)}
+        ORDER BY n_probe
+    """
+
+
+ORACLES["ivf_probe_recall_sweep"] = _ivf_sweep_oracle()
