@@ -291,3 +291,78 @@ class ToolRegistry:
         if name not in qs:
             raise KeyError(f"unknown query {name!r}; see list_queries")
         return qs[name](self.spark, self.sf_dir)
+
+
+# ---------------------------------------------------------------- chat path
+_INTENT_ROUTES: tuple[tuple[str, str], ...] = (
+    # first matching pattern wins — mirrors the reference's chat
+    # orchestration deciding which tool a message needs (§3.1,
+    # reference backend/main.py chat endpoint → tool_executor)
+    (r"(?i)\b(search|find|look up)\b", "smart_search"),
+    (r"(?i)\b(quality|complete|valid)\b", "analyze_data_quality"),
+    (r"(?i)\b(history|conversation)\b", "read_chat_history"),
+    (r"(?i)\b(select|sql|query table)\b", "generate_sql_query"),
+    (r"(?i)\b(task|job|stats)\b", "get_task_stats"),
+)
+_CHAT_DEFAULT_TOOL = "query_knowledge_base"
+
+
+class ChatHandler:
+    """§3.1 end-to-end chat entry: admission gates → intent route → tool
+    execution → session history append. The reference's POST /chat/
+    lifecycle (gate, orchestrate, persist chat_history) with the LLM
+    replaced by deterministic intent routing per SURVEY §7.4.
+    """
+
+    def __init__(self, registry: ToolRegistry):
+        self.registry = registry
+        self._history: list[dict] = []
+
+    def handle(self, message: str, *, session_id: str = "s0",
+               role: str = "general", identifier: str = "anon") -> ToolResult:
+        from ai_powered_data_pipeline_assistant_spark.functions.text import PII_PATTERN
+
+        if re.search(r"(?i)\b(damn|hell|crap)\b", message):
+            result = ToolResult("chat", False, error="message rejected: profanity")
+        elif re.search(PII_PATTERN, message):
+            result = ToolResult("chat", False, error="message rejected: PII detected")
+        else:
+            tool = _CHAT_DEFAULT_TOOL
+            for pattern, routed in _INTENT_ROUTES:
+                if re.search(pattern, message):
+                    tool = routed
+                    break
+            result = self.registry.execute(
+                tool, {"q": message}, role=role, identifier=identifier
+            )
+        self._history.append(
+            {
+                "session_id": session_id,
+                "role": "user",
+                "content": message,
+                "tool_used": result.tool,
+                "success": result.success,
+            }
+        )
+        return result
+
+    def history(self) -> DataFrame:
+        """The chat_history table (reference Supabase/chat_history.sql:2-16)
+        as a DataFrame."""
+        from pyspark.sql.types import (
+            BooleanType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("session_id", StringType()),
+                StructField("role", StringType()),
+                StructField("content", StringType()),
+                StructField("tool_used", StringType()),
+                StructField("success", BooleanType()),
+            ]
+        )
+        return self.registry.spark.createDataFrame(self._history, schema=schema)

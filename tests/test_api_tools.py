@@ -166,3 +166,28 @@ def test_execution_log_records_every_call(spark, sf_dir):
     assert ("nope", False) in rows
     assert ("analyze_data_quality", False) in rows
     assert log.filter("execution_time_ms >= 0").count() == log.count()
+
+
+def test_chat_handler_routes_gates_and_persists(spark, sf_dir):
+    from ai_powered_data_pipeline_assistant_spark.api.tools import (
+        ChatHandler,
+        ToolRegistry,
+    )
+
+    chat = ChatHandler(ToolRegistry(spark, sf_dir))
+    ok = chat.handle("please search for spark joins", role="general")
+    assert ok.success and ok.tool == "smart_search"
+    routed = chat.handle("what are my task stats?", role="general")
+    assert routed.tool == "get_task_stats"
+    default = chat.handle("tell me about watermarking", role="general")
+    assert default.tool == "query_knowledge_base"
+    profane = chat.handle("damn this pipeline", role="general")
+    assert not profane.success and "profanity" in profane.error
+    pii = chat.handle("my email is a@b.com, search docs", role="general")
+    assert not pii.success and "PII" in pii.error
+    hist = chat.history()
+    assert hist.count() == 5
+    assert hist.filter("NOT success").count() == 2
+    # gated messages never reach a tool (journal shows only routed calls)
+    journal = chat.registry.execution_log()
+    assert journal.filter("tool_name = 'chat'").count() == 0
