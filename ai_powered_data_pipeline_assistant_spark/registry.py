@@ -104,6 +104,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "chat_display_page",
     "cube_counts",
     "value_percentiles",
+    # -- driver-scorable replacements for the permanently-no_oracle reds
+    # (ann_lsh_topk/embedding_neardup_lsh/quality_metrics_approx/... moved to
+    # the library surface; these twins pin the same behavior with oracles) --
+    "ann_ivf_topk",
+    "ann_lsh_recall",
+    "embedding_neardup_lsh_recall",
+    "quality_metrics_approx_audit",
+    "distinct_users_approx_audit",
+    "value_percentiles_approx_audit",
     # -- never driver-checked: TPC-H tail --
     "tpch_q7",
     "tpch_q8",
@@ -131,23 +140,19 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "daily_counts_gapfill",
     "event_gaps",
     "activity_heatmap",
-    "event_transitions",
-    "value_anomalies",
-    "chars_histogram",
-    "top_docs_per_lang",
     # -- never checked: formats / incremental --
     "jsonl_roundtrip_agg",
-    "csv_roundtrip_agg",
-    "orc_roundtrip_agg",
     "corrupt_records_audit",
     "incremental_daily_rollup",
     "scd2_apply",
     "snapshot_diff",
-    # -- never checked: sampling / packing --
-    "train_test_split",
-    "stratified_sample",
+    # -- never checked: packing (distributed prefix-sum) --
     "pack_sequences",
 )
+# Rotated out to round 4 (driver caps at 50): event_transitions,
+# value_anomalies, chars_histogram, top_docs_per_lang, csv_roundtrip_agg,
+# orc_roundtrip_agg, train_test_split, stratified_sample — same query
+# classes as retained window members.
 
 
 def all_queries() -> dict[str, QueryFn]:
