@@ -1,0 +1,374 @@
+"""Driver-scorable batch twins for the §2 surfaces previously verified
+only by pytest: the SQL-safety gate (P9/O9), log-injection scrub (F3),
+UPDATE-by-id (S12), INSERT sinks (S9/S10), TTL-cache stats (A5), NL→SQL
+templates (U5), and the tool registry itself (U6).
+
+Each operator projects the surface's *deterministic decision function*
+onto a DataFrame the correctness driver can hash against a DuckDB oracle:
+gate verdicts over a fixed probe set, the scrub transform over synthesized
+injection-bearing lines, the UPDATE/INSERT relational algebra applied
+batch-side, a distributed replay of the TTL cache's hit/miss policy, and
+the registry's tool/role table. The probe sets are FIXED and tiny (≤8
+entries), so the per-probe driver-side loop is bounded by construction —
+the corpus-sized work stays in DataFrame plans.
+
+Parity targets:
+- sql_gate_audit: reference backend/utils/sql_safety.py:51-231 (SELECT-only,
+  keyword deny, join/subquery/length caps, row cap) via plans/sql_gate.py.
+- log_scrub: reference backend/utils/sanitization.py:74-114 (newline/CR
+  injection scrub before log emission) via functions/text.scrub_log_line.
+- update_by_id: reference backend/db/optimized_queries.py UPDATE-by-id shape
+  (sinks.ParquetTable.update_where applies the same WHEN/OTHERWISE algebra
+  to the stored table; this twin scores the algebra without the file swap).
+- insert_append_audit: reference insert paths (S9/S10) — post-INSERT state
+  as UNION ALL with the incoming batch.
+- cache_hit_simulation: reference backend/utils/cache.py TTL policy
+  (functions/caching.TTLCache) replayed distributedly: an access hits iff
+  the same key was accessed within TTL seconds before it.
+- nl2sql_audit: the deterministic NL→SQL templates (api/tools._NL_RULES,
+  reference backend/tools/data_tools.py:120-195) executed through the
+  public ToolRegistry.execute path, gate included.
+- tool_registry_audit: the tool/role capability matrix
+  (api/tools.ToolRegistry._tools, reference backend/tools/tool_registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table, load_tables
+from ai_powered_data_pipeline_assistant_spark.functions.text import scrub_log_line
+from ai_powered_data_pipeline_assistant_spark.plans.sql_gate import (
+    UnsafeQueryError,
+    safe_sql,
+)
+
+# ---------------------------------------------------------------------------
+# P9/O9 — SQL-safety gate verdicts over a fixed probe set
+# ---------------------------------------------------------------------------
+
+_SIX_JOIN = (
+    "SELECT a.r_regionkey FROM region a"
+    + "".join(
+        f" JOIN region {c} ON a.r_regionkey = {c}.r_regionkey"
+        for c in "bcdefg"
+    )
+)
+_FOUR_SUBQ = (
+    "SELECT"
+    + ", ".join(
+        f" (SELECT max(r_regionkey) + {i} FROM region) AS s{i}" for i in range(4)
+    )
+)
+
+# (probe_id, sql) — fixed, ≤8 entries; verdicts are data-independent and the
+# two allowed probes return sf-independent row counts (region is 5 rows at
+# every TPC-H sf; the row cap clamps lineitem to MAX_ROWS=1000).
+GATE_PROBES: list[tuple[str, str]] = [
+    ("select_ok", "SELECT r_name FROM region ORDER BY r_name"),
+    ("row_cap", "SELECT l_orderkey FROM lineitem"),
+    ("not_select", "INSERT INTO region VALUES (9, 'X', 'x')"),
+    ("keyword", "SELECT r_name FROM region; DROP TABLE region"),
+    ("too_long", "SELECT 1 -- " + "x" * 5001),
+    ("joins", _SIX_JOIN),
+    ("subqueries", _FOUR_SUBQ),
+    ("reflect", "SELECT reflect('java.lang.System', 'getenv', 'HOME')"),
+]
+
+_REASON_CLASSES = [
+    ("longer than", "too_long"),
+    ("only SELECT", "not_select"),
+    ("forbidden keyword", "keyword"),
+    ("forbidden operation", "plan_deny"),
+    ("too many joins", "joins"),
+    ("too many subqueries", "subqueries"),
+]
+
+
+def sql_gate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per gate probe: (probe, allowed, reason, rows).
+
+    `rows` is the post-row-cap count for allowed probes (the cap is part of
+    the contract being scored) and 0 for denied ones. The loop runs over
+    the FIXED 8-probe set — gate validation is a planning-time decision, so
+    per-probe driver-side dispatch is the honest cost model; each allowed
+    probe's count() is a distributed action.
+    """
+    load_tables(spark, sf_dir, register_views=True)
+    rows = []
+    for probe_id, sql in GATE_PROBES:
+        try:
+            df = safe_sql(spark, sql)
+            rows.append((probe_id, True, "ok", df.count()))
+        except UnsafeQueryError as exc:
+            reason = next(
+                (cls for needle, cls in _REASON_CLASSES if needle in str(exc)),
+                "denied",
+            )
+            rows.append((probe_id, False, reason, 0))
+    return spark.createDataFrame(
+        rows, "probe string, allowed boolean, reason string, rows bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — log-injection scrub over synthesized injection-bearing log lines
+# ---------------------------------------------------------------------------
+
+
+def log_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble a log line per event with embedded newline/CR injection
+    (the corpus itself has none), scrub it, and report the scrubbed line
+    plus how many injection characters were neutralized. Pure column
+    expressions — one projection, no shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    raw = F.concat(
+        F.lit("user="),
+        F.col("user_id").cast("string"),
+        F.lit("\n"),
+        F.lit("type="),
+        F.col("event_type"),
+        F.lit("\r"),
+        F.lit("msg="),
+        F.col("props"),
+    )
+    stripped = F.regexp_replace(raw, r"[\r\n]", "")
+    return events.select(
+        "event_id",
+        scrub_log_line(raw).alias("scrubbed"),
+        (F.length(raw) - F.length(stripped)).alias("n_injected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S12 — UPDATE-by-id relational algebra (sinks.update_where's WHEN/OTHERWISE)
+# ---------------------------------------------------------------------------
+
+UPDATE_ID_MOD = 97
+
+
+def update_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-UPDATE state of `documents` for
+    ``UPDATE documents SET lang = 'und' WHERE doc_id % 97 = 0`` — the same
+    WHEN(predicate, expr).OTHERWISE(col) algebra `ParquetTable.update_where`
+    writes back (sources/sinks.py), scored without the file swap. The
+    `updated` flag carries the affected-row count the sink API returns."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = F.col("doc_id") % UPDATE_ID_MOD == 0
+    return docs.select(
+        "doc_id",
+        F.when(pred, F.lit("und")).otherwise(F.col("lang")).alias("lang"),
+        pred.alias("updated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S9/S10 — INSERT sink post-state (append as UNION ALL with the batch)
+# ---------------------------------------------------------------------------
+
+_INSERT_BATCH = [
+    (9_000_001, "manual ingest one", "en", "manual", 17),
+    (9_000_002, "manual ingest two", "en", "manual", 17),
+    (9_000_003, "manual ingest three", "de", "manual", 19),
+]
+
+
+def insert_append_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source row counts AFTER appending a fixed 3-row batch — the
+    observable post-state of `ParquetTable.append` (INSERT) without writing
+    files. The batch is a constant; the count is one map-side-combined
+    groupBy over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = spark.createDataFrame(
+        _INSERT_BATCH, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    return (
+        docs.select("source")
+        .unionAll(batch.select("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/F11 — TTL cache hit/miss policy replayed distributedly
+# ---------------------------------------------------------------------------
+
+CACHE_TTL_US = 600 * 1_000_000  # 10-minute TTL, integer microseconds
+
+
+def cache_hit_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the TTL cache policy over the event stream: key = user_id,
+    an access HITS iff the same key was last accessed within TTL. Per
+    event_type hit/miss totals and hit rate.
+
+    Scale design: one lag window per user_id (single hash shuffle on the
+    key — exactly how the cache itself would shard), then a map-side
+    combined groupBy. Timestamps compare as integer microseconds
+    (unix_micros vs DuckDB epoch_us) so the TTL boundary is exact, never a
+    float tolerance."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ off parquet; session tz is UTC, so the cast is the
+    # identity conversion that makes unix_micros applicable (same convention
+    # as behavior.event_gaps).
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    accesses = events.select(
+        "event_type",
+        (us - F.lag(us).over(w) <= CACHE_TTL_US).alias("hit"),
+    )
+    hits = F.sum(F.when(F.col("hit"), 1).otherwise(0))
+    total = F.count("*")
+    return (
+        accesses.groupBy("event_type")
+        .agg(
+            hits.alias("hits"),
+            (total - hits).alias("misses"),
+            F.round(hits / total.cast("double"), 6).alias("hit_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U5 — NL→SQL templates through the public ToolRegistry.execute path
+# ---------------------------------------------------------------------------
+
+NL_PROBES = [
+    "count nation by n_regionkey",
+    "top 3 region by r_regionkey",
+    "show r_name from region",
+    "drop all the tables",  # no template → matched=false, gate never reached
+]
+
+
+def nl2sql_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per fixed NL request: did a template match, and how many
+    rows did the generated (gate-validated) SQL return. Probes target
+    `region`/`nation` so counts are sf-independent."""
+    from ai_powered_data_pipeline_assistant_spark.api.tools import ToolRegistry
+
+    load_tables(spark, sf_dir, register_views=True)
+    reg = ToolRegistry(spark, sf_dir)
+    rows = []
+    for request in NL_PROBES:
+        res = reg.execute("generate_sql", {"request": request}, role="data_engineer")
+        rows.append((request, res.success, len(res.data) if res.success else 0))
+    return spark.createDataFrame(rows, "request string, matched boolean, n_rows bigint")
+
+
+# ---------------------------------------------------------------------------
+# U6 — tool/role capability matrix
+# ---------------------------------------------------------------------------
+
+
+def tool_registry_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tool, roles_csv, engineer_only) for every registered tool — the
+    golden capability matrix of the API surface (role gating is part of the
+    contract; a silently widened role set should fail the driver hash)."""
+    from ai_powered_data_pipeline_assistant_spark.api.tools import ToolRegistry
+
+    reg = ToolRegistry(spark, sf_dir)
+    rows = [
+        (tool, ",".join(sorted(roles)), roles == {"data_engineer"})
+        for tool, (_, roles) in sorted(reg._tools.items())
+    ]
+    return spark.createDataFrame(
+        rows, "tool string, roles_csv string, engineer_only boolean"
+    )
+
+
+QUERIES = {
+    "sql_gate_audit": sql_gate_audit,
+    "log_scrub": log_scrub,
+    "update_by_id": update_by_id,
+    "insert_append_audit": insert_append_audit,
+    "cache_hit_simulation": cache_hit_simulation,
+    "nl2sql_audit": nl2sql_audit,
+    "tool_registry_audit": tool_registry_audit,
+}
+
+# The gate/NL/registry oracles are constant VALUES tables: the *expected*
+# verdicts are the specification, so the oracle states them outright and the
+# driver hash fails if the engine's decisions drift.
+ORACLES = {
+    "sql_gate_audit": """
+        SELECT * FROM (VALUES
+            ('select_ok',  true,  'ok',         CAST(5 AS BIGINT)),
+            ('row_cap',    true,  'ok',         CAST(1000 AS BIGINT)),
+            ('not_select', false, 'not_select', CAST(0 AS BIGINT)),
+            ('keyword',    false, 'keyword',    CAST(0 AS BIGINT)),
+            ('too_long',   false, 'too_long',   CAST(0 AS BIGINT)),
+            ('joins',      false, 'joins',      CAST(0 AS BIGINT)),
+            ('subqueries', false, 'subqueries', CAST(0 AS BIGINT)),
+            ('reflect',    false, 'keyword',    CAST(0 AS BIGINT))
+        ) AS t(probe, allowed, reason, rows)
+    """,
+    "log_scrub": """
+        SELECT event_id,
+               regexp_replace(
+                   'user=' || CAST(user_id AS VARCHAR) || chr(10) ||
+                   'type=' || event_type || chr(13) || 'msg=' || props,
+                   '[\r\n]', ' ', 'g') AS scrubbed,
+               CAST(2 AS BIGINT) AS n_injected
+        FROM events
+    """,
+    "update_by_id": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 97 = 0 THEN 'und' ELSE lang END AS lang,
+               doc_id % 97 = 0 AS updated
+        FROM documents
+    """,
+    "insert_append_audit": """
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM (
+            SELECT source FROM documents
+            UNION ALL SELECT 'manual'
+            UNION ALL SELECT 'manual'
+            UNION ALL SELECT 'manual'
+        )
+        GROUP BY source ORDER BY source
+    """,
+    "cache_hit_simulation": """
+        WITH accesses AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) <= 600000000 AS hit
+            FROM events
+        )
+        SELECT event_type,
+               CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+               CAST(count(*) - sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS misses,
+               round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE), 6) AS hit_rate
+        FROM accesses GROUP BY event_type ORDER BY event_type
+    """,
+    "nl2sql_audit": """
+        SELECT * FROM (VALUES
+            ('count nation by n_regionkey', true,  CAST(5 AS BIGINT)),
+            ('top 3 region by r_regionkey', true,  CAST(3 AS BIGINT)),
+            ('show r_name from region',     true,  CAST(5 AS BIGINT)),
+            ('drop all the tables',         false, CAST(0 AS BIGINT))
+        ) AS t(request, matched, n_rows)
+    """,
+    "tool_registry_audit": """
+        SELECT * FROM (VALUES
+            ('analyze_data_quality', 'data_engineer', true),
+            ('explain_query', 'data_engineer', true),
+            ('generate_sql', 'data_engineer', true),
+            ('generate_sql_query', 'data_engineer', true),
+            ('get_task_stats', 'data_engineer,general', false),
+            ('list_queries', 'data_engineer,general', false),
+            ('query_data_source', 'data_engineer,general', false),
+            ('query_knowledge_base', 'data_engineer,general', false),
+            ('read_chat_history', 'data_engineer,general', false),
+            ('run_query', 'data_engineer', true),
+            ('schedule_pipeline', 'data_engineer', true),
+            ('smart_search', 'data_engineer,general', false)
+        ) AS t(tool, roles_csv, engineer_only)
+    """,
+}

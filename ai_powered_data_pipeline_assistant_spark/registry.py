@@ -37,6 +37,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     repetition,
     scalar_ops,
     scoring,
+    surface_audits,
     text_analysis,
     tpch,
     vector,
@@ -64,6 +65,7 @@ _MODULES = [
     webcorpus,
     packing,
     scoring,
+    surface_audits,
     windows,
     scalar_ops,
     incremental,
@@ -113,6 +115,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "quality_metrics_approx_audit",
     "distinct_users_approx_audit",
     "value_percentiles_approx_audit",
+    # -- §2 surfaces previously pytest-only, now driver-scorable twins
+    # (P9/O9, F3, S12, S9/S10, A5, U5, U6 — operators/surface_audits.py) --
+    "sql_gate_audit",
+    "log_scrub",
+    "update_by_id",
+    "insert_append_audit",
+    "cache_hit_simulation",
+    "nl2sql_audit",
+    "tool_registry_audit",
     # -- never driver-checked: TPC-H tail --
     "tpch_q7",
     "tpch_q8",
@@ -132,27 +143,21 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "bloom_dedup_gate",
     "neardup_clusters",
     "neardup_keep_best",
-    "neardup_degree_stats",
     "ann_ivf_pruned",
-    # -- never checked: behavior analytics family --
+    # -- never checked: family representatives (rest rotate round 4) --
     "funnel_counts",
     "cohort_retention",
-    "daily_counts_gapfill",
-    "event_gaps",
-    "activity_heatmap",
-    # -- never checked: formats / incremental --
-    "jsonl_roundtrip_agg",
     "corrupt_records_audit",
-    "incremental_daily_rollup",
     "scd2_apply",
-    "snapshot_diff",
     # -- never checked: packing (distributed prefix-sum) --
     "pack_sequences",
 )
-# Rotated out to round 4 (driver caps at 50): event_transitions,
-# value_anomalies, chars_histogram, top_docs_per_lang, csv_roundtrip_agg,
-# orc_roundtrip_agg, train_test_split, stratified_sample — same query
-# classes as retained window members.
+# Rotated out to round 4 (driver caps at 50): neardup_degree_stats,
+# daily_counts_gapfill, event_gaps, activity_heatmap, event_transitions,
+# value_anomalies, chars_histogram, top_docs_per_lang, jsonl_roundtrip_agg,
+# csv_roundtrip_agg, orc_roundtrip_agg, incremental_daily_rollup,
+# snapshot_diff, train_test_split, stratified_sample — same query classes
+# as retained window members.
 
 
 def all_queries() -> dict[str, QueryFn]:

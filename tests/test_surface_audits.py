@@ -1,0 +1,89 @@
+"""Tests for the driver-scorable §2 surface twins (operators/surface_audits).
+
+The sf0.01 oracle sim is the value gate; these tests pin the behaviors the
+oracles can't see: gate probe CLASSES (not just this probe set), NUL-byte
+scrub, parity between the batch UPDATE twin and the file-backed sink, and
+the registry audit tracking the live tool table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.operators import surface_audits as sa
+from ai_powered_data_pipeline_assistant_spark.sources.sinks import ParquetTable
+
+
+def test_sql_gate_audit_verdicts(spark, sf_dir):
+    rows = {r["probe"]: r for r in sa.sql_gate_audit(spark, sf_dir).collect()}
+    assert rows["select_ok"]["allowed"] and rows["select_ok"]["rows"] == 5
+    # the row cap itself is part of the scored contract
+    assert rows["row_cap"]["allowed"] and rows["row_cap"]["rows"] == 1000
+    denied = {k: v["reason"] for k, v in rows.items() if not v["allowed"]}
+    assert denied == {
+        "not_select": "not_select",
+        "keyword": "keyword",
+        "too_long": "too_long",
+        "joins": "joins",
+        "subqueries": "subqueries",
+        "reflect": "keyword",
+    }
+
+
+def test_log_scrub_removes_nul_bytes(spark):
+    # \x00 can't ride through the DuckDB oracle, so pin it here
+    df = spark.createDataFrame([("a\x00b\nc\rd",)], "line string")
+    from ai_powered_data_pipeline_assistant_spark.functions.text import scrub_log_line
+
+    out = df.select(scrub_log_line(F.col("line")).alias("s")).first()["s"]
+    assert out == "a b c d"
+
+
+def test_update_by_id_matches_file_backed_sink(spark, sf_dir, tmp_path):
+    """The batch twin and ParquetTable.update_where must apply the same
+    algebra: post-state (doc_id, lang) sets are identical."""
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = ParquetTable(spark, str(tmp_path / "docs"))
+    table.init(docs)
+    n = table.update_where(
+        F.col("doc_id") % sa.UPDATE_ID_MOD == 0, {"lang": F.lit("und")}
+    )
+    sink_state = {
+        (r["doc_id"], r["lang"])
+        for r in table.read().select("doc_id", "lang").collect()
+    }
+    twin = sa.update_by_id(spark, sf_dir)
+    twin_state = {(r["doc_id"], r["lang"]) for r in twin.collect()}
+    assert sink_state == twin_state
+    assert n == twin.filter("updated").count()
+
+
+def test_cache_hit_simulation_totals(spark, sf_dir):
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+    out = sa.cache_hit_simulation(spark, sf_dir)
+    total = out.agg(F.sum(F.col("hits") + F.col("misses"))).first()[0]
+    assert total == load_table(spark, sf_dir, "events").count()
+    # first access per user is always a miss
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    misses = out.agg(F.sum("misses")).first()[0]
+    assert misses >= n_users
+
+
+def test_tool_registry_audit_tracks_live_registry(spark, sf_dir):
+    from ai_powered_data_pipeline_assistant_spark.api.tools import ToolRegistry
+
+    audited = {r["tool"] for r in sa.tool_registry_audit(spark, sf_dir).collect()}
+    live = set(ToolRegistry(spark, sf_dir)._tools)
+    assert audited == live
+
+
+def test_nl2sql_unmatched_is_refused_not_executed(spark, sf_dir):
+    rows = {r["request"]: r for r in sa.nl2sql_audit(spark, sf_dir).collect()}
+    assert not rows["drop all the tables"]["matched"]
+    assert rows["count nation by n_regionkey"]["n_rows"] == 5
