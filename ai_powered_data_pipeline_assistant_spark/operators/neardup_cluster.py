@@ -289,6 +289,84 @@ def neardup_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the verified near-dup graph: node/edge/wedge/
+    triangle counts and the global clustering coefficient
+    (3·triangles / wedges) — the transitivity measure that distinguishes
+    template spam (dense, clique-like families → coefficient near 1) from
+    chain-shaped organic duplication (near 0).
+
+    Scale design: degree-ordered orientation (each undirected edge points
+    from its lower-(degree, id) endpoint), so every triangle is generated
+    exactly once from its unique low-degree apex and wedge enumeration is
+    bounded by Σ out-deg² with out-degrees capped at O(√edges) — the
+    standard distributed triangle-count bound — instead of Σ deg² on raw
+    degrees, which a giant dup family would blow up. Wedges then close via
+    one equi-join against the canonical (a<b) edge list. The edge list is
+    persisted once and feeds degrees, orientation, and closure."""
+    edges = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    return triangle_census(edges)
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """Core census over any canonical (a_id < b_id) undirected edge list —
+    see `neardup_triangles` for the orientation argument."""
+    edges = edges.persist()
+    sym = edges.select(F.col("a_id").alias("node")).unionAll(
+        edges.select(F.col("b_id").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    e = (
+        edges.join(
+            deg.select(F.col("node").alias("a_id"), F.col("deg").alias("da")),
+            "a_id",
+        ).join(
+            deg.select(F.col("node").alias("b_id"), F.col("deg").alias("db")),
+            "b_id",
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a_id") < F.col("b_id"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a_id")).otherwise(F.col("b_id")).alias("src"),
+        F.when(a_first, F.col("b_id")).otherwise(F.col("a_id")).alias("dst"),
+    )
+    wedges = (
+        oriented.alias("o1")
+        .join(
+            oriented.alias("o2"),
+            (F.col("o1.src") == F.col("o2.src"))
+            & (F.col("o1.dst") < F.col("o2.dst")),
+        )
+        .select(
+            F.least("o1.dst", "o2.dst").alias("x"),
+            F.greatest("o1.dst", "o2.dst").alias("y"),
+        )
+    )
+    tri = wedges.join(
+        edges.select(F.col("a_id").alias("x"), F.col("b_id").alias("y")),
+        ["x", "y"],
+    ).agg(F.count("*").alias("n_triangles"))
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
+        ).alias("clustering_coeff"),
+    )
+
+
 _VERIFIED_EDGES_CTE = f"""
         {minhash_lsh_cte("documents")},
         verified AS (
@@ -410,10 +488,50 @@ ORACLES["neardup_degree_stats"] = f"""
     FROM deg
 """
 
+ORACLES["neardup_triangles"] = f"""
+    WITH {minhash_lsh_cte("documents")},
+    verified AS (
+        SELECT c.a_id, c.b_id
+        FROM candidates c JOIN pairs p ON c.a_id = p.a_id AND c.b_id = p.b_id
+        WHERE p.jaccard >= {JACCARD_THRESHOLD}),
+    sym AS (SELECT a_id AS node FROM verified
+            UNION ALL SELECT b_id FROM verified),
+    deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY 1),
+    oriented AS (
+        SELECT CASE WHEN da.deg < db.deg
+                         OR (da.deg = db.deg AND v.a_id < v.b_id)
+                    THEN v.a_id ELSE v.b_id END AS src,
+               CASE WHEN da.deg < db.deg
+                         OR (da.deg = db.deg AND v.a_id < v.b_id)
+                    THEN v.b_id ELSE v.a_id END AS dst
+        FROM verified v
+        JOIN deg da ON v.a_id = da.node
+        JOIN deg db ON v.b_id = db.node),
+    wedge AS (
+        SELECT o1.dst AS x, o2.dst AS y
+        FROM oriented o1 JOIN oriented o2
+             ON o1.src = o2.src AND o1.dst < o2.dst),
+    tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM wedge w JOIN verified e ON w.x = e.a_id AND w.y = e.b_id),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(CAST(sum(deg) AS BIGINT) / 2 AS BIGINT) AS n_edges,
+               CAST(CAST(sum(deg * (deg - 1)) AS BIGINT) / 2 AS BIGINT)
+                   AS n_wedges
+        FROM deg)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN round(3.0 * n_triangles / n_wedges, 6) END
+               AS clustering_coeff
+    FROM stats CROSS JOIN tri
+"""
+
 QUERIES = {
     "neardup_clusters": neardup_clusters,
     "neardup_keep_best": neardup_keep_best,
     "neardup_degree_stats": neardup_degree_stats,
+    "neardup_triangles": neardup_triangles,
     "cluster_safe_split": cluster_safe_split,
     "neardup_cluster_sizes": neardup_cluster_sizes,
     "split_contamination_audit": split_contamination_audit,

@@ -138,3 +138,38 @@ def test_cc_matches_union_find_on_random_graphs(spark):
         want = union_find(edges)
         got = _cc(spark, edges)
         assert got == want, f"trial {trial}: {len(edges)} edges"
+
+
+def test_triangle_census_known_graph(spark):
+    """K4 plus a pendant edge: 4 triangles, clustering coeff known exactly.
+    K4 wedges: each of 4 nodes deg 3 → 4·3 = 12; pendant adds node 3→deg 4
+    (3 extra wedges) and leaf deg 1 → 15 wedges total, 4 triangles."""
+    from ai_powered_data_pipeline_assistant_spark.operators.neardup_cluster import (
+        triangle_census,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)],
+        "a_id long, b_id long",
+    )
+    row = triangle_census(edges).first()
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 7
+    assert row["n_wedges"] == 15
+    assert row["n_triangles"] == 4
+    assert abs(row["clustering_coeff"] - round(12 / 15, 6)) < 1e-9
+
+
+def test_triangle_census_triangle_free(spark):
+    """A path graph has wedges but zero triangles; coefficient is 0."""
+    from ai_powered_data_pipeline_assistant_spark.operators.neardup_cluster import (
+        triangle_census,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "a_id long, b_id long"
+    )
+    row = triangle_census(edges).first()
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 2
+    assert row["clustering_coeff"] == 0.0
