@@ -31,6 +31,9 @@ PROBES = [
     "knn_join",           # broadcast batch + salted top-k
     "cosine_topk",        # TakeOrdered scan
     "curate_corpus",      # composed gates
+    "neardup_triangles",  # oriented wedge join over the dup graph
+    "retrieval_ndcg",     # two retrievers + driver-scale eval
+    "cache_hit_simulation",  # per-key lag window
 ]
 
 
