@@ -311,7 +311,13 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_census(edges: DataFrame) -> DataFrame:
     """Core census over any canonical (a_id < b_id) undirected edge list —
     see `neardup_triangles` for the orientation argument."""
-    edges = edges.persist()
+    # Materialize the edge list ONCE and truncate lineage: it is referenced
+    # five times below (degrees, both orientation joins, wedge closure,
+    # stats), and without the checkpoint each reference re-embeds the whole
+    # upstream pair-generation DAG in the plan (the LSH pipeline ×5 —
+    # ~120 Exchanges; the census budget in tests/test_plans.py caps 30).
+    # Same pattern as connected_components above.
+    edges = edges.localCheckpoint(eager=True)
     sym = edges.select(F.col("a_id").alias("node")).unionAll(
         edges.select(F.col("b_id").alias("node"))
     )

@@ -82,6 +82,9 @@ HEADLINE = [
     "weighted_median",
     "rfm_segments",
     "zorder_pruning_audit",
+    # late round-3: graph transitivity + retrieval-quality eval
+    "neardup_triangles",
+    "retrieval_ndcg",
 ]
 
 # The round-1 headline set, unchanged since: its sub-total is reported as
