@@ -84,11 +84,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness driver checks the FIRST 50 registry entries per round, so
 # ordering decides which queries get a driver verdict. Round-3 window:
-# (a) the 11 round-1/2 red rows re-landed with their representation fixes
-# (HUGEINT sums now CAST AS BIGINT; array outputs scalarized), and (b) 36
-# never-driver-checked queries (TPC-H tail, curation/neardup/behavior/
-# formats/incremental families). The ~25 still-unchecked queries rotate in
-# round 4.
+# (a) every round-1/2 red row re-landed with its representation fix
+# (HUGEINT sums CAST AS BIGINT; array outputs scalarized) or replaced by
+# its driver-scorable twin (recall/accuracy audits for the no-oracle
+# approx/LSH rows), (b) the new §2 surface twins, and (c) never-checked
+# high-value families (TPC-H tail, curation/neardup, family
+# representatives). Remaining never-checked queries rotate per the pools
+# in ROADMAP.md; run scripts/next_window.py before each rotation.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- round-1/2 red rows, fixed this round (HUGEINT casts / scalarized) --
     "validation_rules",
