@@ -235,6 +235,13 @@ def plan_shuffle_census(
     100 TB cluster. Library/CI surface (plans are engine-specific, so this
     is not an oracle-checkable registry query); the repo-wide exchange
     budget is enforced in tests/test_plans.py.
+
+    Each query is measured COLD: the catalog cache is cleared before every
+    plan build, because cached frames left by earlier queries (several
+    operators persist() shared intermediates) substitute InMemoryRelations
+    whose stored subplans re-print their own Exchanges — inflating the
+    count nondeterministically with session history. Cold plans are the
+    contract: the profile of each query promoted in isolation.
     """
     from ai_powered_data_pipeline_assistant_spark.registry import all_queries
 
@@ -243,6 +250,7 @@ def plan_shuffle_census(
         if names is not None and name not in names:
             continue
         try:
+            spark.catalog.clearCache()
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001 — census must cover the rest
             rows.append((name, -1, -1, -1, -1, str(exc)[:120]))
