@@ -122,6 +122,41 @@ def hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALT_TARGET_ROWS = 1500  # rows/task a join reducer should see for this key
+SALT_SKEW_MULTIPLE_PCT = 115  # hot = key carries >= 1.15x its fair share
+
+
+def salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actionable skew remediation: every key carrying at least
+    SALT_SKEW_MULTIPLE_PCT% of its fair share (total/n_keys) of rows, with
+    the salt factor `ceil(cnt / SALT_TARGET_ROWS)` that spreads its rows to
+    ~SALT_TARGET_ROWS per reducer task — the planning table that
+    parameterizes `joins.salted_skew_join` (which demonstrates the
+    mechanism with a fixed factor). The hotness test is pure integer
+    arithmetic (cnt·n_keys·100 ≥ pct·total) so the cut is engine-exact —
+    no float share boundary. One groupBy plus a 1-row broadcast total: the
+    decision for a 100 TB join costs one pass over key counts."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy()
+    total = F.sum("cnt").over(w)
+    n_keys = F.count("*").over(w)
+    return (
+        counts.select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / total.cast("double"), 6).alias("share"),
+            F.ceil(F.col("cnt") / F.lit(SALT_TARGET_ROWS)).alias("salt_factor"),
+            (F.col("cnt") * n_keys * 100 >= F.lit(SALT_SKEW_MULTIPLE_PCT) * total).alias(
+                "_hot"
+            ),
+        )
+        .filter(F.col("_hot"))
+        .drop("_hot")
+        .orderBy(F.desc("cnt"), "user_id")
+    )
+
+
 PROFILE_COLS = ("user_id", "event_type", "value", "props")
 
 
@@ -214,12 +249,29 @@ ORACLES: dict[str, str] = {
         ORDER BY cnt DESC, user_id
         LIMIT {HOT_KEYS_N}
     """,
+    "salting_plan": f"""
+        WITH counts AS ({_COUNTS_CTE}),
+        shared AS (
+            SELECT user_id, cnt,
+                   round(cnt / CAST(CAST(sum(cnt) OVER () AS BIGINT)
+                               AS DOUBLE), 6) AS share,
+                   CAST(ceil(cnt / {SALT_TARGET_ROWS}.0) AS BIGINT)
+                       AS salt_factor,
+                   CAST(sum(cnt) OVER () AS BIGINT) AS total,
+                   count(*) OVER () AS n_keys
+            FROM counts)
+        SELECT user_id, cnt, share, salt_factor
+        FROM shared
+        WHERE cnt * n_keys * 100 >= {SALT_SKEW_MULTIPLE_PCT} * total
+        ORDER BY cnt DESC, user_id
+    """,
 }
 
 QUERIES = {
     "scan_file_stats": scan_file_stats,  # rows-only: file paths are env-specific
     "key_skew_stats": key_skew_stats,
     "hot_keys": hot_keys,
+    "salting_plan": salting_plan,
     "column_profile": column_profile,
     "docs_profile": docs_profile,
 }
