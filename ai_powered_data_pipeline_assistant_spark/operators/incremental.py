@@ -347,3 +347,69 @@ def _backfill_oracle() -> str:
 
 
 ORACLES["backfill_plan"] = _backfill_oracle()
+
+
+LEDGER_DAYS = 5  # deterministic arrival-day assignment: doc_id % LEDGER_DAYS
+
+
+def daily_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup accounting: documents arrive over
+    LEDGER_DAYS batches (arrival day = doc_id % LEDGER_DAYS, the driver's
+    deterministic stand-in for a crawl date) and each day's batch is
+    deduplicated against EVERYTHING already ingested. Per day: arrivals,
+    docs whose exact content hash was first seen on an earlier day
+    (cross-batch dups), within-day dups past the day's first copy, and the
+    net-new count an incremental pipeline would actually index.
+
+    Scale design: the whole ledger derives from ONE groupBy over
+    (content_hash) computing min arrival day and per-day counts — no
+    per-day anti-joins; day count is a constant, corpus size is not.
+    The ledger is the accounting twin of `crosscorpus_neardup` (which
+    finds the batch-vs-corpus near-dup PAIRS); an incremental pipeline
+    runs both: hash ledger first (cheap, exact), LSH on the survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        (F.col("doc_id") % LEDGER_DAYS).alias("day"),
+        F.sha2("text", 256).alias("h"),
+    )
+    per_hash_day = tagged.groupBy("h", "day").agg(F.count("*").alias("cnt"))
+    first_day = per_hash_day.groupBy("h").agg(F.min("day").alias("first_day"))
+    joined = per_hash_day.join(first_day, "h")
+    is_new_day = F.col("day") == F.col("first_day")
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.sum("cnt").alias("arrivals"),
+            F.sum(F.when(~is_new_day, F.col("cnt")).otherwise(0)).alias(
+                "cross_batch_dups"
+            ),
+            F.sum(F.when(is_new_day, F.col("cnt") - 1).otherwise(0)).alias(
+                "within_day_dups"
+            ),
+            F.sum(F.when(is_new_day, 1).otherwise(0)).alias("net_new"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["daily_dedup_ledger"] = daily_dedup_ledger
+
+ORACLES["daily_dedup_ledger"] = f"""
+    WITH tagged AS (
+        SELECT doc_id % {LEDGER_DAYS} AS day, sha256(text) AS h
+        FROM documents),
+    per_hash_day AS (
+        SELECT h, day, count(*) AS cnt FROM tagged GROUP BY 1, 2),
+    first_day AS (
+        SELECT h, min(day) AS first_day FROM per_hash_day GROUP BY 1)
+    SELECT day,
+           CAST(sum(cnt) AS BIGINT) AS arrivals,
+           CAST(sum(CASE WHEN day != first_day THEN cnt ELSE 0 END)
+                AS BIGINT) AS cross_batch_dups,
+           CAST(sum(CASE WHEN day = first_day THEN cnt - 1 ELSE 0 END)
+                AS BIGINT) AS within_day_dups,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS net_new
+    FROM per_hash_day JOIN first_day USING (h)
+    GROUP BY day ORDER BY day
+"""
