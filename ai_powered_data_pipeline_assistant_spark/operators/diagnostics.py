@@ -109,13 +109,16 @@ def hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The top-N heaviest keys with their share of all rows — the concrete
     keys you'd salt (or route to AQE skew-join handling)."""
     events = load_table(spark, sf_dir, "events")
-    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
-    total = F.sum("cnt").over(Window.partitionBy())
+    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt")).persist()
+    # 1-row total crossJoin-broadcast onto the counts — not an unpartitioned
+    # window, which would funnel every key-count row through one partition.
+    summary = counts.agg(F.sum("cnt").alias("_total"))
     return (
-        counts.select(
+        counts.crossJoin(F.broadcast(summary))
+        .select(
             "user_id",
             "cnt",
-            F.round(F.col("cnt") / total.cast("double"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("_total").cast("double"), 6).alias("share"),
         )
         .orderBy(F.desc("cnt"), "user_id")
         .limit(HOT_KEYS_N)
@@ -135,14 +138,21 @@ def salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanism with a fixed factor). The hotness test is pure integer
     arithmetic (cnt·n_keys·100 ≥ pct·total) so the cut is engine-exact —
     no float share boundary. One groupBy plus a 1-row broadcast total: the
-    decision for a 100 TB join costs one pass over key counts."""
+    decision for a 100 TB join costs one pass over key counts. total/n_keys
+    come from a separate 1-row aggregate crossJoin-broadcast onto the
+    counts (an unpartitioned window here would funnel every key's count
+    row through a single partition — the exact shape this table exists to
+    remediate)."""
     events = load_table(spark, sf_dir, "events")
-    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy()
-    total = F.sum("cnt").over(w)
-    n_keys = F.count("*").over(w)
+    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt")).persist()
+    summary = counts.agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_n_keys")
+    )
+    total = F.col("_total")
+    n_keys = F.col("_n_keys")
     return (
-        counts.select(
+        counts.crossJoin(F.broadcast(summary))
+        .select(
             "user_id",
             "cnt",
             F.round(F.col("cnt") / total.cast("double"), 6).alias("share"),

@@ -15,9 +15,12 @@ Scale design:
   degenerate basket — the same quadratic-blowup guard as every
   candidate-generation step in this repo (dedup.MAX_SHINGLE_DF,
   entity.MAX_BLOCK).
-- Item supports and the basket count are map-side-combined aggregates;
-  both enter the lift computation as broadcast-sized frames (distinct
-  parts and a 1-row count).
+- Item supports and the basket count are map-side-combined aggregates.
+  The 1-row basket count broadcasts; the item-support frame is
+  catalog-sized (distinct items — 10^8+ in a real catalog) so it carries
+  NO broadcast hint: AQE broadcasts it when the measured size allows and
+  shuffle-joins it against the (post-aggregate, support-floored, tiny)
+  pair frame otherwise.
 - The support filter runs on the pair AGGREGATE (post-shuffle, tiny), and
   lift arithmetic is pure projection.
 """
@@ -66,15 +69,20 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= MIN_SUPPORT)
     )
+    # No broadcast hint on item_support: it is catalog-sized (distinct
+    # items), which a real deployment can grow past driver memory (10^8+
+    # items). pair_support is the small side here (post-aggregate, bounded
+    # by MIN_SUPPORT), so AQE picks the right strategy — broadcast when the
+    # measured size allows, shuffle join otherwise.
     return (
         pair_support.join(
-            F.broadcast(item_support.withColumnRenamed("l_partkey", "a_part")
-                        .withColumnRenamed("s", "s_a")),
+            item_support.withColumnRenamed("l_partkey", "a_part")
+                        .withColumnRenamed("s", "s_a"),
             "a_part",
         )
         .join(
-            F.broadcast(item_support.withColumnRenamed("l_partkey", "b_part")
-                        .withColumnRenamed("s", "s_b")),
+            item_support.withColumnRenamed("l_partkey", "b_part")
+                        .withColumnRenamed("s", "s_b"),
             "b_part",
         )
         .crossJoin(F.broadcast(n_baskets))

@@ -51,6 +51,25 @@ from ai_powered_data_pipeline_assistant_spark.operators.text_analysis import (
 
 MAX_CC_ROUNDS = 50
 
+# Broadcast the component-label frame only while it is provably small. On
+# real web corpora 30-50% of documents belong to a near-dup family, so the
+# label frame is corpus-order and a forced broadcast would OOM the driver;
+# the guard uses the edge count `connected_components` already measured
+# (nodes ≤ 2·edges) and falls back to a plain shuffle join on doc_id.
+# 2M edges ≈ 4M (node,label) longs ≈ 64 MB serialized — a safe driver bite.
+BROADCAST_MAX_EDGES = 2_000_000
+
+
+def _labels_maybe_broadcast(labels: DataFrame) -> DataFrame:
+    """Apply a broadcast hint to a component-label frame iff the measured
+    edge count of the run that produced it is under BROADCAST_MAX_EDGES;
+    otherwise return it unhinted so AQE/shuffle join handles corpus-order
+    membership tables."""
+    n_edges = getattr(connected_components, "last_n_edges", None)
+    if n_edges is not None and n_edges <= BROADCAST_MAX_EDGES:
+        return F.broadcast(labels)
+    return labels
+
 
 def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
     """Min-label connected components over an undirected edge list, with
@@ -92,6 +111,7 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
     # every round costs more task-scheduling overhead than the joins
     # themselves. ~500k edges per partition, capped for adversarial graphs.
     n_edges = sym.count()
+    connected_components.last_n_edges = n_edges
     parts = max(1, min(n_edges // 500_000 + 1, 2048))
     if parts < sym.rdd.getNumPartitions():
         sym = sym.repartition(parts, "node").localCheckpoint(eager=False)
@@ -154,9 +174,10 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     quality = docs.select("doc_id", quality_expr().alias("quality"))
-    # clusters is the post-LSH near-dup subset — tiny next to the corpus —
-    # so it broadcasts into the quality lookup instead of shuffling docs.
-    joined = F.broadcast(clusters).join(quality, "doc_id")
+    # The post-LSH membership frame broadcasts only while the measured edge
+    # count proves it small; on a 30-50%-duplicate web corpus it is
+    # corpus-order and goes through a shuffle join instead.
+    joined = _labels_maybe_broadcast(clusters).join(quality, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
     ranked = joined.select(
         "cluster_id",
@@ -203,9 +224,11 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination a plain per-doc hash split (`train_test_split`) allows.
 
     Scale design: the component labels cover only docs with at least one
-    near-dup (tiny post-LSH), so they broadcast onto the corpus scan as a
-    left join — the corpus itself is never shuffled. Bucketing is the same
-    md5 % 100 convention as `train_test_split`, on the group id.
+    near-dup; when the measured edge count proves them small they broadcast
+    onto the corpus scan as a left join (corpus never shuffled), and on
+    heavily-duplicated corpora (labels corpus-order) the guard falls back
+    to a shuffle join on doc_id. Bucketing is the same md5 % 100 convention
+    as `train_test_split`, on the group id.
     """
     from ai_powered_data_pipeline_assistant_spark.functions.hashing import md5_int
     from ai_powered_data_pipeline_assistant_spark.operators.clustering import (
@@ -219,7 +242,9 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("family_id")
     )
-    joined = docs.select("doc_id").join(F.broadcast(labels), "doc_id", "left")
+    joined = docs.select("doc_id").join(
+        _labels_maybe_broadcast(labels), "doc_id", "left"
+    )
     group = F.coalesce(F.col("family_id"), F.col("doc_id"))
     bucket = md5_int(group.cast("string")) % SPLIT_BUCKETS
     split = (

@@ -22,9 +22,10 @@ Parity targets:
   to the stored table; this twin scores the algebra without the file swap).
 - insert_append_audit: reference insert paths (S9/S10) — post-INSERT state
   as UNION ALL with the incoming batch.
-- cache_hit_simulation: reference backend/utils/cache.py TTL policy
-  (functions/caching.TTLCache) replayed distributedly: an access hits iff
-  the same key was accessed within TTL seconds before it.
+- cache_hit_simulation: reference backend/utils/caching.py TTL policy
+  (functions/caching.TTLCache) replayed distributedly: insertion-anchored
+  expiry — an access hits iff its time since the last MISS for the key
+  (the insertion) is ≤ TTL, no refresh-on-read.
 - nl2sql_audit: the deterministic NL→SQL templates (api/tools._NL_RULES,
   reference backend/tools/data_tools.py:120-195) executed through the
   public ToolRegistry.execute path, gate included.
@@ -200,29 +201,73 @@ CACHE_TTL_US = 600 * 1_000_000  # 10-minute TTL, integer microseconds
 
 
 def cache_hit_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the TTL cache policy over the event stream: key = user_id,
-    an access HITS iff the same key was last accessed within TTL. Per
-    event_type hit/miss totals and hit rate.
+    """Replay the EXACT TTLCache policy (functions/caching.TTLCache.get,
+    reference backend/utils/caching.py:50-251) over the event stream:
+    key = user_id, entries expire from INSERTION time with no
+    refresh-on-read — an access HITS iff its time since the last MISS
+    (= the insertion that populated the entry) is ≤ TTL; a miss re-inserts
+    and restarts the epoch. This is NOT a sliding (refresh-on-access)
+    window: accesses at 0/9/18 min with a 10-min TTL are miss, hit, MISS —
+    the 18-min access is 18 min after the insertion even though only 9 min
+    after the previous access. Per event_type hit/miss totals and hit rate.
 
-    Scale design: one lag window per user_id (single hash shuffle on the
-    key — exactly how the cache itself would shard), then a map-side
-    combined groupBy. Timestamps compare as integer microseconds
-    (unix_micros vs DuckDB epoch_us) so the TTL boundary is exact, never a
-    float tolerance."""
+    Scale design: the epoch start is a sequential per-key fold (each
+    decision depends on where the previous MISS fell), which no fixed
+    number of window passes expresses — so accesses are folded per key
+    with the `aggregate` higher-order function over a sorted in-row array:
+    ONE hash shuffle on the key (exactly how the cache itself shards),
+    all arithmetic JVM-side, no Python. Per-key memory is O(accesses per
+    key) — inherent to the policy's sequential dependency; a production
+    variant over unbounded keys would pre-split each key at coarse time
+    boundaries ≫ TTL and fold the splits independently. Timestamps compare
+    as integer microseconds (unix_micros vs DuckDB epoch_us) so the TTL
+    boundary is exact, never a float tolerance."""
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ off parquet; session tz is UTC, so the cast is the
     # identity conversion that makes unix_micros applicable (same convention
     # as behavior.event_gaps).
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    accesses = events.select(
-        "event_type",
-        (us - F.lag(us).over(w) <= CACHE_TTL_US).alias("hit"),
+    per_key = (
+        events.select("user_id", us.alias("ts_us"), "event_id", "event_type")
+        # sort_array orders the struct lexicographically → (ts_us, event_id)
+        # is the same total order as the oracle's ORDER BY ts, event_id
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+            ).alias("acc")
+        )
     )
+    # Fold state = (epoch = ts of the last miss, out = per-access verdicts).
+    # Seed epoch at -2^62 so the first access is always a miss (and the
+    # subtraction stays inside int64).
+    folded = per_key.select(
+        F.explode(
+            F.expr(
+                f"""
+                aggregate(
+                  acc,
+                  struct(CAST(-4611686018427387904 AS BIGINT) AS epoch,
+                         CAST(array() AS
+                              array<struct<event_type: string, hit: boolean>>)
+                             AS out),
+                  (s, x) -> struct(
+                      CASE WHEN x.ts_us - s.epoch <= {CACHE_TTL_US}
+                           THEN s.epoch ELSE x.ts_us END AS epoch,
+                      array_append(
+                          s.out,
+                          struct(x.event_type AS event_type,
+                                 x.ts_us - s.epoch <= {CACHE_TTL_US} AS hit))
+                          AS out),
+                  s -> s.out)
+                """
+            )
+        ).alias("a")
+    ).select("a.event_type", "a.hit")
     hits = F.sum(F.when(F.col("hit"), 1).otherwise(0))
     total = F.count("*")
     return (
-        accesses.groupBy("event_type")
+        folded.groupBy("event_type")
         .agg(
             hits.alias("hits"),
             (total - hits).alias("misses"),
@@ -331,21 +376,33 @@ ORACLES = {
         )
         GROUP BY source ORDER BY source
     """,
+    # Insertion-anchored TTL walked per key by a recursive CTE: epoch = ts
+    # of the last miss; hit iff ts - epoch <= TTL (TTLCache.get's `now -
+    # insert > ttl` miss test, boundary inclusive).
     "cache_hit_simulation": """
-        WITH accesses AS (
-            SELECT event_type,
-                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                   ) <= 600000000 AS hit
-            FROM events
-        )
+        WITH RECURSIVE ordered AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events),
+        walk AS (
+            SELECT user_id, rn, event_type, ts_us,
+                   ts_us AS epoch, false AS hit
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.user_id, o.rn, o.event_type, o.ts_us,
+                   CASE WHEN o.ts_us - w.epoch <= 600000000
+                        THEN w.epoch ELSE o.ts_us END,
+                   o.ts_us - w.epoch <= 600000000
+            FROM walk w JOIN ordered o
+                 ON o.user_id = w.user_id AND o.rn = w.rn + 1)
         SELECT event_type,
                CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS hits,
                CAST(count(*) - sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
                    AS misses,
                round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
                      / CAST(count(*) AS DOUBLE), 6) AS hit_rate
-        FROM accesses GROUP BY event_type ORDER BY event_type
+        FROM walk GROUP BY event_type ORDER BY event_type
     """,
     "nl2sql_audit": """
         SELECT * FROM (VALUES

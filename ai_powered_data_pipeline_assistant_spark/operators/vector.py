@@ -75,7 +75,8 @@ def cosine_topk_filtered(spark: SparkSession, sf_dir: str, k: int = 10, label: i
 
 def ann_brute_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5) -> DataFrame:
     """Batch-of-queries exact ANN baseline: broadcast the query set, score
-    every (query, vector) pair, keep per-query top-k via window."""
+    every (query, vector) pair, keep per-query top-k via the salted
+    two-phase reducer (`_per_query_topk`) — no per-query reducer funnel."""
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     queries = _query_vectors(spark, sf_dir, n_queries)
     scored = emb.join(broadcast(queries)).select(
@@ -83,12 +84,7 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int 
         "vec_id",
         cosine_similarity(F.col("embedding"), F.col("query_vec")).alias("similarity"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), "vec_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "vec_id", "similarity", "rk")
-    )
+    return _per_query_topk(scored, k)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5) -> DataFrame:
@@ -133,12 +129,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 
         "vec_id",
         cosine_similarity(F.col("embedding"), F.col("query_vec")).alias("similarity"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), "vec_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "vec_id", "similarity", "rk")
-    )
+    return _per_query_topk(scored, k)
 
 
 def ivf_centroids(emb: DataFrame, n_lists: int) -> DataFrame:
@@ -168,10 +159,30 @@ def assign_lists(
     )
 
 
+TOPK_SALTS = 8
+
+
 def _per_query_topk(candidates: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), "vec_id")
+    """Salted two-phase grouped top-k (same pattern as `knn_join`): phase 1
+    keeps top-k per (query_id, salt) — TOPK_SALTS× more reduce groups than
+    queries, so no single reducer sees a query's full candidate list —
+    phase 2 ranks the salts×k survivors per query. A plain
+    Window.partitionBy(query_id) over all scored rows would funnel the
+    whole corpus through |Q| reducers — the grouped-top-N scale killer.
+    Both phases use the same (similarity DESC, vec_id ASC) total order, so
+    the result is bit-identical to the single-window formulation."""
+    salted = candidates.withColumn("salt", F.col("vec_id") % TOPK_SALTS)
+    w1 = Window.partitionBy("query_id", "salt").orderBy(
+        F.desc("similarity"), F.asc("vec_id")
+    )
+    survivors = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("vec_id"))
     return (
-        candidates.withColumn("rk", F.row_number().over(w))
+        survivors.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "similarity", "rk")
     )

@@ -173,3 +173,42 @@ def test_triangle_census_triangle_free(spark):
     assert row["n_triangles"] == 0
     assert row["n_wedges"] == 2
     assert row["clustering_coeff"] == 0.0
+
+
+def test_label_broadcast_guard_flips_join_strategy(spark):
+    """The membership-label broadcast is size-guarded: under
+    BROADCAST_MAX_EDGES the hint forces a BroadcastHashJoin; above it (a
+    30-50%-duplicate web corpus, labels corpus-order) the hint is dropped
+    and the join falls back to a shuffle join — no forced driver OOM."""
+    from ai_powered_data_pipeline_assistant_spark.operators.neardup_cluster import (
+        BROADCAST_MAX_EDGES,
+        _labels_maybe_broadcast,
+    )
+
+    labels = spark.range(64).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("family_id")
+    )
+    docs = spark.range(256).select(F.col("id").alias("doc_id"))
+    saved = getattr(connected_components, "last_n_edges", None)
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable size-based auto-broadcast so the HINT is the only thing
+        # that can pick the strategy — the flip is then observable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        connected_components.last_n_edges = BROADCAST_MAX_EDGES  # small: hint on
+        small = docs.join(_labels_maybe_broadcast(labels), "doc_id", "left")
+        small_plan = small._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in small_plan, small_plan
+
+        connected_components.last_n_edges = BROADCAST_MAX_EDGES + 1  # large: off
+        big = docs.join(_labels_maybe_broadcast(labels), "doc_id", "left")
+        big_plan = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in big_plan, big_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        if saved is None:
+            if hasattr(connected_components, "last_n_edges"):
+                del connected_components.last_n_edges
+        else:
+            connected_components.last_n_edges = saved
