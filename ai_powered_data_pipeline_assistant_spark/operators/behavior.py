@@ -543,9 +543,10 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-purchase-after-signup in a single pass over events (the
     `funnel_counts` trick — no per-stage self-join); the latency summary
     then runs on the per-user frame (converted users only). Median is a
-    discrete rank pick, mean an integer-seconds sum — exact in both
-    engines. At billions of converted users, swap the rank window for the
-    bucketed two-phase rank (`batching._batched` shape) or t-digest."""
+    discrete rank pick over the bucketed two-phase global rank
+    (`ranking.append_global_rank` — no single-reducer window even at
+    billions of converted users), mean an integer-seconds sum — exact in
+    both engines."""
     events = load_table(spark, sf_dir, "events")
     es = F.unix_timestamp("ts")
     per_user = (
@@ -570,13 +571,15 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", (F.col("first_to") - F.col("first_from")).alias("lat_s")
         )
     )
-    w = Window.orderBy("lat_s", "user_id")
-    ranked = per_user.select(
-        "lat_s",
-        "user_id",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    from ai_powered_data_pipeline_assistant_spark.operators.ranking import (
+        append_global_rank,
     )
+
+    per_user = per_user.persist()
+    n_row = per_user.agg(F.count("*").alias("n"))
+    ranked = append_global_rank(
+        per_user, [F.col("lat_s"), F.col("user_id")], "rn"
+    ).crossJoin(F.broadcast(n_row))
     med_rank = F.expr("(n + 1) DIV 2")
     return ranked.agg(
         F.max("n").alias("n_converted"),

@@ -60,15 +60,21 @@ def scan_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def partition_stats(df: DataFrame, keys: list[str]) -> DataFrame:
     """One-row skew profile of ``df`` grouped by ``keys``: key cardinality,
     total rows, min/max/avg rows per key, discrete p50/p90/p99 rows per
-    key, and skew_ratio = max/avg (1.0 = perfectly even)."""
-    counts = df.groupBy(*keys).agg(F.count("*").alias("cnt"))
-    whole = Window.partitionBy()
-    order = Window.orderBy(F.col("cnt"), *[F.col(k) for k in keys])
-    ranked = counts.select(
-        "cnt",
-        F.row_number().over(order).alias("rn"),
-        F.count("*").over(whole).alias("n"),
+    key, and skew_ratio = max/avg (1.0 = perfectly even).
+
+    The global rank for the percentile picks is the bucketed two-phase
+    row_number (`ranking.append_global_rank`) — a bare Window.orderBy
+    would funnel the whole key-cardinality frame (10⁹ keys at 100 TB)
+    through one reducer. ``n`` rides in as a 1-row broadcast."""
+    from ai_powered_data_pipeline_assistant_spark.operators.ranking import (
+        append_global_rank,
     )
+
+    counts = df.groupBy(*keys).agg(F.count("*").alias("cnt")).persist()
+    n_row = counts.agg(F.count("*").alias("n"))
+    ranked = append_global_rank(
+        counts, [F.col("cnt")] + [F.col(k) for k in keys], "rn"
+    ).crossJoin(F.broadcast(n_row))
 
     def pick(p: float) -> F.Column:
         rank = F.floor(F.lit(p) * (F.col("n") - 1)) + 1

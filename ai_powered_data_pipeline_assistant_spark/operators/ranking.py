@@ -1,0 +1,59 @@
+"""Distributed global ranking: the two-phase (bucketed) row_number.
+
+A bare ``Window.orderBy(...)`` (no partitionBy) funnels every row through
+ONE reducer — fine for frames bounded by construction, a scale-killer on
+key-cardinality frames (per-user aggregates, per-key counts). The cure —
+already proven in `windows.user_activity_pareto` and `packing
+.pack_sequences` — is range-partition on the ordering key, rank inside
+each ordered bucket in parallel, then add broadcast per-bucket row-count
+offsets. Bucket boundaries come from the range partitioner's reservoir
+sampling (nondeterministic), but with a fully tie-broken ordering key the
+final global ranks are identical whatever the boundaries land on.
+
+This module factors the pattern into one reusable helper so every global
+rank in the repo shares the scale-safe shape (and the single-partition
+anti-pattern can be grepped away: the only remaining unpartitioned windows
+operate on frames bounded by construction — per-brand/lang/label/source
+aggregates or ≤`buckets`-row offset frames).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+RANK_BUCKETS = 32
+
+
+def append_global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str,
+    buckets: int = RANK_BUCKETS,
+) -> DataFrame:
+    """Append the global 1-based row_number over ``order_cols`` (which must
+    be a total order — include a unique tie-break column) as LongType
+    column ``out_col``, without ever funnelling the frame through a single
+    partition. Two phases: per-bucket row_number (parallel), plus the
+    exclusive prefix sum of bucket sizes (≤ ``buckets`` rows, broadcast).
+    """
+    parted = df.repartitionByRange(buckets, *order_cols).withColumn(
+        "_rank_bucket", F.spark_partition_id()
+    )
+    intra_w = Window.partitionBy("_rank_bucket").orderBy(*order_cols)
+    sizes = parted.groupBy("_rank_bucket").agg(F.count("*").alias("_bn"))
+    off_w = Window.orderBy("_rank_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = sizes.select(
+        "_rank_bucket",
+        (F.sum("_bn").over(off_w) - F.col("_bn")).alias("_rank_off"),
+    )
+    return (
+        parted.withColumn("_intra_rn", F.row_number().over(intra_w))
+        .join(F.broadcast(offsets), "_rank_bucket")
+        .withColumn(
+            out_col, (F.col("_rank_off") + F.col("_intra_rn")).cast("long")
+        )
+        .drop("_rank_bucket", "_intra_rn", "_rank_off")
+    )

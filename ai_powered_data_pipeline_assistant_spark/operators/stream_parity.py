@@ -1,0 +1,291 @@
+"""Driver-scorable streaming-vs-batch parity rows.
+
+The streaming layer (T1-T7, S15) is a non-SQL-expressible surface the
+DuckDB oracle cannot score directly, so its operators were pytest-only.
+These queries convert the pytest equality pins into one-row (or
+rows-per-stage) DataFrames the correctness driver CAN hash: each runs the
+real Structured Streaming job (availableNow over a parquet snapshot of the
+same events the batch twin reads), diffs the stream's final state against
+the oracle-checked batch operator DISTRIBUTEDLY (exceptAll both ways), and
+emits the counts plus an equality boolean. The oracle recomputes the batch
+side in SQL and pins mismatches = 0 — so a drift anywhere in the streaming
+path (state layout, emission mode, watermark math) flips the driver hash.
+
+Parity pins promoted from pytest (same fixtures, same comparisons):
+- cdc_stream_parity: streaming/stateful.cdc_latest_state ≡
+  operators/incremental.cdc_apply (tests/test_stateful_streaming.py:150)
+- funnel_stream_parity: streaming/stateful.funnel_conversion_state stage
+  totals ≡ operators/behavior.funnel_counts (test_stateful_streaming.py:119)
+- session_stream_parity: streaming/sessions.session_counts_stream ≡
+  operators/windows.session_window_counts (tests/test_streaming.py:300)
+
+Scale notes: the harness is an AUDIT surface — it snapshots the fixture to
+a temp directory and uses a memory sink, both bounded by the audit input
+(per-key state rows, not raw events). A production parity check would
+point the same stream at the live source with a file sink; the comparison
+stays the same two exceptAll counts (one shuffle each). Reference has no
+streaming layer at all (SURVEY §2.9 derives T1-T7 from its pubnub job
+pipeline, backend/jobs/pubnub_job_processor.py); parity here is between
+this repo's own streaming and batch duals.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+
+def _run_to_memory(
+    spark: SparkSession,
+    fixture: DataFrame,
+    build,
+    output_mode: str,
+    poll_stateful: bool,
+) -> DataFrame:
+    """Snapshot `fixture` to parquet, run `build(stream)` availableNow into
+    a memory sink, and return the sink as a DataFrame. One parquet file →
+    one micro-batch → every key emits exactly once (deterministic output).
+
+    ProcessingTimeTimeout stateful queries stay active after the data is
+    consumed (state-TTL cleanup), so those are polled until the input is
+    fully processed and then stopped — identical to the pytest harness."""
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"stream_parity_{run_id}_")
+    src = f"{tmp}/src"
+    name = f"parity_{run_id}"
+    fixture.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(fixture.schema).parquet(src)
+    out = build(stream)
+    # one state-store instance per shuffle partition per batch: keep the
+    # audit seconds-fast (partition count is baked into this query's own
+    # checkpoint only)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if poll_stateful:
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                if (
+                    not q.status["isDataAvailable"]
+                    and q.recentProgress
+                    and sum(p["numInputRows"] for p in q.recentProgress) > 0
+                ):
+                    break
+                time.sleep(0.5)
+            q.stop()
+            q.awaitTermination(30)
+        else:
+            q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _sym_diff_count(a: DataFrame, b: DataFrame) -> F.Column:
+    """Helper frame: one row with the symmetric-difference row count of two
+    same-schema frames (multiset semantics via exceptAll, both directions —
+    zero iff the frames are equal)."""
+    missing = b.exceptAll(a).count()
+    extra = a.exceptAll(b).count()
+    return F.lit(missing + extra).cast("long")
+
+
+def cdc_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization ≡ batch changelog compaction: run
+    `cdc_latest_state` over the events changelog, drop tombstoned keys,
+    and diff (user_id, last_op, last_value) against `cdc_apply`. One row:
+    key counts from both sides, symmetric-difference size, equality."""
+    from ai_powered_data_pipeline_assistant_spark.operators.incremental import (
+        cdc_apply,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.stateful import (
+        cdc_latest_state,
+    )
+
+    fixture = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    stream_state = _run_to_memory(
+        spark, fixture, cdc_latest_state, "update", poll_stateful=True
+    )
+    got = (
+        stream_state.filter(~F.col("deleted"))
+        .select("user_id", "last_op", F.round("last_value", 6).alias("last_value"))
+    )
+    want = cdc_apply(spark, sf_dir).select("user_id", "last_op", "last_value")
+    return spark.range(1).select(
+        F.lit(got.count()).cast("long").alias("n_keys_stream"),
+        F.lit(want.count()).cast("long").alias("n_keys_batch"),
+        _sym_diff_count(got, want).alias("n_mismatches"),
+    ).select(
+        "n_keys_stream",
+        "n_keys_batch",
+        "n_mismatches",
+        (F.col("n_mismatches") == 0).alias("stream_equals_batch"),
+    )
+
+
+def funnel_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental funnel state ≡ batch funnel: aggregate the per-user
+    stage verdicts `funnel_conversion_state` maintains into stage totals
+    and join them against `funnel_counts`. One row per stage with both
+    sides and the equality verdict."""
+    from ai_powered_data_pipeline_assistant_spark.operators.behavior import (
+        funnel_counts,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.stateful import (
+        funnel_conversion_state,
+    )
+
+    fixture = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    state = _run_to_memory(
+        spark, fixture, funnel_conversion_state, "update", poll_stateful=True
+    )
+    totals = state.agg(
+        F.sum(F.col("s1_view").cast("long")).alias("n1"),
+        F.sum(F.col("s2_click").cast("long")).alias("n2"),
+        F.sum(F.col("s3_purchase").cast("long")).alias("n3"),
+    )
+    stream_stages = totals.selectExpr(
+        "stack(3, 1L, 'view', n1, 2L, 'click', n2, 3L, 'purchase', n3) "
+        "AS (stage_idx, stage, n_users_stream)"
+    )
+    batch = funnel_counts(spark, sf_dir).withColumnRenamed("n_users", "n_users_batch")
+    return (
+        stream_stages.join(batch, ["stage_idx", "stage"])
+        .select(
+            "stage_idx",
+            "stage",
+            "n_users_stream",
+            "n_users_batch",
+            (F.col("n_users_stream") == F.col("n_users_batch")).alias(
+                "stream_equals_batch"
+            ),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+def session_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows ≡ batch session windows: run
+    `session_counts_stream` over the events (plus one far-future sentinel
+    per user so the watermark closes every real session in append mode;
+    sentinel sessions stay open and are never emitted), then diff the
+    emitted sessions against `session_window_counts`. One row."""
+    from ai_powered_data_pipeline_assistant_spark.operators.windows import (
+        session_window_counts,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.sessions import (
+        session_counts_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    sentinels = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            "user_id", F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts")
+        )
+    )
+    fixture = events.union(sentinels)
+
+    def build(stream: DataFrame) -> DataFrame:
+        return session_counts_stream(stream).select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("events").alias("event_cnt"),
+        )
+
+    got = _run_to_memory(spark, fixture, build, "append", poll_stateful=False)
+    want = session_window_counts(spark, sf_dir).select(
+        "user_id",
+        F.col("session_start").cast("timestamp").alias("session_start"),
+        F.col("session_end").cast("timestamp").alias("session_end"),
+        "event_cnt",
+    )
+    return spark.range(1).select(
+        F.lit(got.count()).cast("long").alias("n_sessions_stream"),
+        F.lit(want.count()).cast("long").alias("n_sessions_batch"),
+        _sym_diff_count(got, want).alias("n_mismatches"),
+    ).select(
+        "n_sessions_stream",
+        "n_sessions_batch",
+        "n_mismatches",
+        (F.col("n_mismatches") == 0).alias("stream_equals_batch"),
+    )
+
+
+def _batch_side_sql(name: str) -> str:
+    """Reuse the batch twins' own oracle SQL (already driver-green) as the
+    parity oracles' source of truth."""
+    if name == "cdc":
+        from ai_powered_data_pipeline_assistant_spark.operators.incremental import (
+            ORACLES as INC,
+        )
+
+        return INC["cdc_apply"]
+    if name == "session":
+        from ai_powered_data_pipeline_assistant_spark.operators.windows import (
+            ORACLES as WIN,
+        )
+
+        return WIN["session_window_counts"]
+    from ai_powered_data_pipeline_assistant_spark.operators.behavior import (
+        ORACLES as BEH,
+    )
+
+    return BEH["funnel_counts"]
+
+
+def _oracles() -> dict[str, str]:
+    return {
+        "cdc_stream_parity": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_keys_stream,
+                   CAST(count(*) AS BIGINT) AS n_keys_batch,
+                   CAST(0 AS BIGINT) AS n_mismatches,
+                   true AS stream_equals_batch
+            FROM ({_batch_side_sql("cdc")}) t
+        """,
+        "funnel_stream_parity": f"""
+            SELECT stage_idx, stage,
+                   n_users AS n_users_stream, n_users AS n_users_batch,
+                   true AS stream_equals_batch
+            FROM ({_batch_side_sql("funnel")}) t
+            ORDER BY stage_idx
+        """,
+        "session_stream_parity": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions_stream,
+                   CAST(count(*) AS BIGINT) AS n_sessions_batch,
+                   CAST(0 AS BIGINT) AS n_mismatches,
+                   true AS stream_equals_batch
+            FROM ({_batch_side_sql("session")}) t
+        """,
+    }
+
+
+ORACLES = _oracles()
+
+QUERIES = {
+    "cdc_stream_parity": cdc_stream_parity,
+    "funnel_stream_parity": funnel_stream_parity,
+    "session_stream_parity": session_stream_parity,
+}

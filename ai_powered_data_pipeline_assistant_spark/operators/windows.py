@@ -457,11 +457,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fully-tiebroken row_number (metric, then custkey) — no NTILE tie
     ambiguity, no float thresholds; monetary accumulates integer cents.
 
-    Scale: the three rank windows run on the CUSTOMER-GRAIN aggregate
-    (orders of magnitude smaller than the fact table; the one fact shuffle
-    is the per-customer groupBy). The global-ordered windows are fine at
-    dimension scale; at 100 TB-of-customers swap them for the bucketed
-    two-phase prefix sum used by `user_activity_pareto`.
+    Scale: the three ranks run on the CUSTOMER-GRAIN aggregate (orders of
+    magnitude smaller than the fact table; the one fact shuffle is the
+    per-customer groupBy) and each uses the bucketed two-phase global rank
+    (`ranking.append_global_rank`) — no single-reducer window even at
+    100 TB-of-customers. ``n`` rides in as a 1-row broadcast.
     """
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -481,25 +481,26 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    n_w = Window.partitionBy()
-    ranked = per_cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        F.row_number()
-        .over(Window.partitionBy().orderBy(F.asc("recency_days"), F.asc("o_custkey")))
-        .alias("r_rn"),
-        F.row_number()
-        .over(Window.partitionBy().orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f_rn"),
-        F.row_number()
-        .over(
-            Window.partitionBy().orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
-        )
-        .alias("m_rn"),
-        F.count("*").over(n_w).alias("n"),
+    from ai_powered_data_pipeline_assistant_spark.operators.ranking import (
+        append_global_rank,
     )
+
+    per_cust = per_cust.persist()
+    n_row = per_cust.agg(F.count("*").alias("n"))
+    # each rank is computed independently off the persisted customer frame
+    # (metric + key only) and joined back on the key — three parallel
+    # two-phase ranks, no nested plan growth
+    ranked = per_cust
+    for out_col, metric, order in (
+        ("r_rn", "recency_days", [F.asc("recency_days"), F.asc("o_custkey")]),
+        ("f_rn", "frequency", [F.desc("frequency"), F.asc("o_custkey")]),
+        ("m_rn", "monetary_cents", [F.desc("monetary_cents"), F.asc("o_custkey")]),
+    ):
+        rk = append_global_rank(
+            per_cust.select("o_custkey", metric), order, out_col
+        ).select("o_custkey", out_col)
+        ranked = ranked.join(rk, "o_custkey")
+    ranked = ranked.crossJoin(F.broadcast(n_row))
     scored = ranked.select(
         "o_custkey",
         "recency_days",

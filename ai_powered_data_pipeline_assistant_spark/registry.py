@@ -37,6 +37,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     repetition,
     scalar_ops,
     scoring,
+    stream_parity,
     surface_audits,
     text_analysis,
     tpch,
@@ -66,6 +67,7 @@ _MODULES = [
     packing,
     scoring,
     surface_audits,
+    stream_parity,
     windows,
     scalar_ops,
     incremental,
@@ -83,83 +85,80 @@ _MODULES = [
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness driver checks the FIRST 50 registry entries per round, so
-# ordering decides which queries get a driver verdict. Round-3 window:
-# (a) every round-1/2 red row re-landed with its representation fix
-# (HUGEINT sums CAST AS BIGINT; array outputs scalarized) or replaced by
-# its driver-scorable twin (recall/accuracy audits for the no-oracle
-# approx/LSH rows), (b) the new §2 surface twins, and (c) never-checked
-# high-value families (TPC-H tail, curation/neardup, family
-# representatives). Remaining never-checked queries rotate per the pools
+# ordering decides which queries get a driver verdict. Round-4 window:
+# (a) re-checks for every operator whose code changed this round (guarded
+# label broadcasts, salted batch top-k, the insertion-anchored cache
+# policy rewrite), (b) the four new driver-scorable twins (embedder golden
+# checksums + the three streaming-vs-batch parity rows), and (c)
+# never-checked entries, graph/entity/market families first per the
+# round-3 verdict. Remaining never-checked queries rotate per the pools
 # in ROADMAP.md; run scripts/next_window.py before each rotation.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-1/2 red rows, fixed this round (HUGEINT casts / scalarized) --
-    "validation_rules",
-    "json_extract_agg",
-    "sessionize",
-    "salted_skew_join",
-    "media_summary",
-    "tpch_q12",
-    "winnow_fingerprints",
-    "map_column_ops",
-    "pivot_counts",
-    "top_users_collected",
-    "repetition_stats",
-    # -- round-1 nanos-blocked, never re-checked --
-    "chat_display_page",
-    "cube_counts",
-    "value_percentiles",
-    # -- driver-scorable replacements for the permanently-no_oracle reds
-    # (ann_lsh_topk/embedding_neardup_lsh/quality_metrics_approx/... moved to
-    # the library surface; these twins pin the same behavior with oracles) --
-    "ann_ivf_topk",
-    "ann_lsh_recall",
-    "embedding_neardup_lsh_recall",
-    "quality_metrics_approx_audit",
-    "distinct_users_approx_audit",
-    "value_percentiles_approx_audit",
-    # -- §2 surfaces previously pytest-only, now driver-scorable twins
-    # (P9/O9, F3, S12, S9/S10, A5, U5, U6 — operators/surface_audits.py) --
-    "sql_gate_audit",
-    "log_scrub",
-    "update_by_id",
-    "insert_append_audit",
-    "cache_hit_simulation",
-    "nl2sql_audit",
-    "tool_registry_audit",
-    # -- never driver-checked: TPC-H tail --
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q20",
-    "tpch_q22",
-    # -- never checked: curation / dedup-at-scale family --
-    "curate_corpus",
-    "curation_funnel",
-    "token_budget",
-    "decontaminate",
-    "span_dedup",
-    "bloom_dedup_gate",
-    "neardup_clusters",
+    # -- re-checks: code changed in round 4, r3-green rows must stay green --
+    "cluster_safe_split",
     "neardup_keep_best",
-    "ann_ivf_pruned",
-    # -- never checked: family representatives (rest rotate round 4) --
-    "funnel_counts",
-    "cohort_retention",
-    "corrupt_records_audit",
-    "scd2_apply",
-    # -- never checked: packing (distributed prefix-sum) --
-    "pack_sequences",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "cache_hit_simulation",
+    # -- new this round: U2 golden-checksum twin + streaming parity rows --
+    "embedder_probe_audit",
+    "cdc_stream_parity",
+    "funnel_stream_parity",
+    "session_stream_parity",
+    # -- never checked: graph / entity / market families --
+    "event_pagerank",
+    "markov_prediction_audit",
+    "event_trigrams",
+    "entity_match_pairs",
+    "entity_clusters",
+    "entity_canonical_rollup",
+    "basket_pairs",
+    "item_recommendations",
+    "knn_join",
+    "weighted_median",
+    # -- never checked: semantic / incremental dedup tail --
+    "semantic_dedup",
+    "semantic_decontaminate",
+    "containment_pairs",
+    "crosscorpus_neardup",
+    "daily_dedup_ledger",
+    "split_contamination_audit",
+    "neardup_triangles",
+    "neardup_cluster_sizes",
+    "minhash_calibration_audit",
+    "doc_duplication_share",
+    "lsh_parameter_plan",
+    "dedup_method_report",
+    # -- never checked: retrieval quality --
+    "hybrid_search_rrf",
+    "retrieval_ndcg",
+    "ivf_balance_report",
+    "ivf_probe_recall_sweep",
+    # -- never checked: formats round-trips + physical layout --
+    "jsonl_roundtrip_agg",
+    "csv_roundtrip_agg",
+    "orc_roundtrip_agg",
+    "bucketed_join_rollup",
+    "events_partition_pruned",
+    "zorder_pruning_audit",
+    # -- never checked: diagnostics (salting_plan changed this round) --
+    "salting_plan",
+    "key_skew_stats",
+    "column_profile",
+    "table_inventory",
+    # -- never checked: text / corpus quality --
+    "normalize_text",
+    "readability_scores",
+    "lexical_diversity",
+    # -- never checked: splits --
+    "train_test_split",
+    "temporal_split",
 )
-# Rotated out to round 4 (driver caps at 50): neardup_degree_stats,
-# daily_counts_gapfill, event_gaps, activity_heatmap, event_transitions,
-# value_anomalies, chars_histogram, top_docs_per_lang, jsonl_roundtrip_agg,
-# csv_roundtrip_agg, orc_roundtrip_agg, incremental_daily_rollup,
-# snapshot_diff, train_test_split, stratified_sample — same query classes
-# as retained window members.
+# Still never-checked after this window (~85 names; rotate round 5+):
+# behavior tail (stickiness/churn/cohort variants, ab tests, forecasting),
+# sampling (stratified/weighted/source_mix), embedding stats (pca/quantize/
+# drift), revenue analytics, scoring tail, remaining diagnostics — run
+# scripts/next_window.py for the authoritative set.
 
 
 def all_queries() -> dict[str, QueryFn]:

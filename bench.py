@@ -99,6 +99,17 @@ COMMON_22 = [
     "sliding_window_counts", "media_summary", "embed_and_search",
 ]
 
+# The round-2 headline set, frozen (= BENCH_r02 "queries" keys, superset of
+# COMMON_22): reported as "common37_sec" so additions in later rounds can't
+# mask regressions in the round-3 cohort.
+COMMON_37 = COMMON_22 + [
+    "curate_corpus", "tpch_q9", "neardup_keep_best", "repetition_stats",
+    "decontaminate", "span_dedup", "bloom_dedup_gate", "chunk_documents",
+    "pack_sequences", "unigram_logprob", "funnel_counts",
+    "user_activity_pareto", "daily_counts_gapfill", "token_budget",
+    "pca_project",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -144,6 +155,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     common22 = round(sum(timings[q] for q in COMMON_22 if q in timings), 3)
+    common37 = round(sum(timings[q] for q in COMMON_37 if q in timings), 3)
     print(
         json.dumps(
             {
@@ -152,6 +164,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "common22_sec": common22,
+                "common37_sec": common37,
                 "sf": sf,
             }
         )
