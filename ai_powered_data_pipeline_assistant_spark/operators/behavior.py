@@ -576,10 +576,10 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     per_user = per_user.persist()
-    n_row = per_user.agg(F.count("*").alias("n"))
+    n = per_user.count()  # scalar; also materializes the persist
     ranked = append_global_rank(
-        per_user, [F.col("lat_s"), F.col("user_id")], "rn"
-    ).crossJoin(F.broadcast(n_row))
+        per_user, [F.col("lat_s"), F.col("user_id")], "rn", n_rows=n
+    ).withColumn("n", F.lit(n).cast("long"))
     med_rank = F.expr("(n + 1) DIV 2")
     return ranked.agg(
         F.max("n").alias("n_converted"),

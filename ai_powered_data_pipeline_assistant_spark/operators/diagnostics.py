@@ -62,19 +62,20 @@ def partition_stats(df: DataFrame, keys: list[str]) -> DataFrame:
     total rows, min/max/avg rows per key, discrete p50/p90/p99 rows per
     key, and skew_ratio = max/avg (1.0 = perfectly even).
 
-    The global rank for the percentile picks is the bucketed two-phase
+    The global rank for the percentile picks is the size-adaptive
     row_number (`ranking.append_global_rank`) — a bare Window.orderBy
     would funnel the whole key-cardinality frame (10⁹ keys at 100 TB)
-    through one reducer. ``n`` rides in as a 1-row broadcast."""
+    through one reducer; the helper switches to the bucketed two-phase
+    rank past a few million keys."""
     from ai_powered_data_pipeline_assistant_spark.operators.ranking import (
         append_global_rank,
     )
 
     counts = df.groupBy(*keys).agg(F.count("*").alias("cnt")).persist()
-    n_row = counts.agg(F.count("*").alias("n"))
+    n = counts.count()  # scalar; also materializes the persist
     ranked = append_global_rank(
-        counts, [F.col("cnt")] + [F.col(k) for k in keys], "rn"
-    ).crossJoin(F.broadcast(n_row))
+        counts, [F.col("cnt")] + [F.col(k) for k in keys], "rn", n_rows=n
+    ).withColumn("n", F.lit(n).cast("long"))
 
     def pick(p: float) -> F.Column:
         rank = F.floor(F.lit(p) * (F.col("n") - 1)) + 1

@@ -24,19 +24,39 @@ from pyspark.sql import functions as F
 
 RANK_BUCKETS = 32
 
+# Below this row count the plain single-window rank wins: the two-phase
+# form pays a range-sampling job + two extra shuffles + a broadcast join,
+# which dwarfs sorting a few million rows on one reducer. Same adaptive
+# shape as the neardup broadcast guard — measure, then pick the plan.
+SINGLE_REDUCER_MAX_ROWS = 4_000_000
+
 
 def append_global_rank(
     df: DataFrame,
     order_cols: list[Column],
     out_col: str,
     buckets: int = RANK_BUCKETS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Append the global 1-based row_number over ``order_cols`` (which must
     be a total order — include a unique tie-break column) as LongType
-    column ``out_col``, without ever funnelling the frame through a single
-    partition. Two phases: per-bucket row_number (parallel), plus the
-    exclusive prefix sum of bucket sizes (≤ ``buckets`` rows, broadcast).
+    column ``out_col``, without ever funnelling a large frame through a
+    single partition.
+
+    ``n_rows`` is the measured input size (pass it when the caller already
+    counted; otherwise one scalar count job runs — callers should persist
+    ``df`` first). Under SINGLE_REDUCER_MAX_ROWS the plain single-window
+    rank is used (cheaper below a few million rows); above it, two phases:
+    per-bucket row_number (parallel) plus the exclusive prefix sum of
+    bucket sizes (≤ ``buckets`` rows, broadcast).
     """
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows <= SINGLE_REDUCER_MAX_ROWS:
+        return df.withColumn(
+            out_col,
+            F.row_number().over(Window.orderBy(*order_cols)).cast("long"),
+        )
     parted = df.repartitionByRange(buckets, *order_cols).withColumn(
         "_rank_bucket", F.spark_partition_id()
     )

@@ -459,9 +459,13 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the three ranks run on the CUSTOMER-GRAIN aggregate (orders of
     magnitude smaller than the fact table; the one fact shuffle is the
-    per-customer groupBy) and each uses the bucketed two-phase global rank
-    (`ranking.append_global_rank`) — no single-reducer window even at
-    100 TB-of-customers. ``n`` rides in as a 1-row broadcast.
+    per-customer groupBy). The rank plan is size-adaptive: when a cheap
+    zero-column fact count bounds the customer frame under
+    `ranking.SINGLE_REDUCER_MAX_ROWS`, the three ranks are plain windows
+    over the aggregate (single pipeline, n free from a count window); past
+    it, each becomes the bucketed two-phase global rank
+    (`ranking.append_global_rank`) — no single-reducer window at
+    100 TB-of-customers.
     """
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -482,25 +486,37 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     from ai_powered_data_pipeline_assistant_spark.operators.ranking import (
+        SINGLE_REDUCER_MAX_ROWS,
         append_global_rank,
     )
 
-    per_cust = per_cust.persist()
-    n_row = per_cust.agg(F.count("*").alias("n"))
-    # each rank is computed independently off the persisted customer frame
-    # (metric + key only) and joined back on the key — three parallel
-    # two-phase ranks, no nested plan growth
-    ranked = per_cust
-    for out_col, metric, order in (
-        ("r_rn", "recency_days", [F.asc("recency_days"), F.asc("o_custkey")]),
-        ("f_rn", "frequency", [F.desc("frequency"), F.asc("o_custkey")]),
-        ("m_rn", "monetary_cents", [F.desc("monetary_cents"), F.asc("o_custkey")]),
-    ):
-        rk = append_global_rank(
-            per_cust.select("o_custkey", metric), order, out_col
-        ).select("o_custkey", out_col)
-        ranked = ranked.join(rk, "o_custkey")
-    ranked = ranked.crossJoin(F.broadcast(n_row))
+    RANK_ORDERS = (
+        ("r_rn", [F.asc("recency_days"), F.asc("o_custkey")]),
+        ("f_rn", [F.desc("frequency"), F.asc("o_custkey")]),
+        ("m_rn", [F.desc("monetary_cents"), F.asc("o_custkey")]),
+    )
+    # n_customers <= n_orders; the zero-column fact count is one cheap job
+    if orders.count() <= SINGLE_REDUCER_MAX_ROWS:
+        # dimension scale: three plain windows over the aggregate, n free
+        # from a count window in the same pass — one pipeline, no extra jobs
+        ranked = per_cust.select(
+            "*",
+            *[
+                F.row_number()
+                .over(Window.partitionBy().orderBy(*order))
+                .cast("long")
+                .alias(out_col)
+                for out_col, order in RANK_ORDERS
+            ],
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+    else:
+        per_cust = per_cust.persist()
+        n = per_cust.count()  # scalar; also materializes the persist
+        ranked = per_cust
+        for out_col, order in RANK_ORDERS:
+            ranked = append_global_rank(ranked, order, out_col, n_rows=n)
+        ranked = ranked.withColumn("n", F.lit(n).cast("long"))
     scored = ranked.select(
         "o_custkey",
         "recency_days",

@@ -1,7 +1,8 @@
-"""Two-phase global rank helper: ranks must equal the single-window
-row_number for any bucket count, and the plan must carry the range
-repartition (the parallel phase) instead of funnelling the frame through
-one unpartitioned window."""
+"""Size-adaptive global rank helper: ranks must equal the single-window
+row_number for any bucket count (forcing the two-phase path via n_rows),
+the plan must carry the range repartition when the two-phase path engages
+and must NOT when the frame is measured small, and the adaptive switch
+must be output-invisible."""
 
 from __future__ import annotations
 
@@ -9,8 +10,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.operators.ranking import (
+    SINGLE_REDUCER_MAX_ROWS,
     append_global_rank,
 )
+
+FORCE_TWO_PHASE = SINGLE_REDUCER_MAX_ROWS + 1
 
 
 def _naive(df, order_cols):
@@ -22,38 +26,64 @@ def _naive(df, order_cols):
     }
 
 
-def test_matches_single_window_rank(spark):
+def test_two_phase_matches_single_window_rank(spark):
     df = spark.range(500).select(
         F.col("id"), (F.col("id") * 37 % 101).alias("v")
     )
     order = [F.desc("v"), F.asc("id")]
     got = {
         r["id"]: r["rank"]
-        for r in append_global_rank(df, order, "rank").collect()
+        for r in append_global_rank(
+            df, order, "rank", n_rows=FORCE_TWO_PHASE
+        ).collect()
     }
     assert got == _naive(df, order)
 
 
-def test_rank_is_total_and_stable_across_bucket_counts(spark):
+def test_adaptive_paths_agree(spark):
     df = spark.range(300).select(F.col("id"), (F.col("id") % 7).alias("v"))
     order = [F.asc("v"), F.asc("id")]  # tie-broken → deterministic
+    small = {
+        r["id"]: r["rank"] for r in append_global_rank(df, order, "rank").collect()
+    }
+    big = {
+        r["id"]: r["rank"]
+        for r in append_global_rank(
+            df, order, "rank", n_rows=FORCE_TWO_PHASE
+        ).collect()
+    }
+    assert small == big == _naive(df, order)
+
+
+def test_rank_is_total_and_stable_across_bucket_counts(spark):
+    df = spark.range(300).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    order = [F.asc("v"), F.asc("id")]
     for buckets in (1, 4, 64):
-        got = sorted(
-            r["rank"]
-            for r in append_global_rank(df, order, "rank", buckets=buckets).collect()
+        ranked = append_global_rank(
+            df, order, "rank", buckets=buckets, n_rows=FORCE_TWO_PHASE
         )
+        got = sorted(r["rank"] for r in ranked.collect())
         assert got == list(range(1, 301))
-        assert {
-            r["id"]: r["rank"]
-            for r in append_global_rank(df, order, "rank", buckets=buckets).collect()
-        } == _naive(df, order)
 
 
-def test_plan_uses_range_partitioning_not_single_window(spark):
+def test_plan_switches_on_measured_size(spark):
     df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("v"))
-    ranked = append_global_rank(df, [F.asc("v"), F.asc("id")], "rank")
-    plan = ranked._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower(), plan
+    order = [F.asc("v"), F.asc("id")]
+    big_plan = (
+        append_global_rank(df, order, "rank", n_rows=FORCE_TWO_PHASE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in big_plan.lower(), big_plan
+    small_plan = (
+        append_global_rank(df, order, "rank", n_rows=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in small_plan.lower(), small_plan
+    assert "SinglePartition" in small_plan, small_plan
 
 
 def test_empty_frame(spark):
