@@ -575,8 +575,9 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_global_rank,
     )
 
-    per_user = per_user.persist()
-    n = per_user.count()  # scalar; also materializes the persist
+    # lazy localCheckpoint (not persist) — computed once, auto-released
+    per_user = per_user.localCheckpoint(eager=False)
+    n = per_user.count()  # scalar; also materializes the checkpoint
     ranked = append_global_rank(
         per_user, [F.col("lat_s"), F.col("user_id")], "rn", n_rows=n
     ).withColumn("n", F.lit(n).cast("long"))

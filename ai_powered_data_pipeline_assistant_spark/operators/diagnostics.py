@@ -71,8 +71,16 @@ def partition_stats(df: DataFrame, keys: list[str]) -> DataFrame:
         append_global_rank,
     )
 
-    counts = df.groupBy(*keys).agg(F.count("*").alias("cnt")).persist()
-    n = counts.count()  # scalar; also materializes the persist
+    counts = (
+        df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+        # lazy localCheckpoint, not persist(): shared by the rank/picks/
+        # summary subtrees exactly once, and its blocks are auto-released
+        # by the ContextCleaner when the frame drops out of scope — a
+        # persist() here leaks CacheManager storage across a long session
+        # unless every caller remembers to unpersist after its action.
+        .localCheckpoint(eager=False)
+    )
+    n = counts.count()  # scalar; also materializes the checkpoint
     ranked = append_global_rank(
         counts, [F.col("cnt")] + [F.col(k) for k in keys], "rn", n_rows=n
     ).withColumn("n", F.lit(n).cast("long"))
@@ -116,7 +124,12 @@ def hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The top-N heaviest keys with their share of all rows — the concrete
     keys you'd salt (or route to AQE skew-join handling)."""
     events = load_table(spark, sf_dir, "events")
-    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt")).persist()
+    # lazy localCheckpoint (not persist) — computed once, auto-released
+    counts = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     # 1-row total crossJoin-broadcast onto the counts — not an unpartitioned
     # window, which would funnel every key-count row through one partition.
     summary = counts.agg(F.sum("cnt").alias("_total"))
@@ -151,7 +164,12 @@ def salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     row through a single partition — the exact shape this table exists to
     remediate)."""
     events = load_table(spark, sf_dir, "events")
-    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt")).persist()
+    # lazy localCheckpoint (not persist) — computed once, auto-released
+    counts = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     summary = counts.agg(
         F.sum("cnt").alias("_total"), F.count("*").alias("_n_keys")
     )

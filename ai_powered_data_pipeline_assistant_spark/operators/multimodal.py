@@ -93,6 +93,29 @@ def decode_media(payload: bytes, modality: str):  # pragma: no cover - stub
     )
 
 
+_FEATURE_DIM = 8
+
+
+def _feat_of(b: bytes) -> tuple[int, int]:
+    """Per-row feature spec (the deterministic byte-level decode fake):
+    (md5-prefix checksum, squared norm of the 8-bucket byte-sum
+    'embedding'). Module-level so `media_probe_audit` can generate golden
+    oracle values from the SAME spec the Arrow workers run."""
+    import hashlib
+
+    import numpy as np
+
+    # md5-prefix checksum: equally deterministic as a byte-sum but
+    # cheaply verifiable in the SQL oracle (md5 is built in everywhere)
+    checksum = int(hashlib.md5(b).hexdigest()[:15], 16) % 1_000_000_007
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+    pad = (-len(arr)) % _FEATURE_DIM
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, dtype=np.int64)])
+    buckets = arr.reshape(-1, _FEATURE_DIM).sum(axis=0)  # elem i → bucket i%dim
+    return checksum, int((buckets * buckets).sum())
+
+
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: vectorized per-batch feature extraction.
 
@@ -102,33 +125,16 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     Python `for byte in payload` loop here costs seconds per million bytes
     and defeats the point of the Arrow batch transfer.
     """
-    import hashlib
-
-    import numpy as np
-
-    dim = 8
-
-    def row_feats(b: bytes) -> tuple[int, int]:
-        # md5-prefix checksum: equally deterministic as a byte-sum but
-        # cheaply verifiable in the SQL oracle (md5 is built in everywhere)
-        checksum = int(hashlib.md5(b).hexdigest()[:15], 16) % 1_000_000_007
-        arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
-        pad = (-len(arr)) % dim
-        if pad:
-            arr = np.concatenate([arr, np.zeros(pad, dtype=np.int64)])
-        buckets = arr.reshape(-1, dim).sum(axis=0)  # element i lands in bucket i%dim
-        return checksum, int((buckets * buckets).sum())
-
     for pdf in batches:
         payloads = pdf["payload"]
-        feats = payloads.map(row_feats)
+        feats = payloads.map(_feat_of)
         yield pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
                 "modality": pdf["modality"],
                 "payload_bytes": payloads.map(len),
                 "byte_checksum": feats.map(lambda t: t[0]),
-                "feature_dim": dim,
+                "feature_dim": _FEATURE_DIM,
                 "feature_norm_scaled": feats.map(lambda t: t[1]),
             }
         )
@@ -199,22 +205,25 @@ _TARGET_DIM = 32
 _N_FRAMES = 4
 
 
+def _resize_of(b: bytes) -> tuple[int, int]:
+    """Per-row resize spec: strided downsample to ≤ 32×32 'pixels' →
+    (kept byte count, checksum). Shared by the Arrow worker and the golden
+    generator in `media_probe_audit`."""
+    import numpy as np
+
+    target = _TARGET_DIM * _TARGET_DIM
+    arr = np.frombuffer(b, dtype=np.uint8)
+    stride = max(1, len(arr) // target)
+    out = arr[::stride][:target].astype(np.int64)
+    return len(out), int(out.sum() % 1_000_000_007)
+
+
 def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Image 'resize' stub: a real implementation decodes with PIL and
     interpolates; this deterministic fake strided-samples the payload bytes
     down to ≤ 32×32 'pixels' — same batch shape, same Arrow path."""
-    import numpy as np
-
-    target = _TARGET_DIM * _TARGET_DIM
-
-    def resize(b: bytes) -> tuple[int, int]:
-        arr = np.frombuffer(b, dtype=np.uint8)
-        stride = max(1, len(arr) // target)
-        out = arr[::stride][:target].astype(np.int64)
-        return len(out), int(out.sum() % 1_000_000_007)
-
     for pdf in batches:
-        res = pdf["payload"].map(resize)
+        res = pdf["payload"].map(_resize_of)
         yield pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
@@ -226,26 +235,36 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _frames_of(b: bytes) -> list[tuple[int, int, int]]:
+    """Per-row frame-sample spec: _N_FRAMES evenly spaced (idx, offset,
+    checksum) tuples. Shared by the Arrow worker and the golden generator
+    in `media_probe_audit`."""
+    import numpy as np
+
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+    n = max(len(arr), 1)
+    frames = []
+    for i in range(_N_FRAMES):
+        off = (n * i) // _N_FRAMES
+        chunk = arr[off : off + max(1, n // _N_FRAMES)]
+        frames.append((i, off, int(chunk.sum() % 1_000_000_007)))
+    return frames
+
+
 def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Video frame-sample stub: emits one ROW PER FRAME (a flatMap-shaped
     mapInPandas — output rows ≠ input rows), sampling _N_FRAMES evenly
     spaced offsets; a real implementation seeks keyframes with ffmpeg."""
-    import numpy as np
-
     for pdf in batches:
         out: dict[str, list] = {
             "media_id": [], "frame_idx": [], "frame_offset": [], "frame_checksum": []
         }
         for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
-            n = max(len(arr), 1)
-            for i in range(_N_FRAMES):
-                off = (n * i) // _N_FRAMES
-                chunk = arr[off : off + max(1, n // _N_FRAMES)]
+            for i, off, ck in _frames_of(payload):
                 out["media_id"].append(media_id)
                 out["frame_idx"].append(i)
                 out["frame_offset"].append(off)
-                out["frame_checksum"].append(int(chunk.sum() % 1_000_000_007))
+                out["frame_checksum"].append(ck)
         yield pd.DataFrame(out)
 
 
@@ -260,6 +279,104 @@ def sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling stage over video rows (1 input row → N output rows)."""
     media = media_table(spark, sf_dir).filter(F.col("modality") == "video")
     return media.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
+
+
+# Fixed probe payloads for the golden-checksum audit: ascii, multi-byte
+# unicode (pins the utf-8 encode), a mid-size string, and one long enough
+# that the resize stride (len // 1024) actually skips bytes.
+MEDIA_PROBES: list[tuple[int, str, str]] = [
+    (0, "image", "tiny"),
+    (1, "audio", "héllo wörld — ünïcode bytes"),
+    (2, "video", "the quick brown fox jumps over the lazy dog " * 12),
+    (3, "image", "PAYLOAD-" + "0123456789abcdef" * 512),
+]
+
+
+def media_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-scorable twin for the three stubbed-decode media stages: run
+    the REAL Arrow `mapInPandas` pipelines (feature extraction, image
+    resize, flatMap-shaped frame sampling) over fixed probe payloads and
+    emit integer metrics per (probe, stage); the oracle carries golden
+    values generated from the same module-level per-row specs
+    (`_feat_of` / `_resize_of` / `_frames_of`) the workers execute — the
+    embedder_probe_audit pattern (north-star multimodal surface; codec
+    decode itself stays stubbed by design, multimodal.py:90). A drift
+    anywhere in the distributed path — utf-8 encode, Arrow batch shape,
+    binary round-trip, the 1→N frame expansion — flips a checksum and the
+    driver hash."""
+    probes = spark.createDataFrame(
+        MEDIA_PROBES, "media_id long, modality string, text string"
+    ).repartition(4)
+    media = probes.select(
+        "media_id",
+        "modality",
+        F.encode("text", "utf-8").cast("binary").alias("payload"),
+    )
+    feats = media.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA).select(
+        "media_id",
+        F.lit("features").alias("stage"),
+        F.col("payload_bytes").alias("m1"),
+        F.col("byte_checksum").alias("m2"),
+        F.col("feature_norm_scaled").alias("m3"),
+    )
+    resized = (
+        media.filter(F.col("modality") == "image")
+        .mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+        .select(
+            "media_id",
+            F.lit("resize").alias("stage"),
+            F.col("resized_bytes").alias("m1"),
+            F.col("resized_checksum").alias("m2"),
+            F.lit(0).cast("long").alias("m3"),
+        )
+    )
+    frames = (
+        media.filter(F.col("modality") == "video")
+        .mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("m1"),
+            F.sum("frame_checksum").alias("m2"),
+            F.sum("frame_offset").alias("m3"),
+        )
+        .select("media_id", F.lit("frames").alias("stage"), "m1", "m2", "m3")
+    )
+    return feats.unionByName(resized).unionByName(frames).orderBy(
+        "media_id", "stage"
+    )
+
+
+def _media_probe_oracle() -> str:
+    rows = []
+    for media_id, modality, text in MEDIA_PROBES:
+        b = text.encode("utf-8")
+        ck, norm = _feat_of(b)
+        rows.append((media_id, "features", len(b), ck, norm))
+        if modality == "image":
+            n, rck = _resize_of(b)
+            rows.append((media_id, "resize", n, rck, 0))
+        if modality == "video":
+            fr = _frames_of(b)
+            rows.append(
+                (
+                    media_id,
+                    "frames",
+                    len(fr),
+                    sum(f[2] for f in fr),
+                    sum(f[1] for f in fr),
+                )
+            )
+    values = ",\n            ".join(
+        f"({i}, '{s}', CAST({a} AS BIGINT), CAST({b} AS BIGINT),"
+        f" CAST({c} AS BIGINT))"
+        for i, s, a, b, c in rows
+    )
+    return f"""
+        SELECT * FROM (VALUES
+            {values}
+        ) AS t(media_id, stage, m1, m2, m3)
+        ORDER BY media_id, stage
+    """
 
 
 ORACLES: dict[str, str] = {
@@ -293,6 +410,9 @@ ORACLES: dict[str, str] = {
                    AS n_dropped
         FROM marked GROUP BY 1 ORDER BY 1
     """,
+    # golden integer checksums generated from the same per-row specs the
+    # Arrow workers run (see media_probe_audit)
+    "media_probe_audit": _media_probe_oracle(),
 }
 
 QUERIES = {
@@ -301,4 +421,5 @@ QUERIES = {
     "media_dedup": media_dedup,
     "resize_images": resize_images,  # rows-only (stubbed decode)
     "sample_frames": sample_frames,  # rows-only (stubbed decode)
+    "media_probe_audit": media_probe_audit,
 }

@@ -60,24 +60,39 @@ MAX_CC_ROUNDS = 50
 BROADCAST_MAX_EDGES = 2_000_000
 
 
-def _labels_maybe_broadcast(labels: DataFrame) -> DataFrame:
+def _labels_maybe_broadcast(labels: DataFrame, n_edges: int | None) -> DataFrame:
     """Apply a broadcast hint to a component-label frame iff the measured
     edge count of the run that produced it is under BROADCAST_MAX_EDGES;
     otherwise return it unhinted so AQE/shuffle join handles corpus-order
-    membership tables."""
-    n_edges = getattr(connected_components, "last_n_edges", None)
+    membership tables. The count must come from the SAME
+    `connected_components_counted` run that produced ``labels`` — a shared
+    mutable default would let a concurrent run's count pick the strategy
+    for the wrong graph."""
     if n_edges is not None and n_edges <= BROADCAST_MAX_EDGES:
         return F.broadcast(labels)
     return labels
 
 
 def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
+    """Labels-only wrapper over `connected_components_counted` for callers
+    that don't need the measured edge count (entity resolution, histogram
+    queries)."""
+    labels, _ = connected_components_counted(edges, max_rounds)
+    return labels
+
+
+def connected_components_counted(
+    edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS
+) -> tuple[DataFrame, int]:
     """Min-label connected components over an undirected edge list, with
     pointer doubling for O(log diameter) convergence.
 
     ``edges`` must expose two long columns ``a_id`` / ``b_id`` (one row per
-    undirected edge). Returns (node, label) where label is the minimum node
-    id reachable from ``node``; only nodes present in ``edges`` appear.
+    undirected edge). Returns ``(labels, n_edges)``: a (node, label) frame
+    where label is the minimum node id reachable from ``node`` (only nodes
+    present in ``edges`` appear), plus the measured symmetrized edge count
+    so callers can size-guard any downstream broadcast of the label frame
+    (`_labels_maybe_broadcast`) without global state.
 
     Each round combines TWO label-shrinking moves before the convergence
     check:
@@ -111,7 +126,6 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
     # every round costs more task-scheduling overhead than the joins
     # themselves. ~500k edges per partition, capped for adversarial graphs.
     n_edges = sym.count()
-    connected_components.last_n_edges = n_edges
     parts = max(1, min(n_edges // 500_000 + 1, 2048))
     if parts < sym.rdd.getNumPartitions():
         sym = sym.repartition(parts, "node").localCheckpoint(eager=False)
@@ -121,7 +135,7 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
     connected_components.last_rounds = 0
     prev = labels.agg(F.sum("label")).first()[0]
     if prev is None:  # no edges → no clustered nodes
-        return labels
+        return labels, n_edges
     for rnd in range(max_rounds):
         # ONE join + ONE groupBy per round: the pointer-doubling hop is an
         # extra DYNAMIC edge u → label(u) unioned into the neighbor list,
@@ -151,7 +165,7 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
         if cur == prev:
             break
         prev = cur
-    return labels
+    return labels, n_edges
 
 
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +183,8 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     each near-dup cluster (ties → lowest doc_id). One row per cluster with
     the keeper and the family size; `cluster_size - 1` docs get dropped."""
     pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
-    clusters = connected_components(pairs).select(
+    labels, n_edges = connected_components_counted(pairs)
+    clusters = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
     docs = load_table(spark, sf_dir, "documents")
@@ -177,7 +192,7 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The post-LSH membership frame broadcasts only while the measured edge
     # count proves it small; on a 30-50%-duplicate web corpus it is
     # corpus-order and goes through a shuffle join instead.
-    joined = _labels_maybe_broadcast(clusters).join(quality, "doc_id")
+    joined = _labels_maybe_broadcast(clusters, n_edges).join(quality, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
     ranked = joined.select(
         "cluster_id",
@@ -239,11 +254,12 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
-    labels = connected_components(pairs).select(
+    cc_labels, n_edges = connected_components_counted(pairs)
+    labels = cc_labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("family_id")
     )
     joined = docs.select("doc_id").join(
-        _labels_maybe_broadcast(labels), "doc_id", "left"
+        _labels_maybe_broadcast(labels, n_edges), "doc_id", "left"
     )
     group = F.coalesce(F.col("family_id"), F.col("doc_id"))
     bucket = md5_int(group.cast("string")) % SPLIT_BUCKETS

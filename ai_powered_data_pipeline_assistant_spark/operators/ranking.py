@@ -57,8 +57,18 @@ def append_global_rank(
             out_col,
             F.row_number().over(Window.orderBy(*order_cols)).cast("long"),
         )
-    parted = df.repartitionByRange(buckets, *order_cols).withColumn(
-        "_rank_bucket", F.spark_partition_id()
+    parted = (
+        df.repartitionByRange(buckets, *order_cols)
+        .withColumn("_rank_bucket", F.spark_partition_id())
+        # Pin the range partitioning: its reservoir-sampled boundaries are
+        # nondeterministic, and `parted` feeds TWO plan subtrees (the
+        # bucket-size aggregate and the intra-bucket rank). Without this,
+        # correctness would hinge on exchange reuse deduplicating the two
+        # shuffles — if reuse doesn't fire (disabled, canonicalization
+        # divergence, recompute after block loss) the subtrees could sample
+        # DIFFERENT boundaries and sizes would disagree with ranks. Lazy:
+        # the first downstream job materializes it.
+        .localCheckpoint(eager=False)
     )
     intra_w = Window.partitionBy("_rank_bucket").orderBy(*order_cols)
     sizes = parted.groupBy("_rank_bucket").agg(F.count("*").alias("_bn"))

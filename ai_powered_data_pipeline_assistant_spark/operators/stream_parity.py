@@ -31,6 +31,7 @@ this repo's own streaming and batch duals.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import time
 import uuid
@@ -60,6 +61,11 @@ def _run_to_memory(
     src = f"{tmp}/src"
     name = f"parity_{run_id}"
     fixture.coalesce(1).write.mode("overwrite").parquet(src)
+    # the stop condition below must know how many rows the stream OWES:
+    # availableNow may split the snapshot across micro-batches, and a
+    # data-available/progress-exists check alone can fire in the gap
+    # between batches and stop the query before all input is consumed
+    n_input = spark.read.parquet(src).count()
     stream = spark.readStream.schema(fixture.schema).parquet(src)
     out = build(stream)
     # one state-store instance per shuffle partition per batch: keep the
@@ -79,11 +85,13 @@ def _run_to_memory(
         if poll_stateful:
             deadline = time.monotonic() + 120
             while time.monotonic() < deadline:
-                if (
+                done = (
                     not q.status["isDataAvailable"]
-                    and q.recentProgress
-                    and sum(p["numInputRows"] for p in q.recentProgress) > 0
-                ):
+                    and not q.status["isTriggerActive"]
+                    and sum(p["numInputRows"] for p in q.recentProgress)
+                    >= n_input
+                )
+                if done:
                     break
                 time.sleep(0.5)
             q.stop()
@@ -92,6 +100,7 @@ def _run_to_memory(
             q.awaitTermination(180)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -234,6 +243,73 @@ def session_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def job_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3 job pipeline ≡ its batch twin: replay a deterministic request
+    set (one request per event, request_id = event_id, some request_ids
+    duplicated verbatim, some job_ids pointing nowhere) through the REAL
+    streaming pipeline — `dedup_requests` (dropDuplicatesWithinWatermark)
+    → `answer_requests` (stream-static context join + template assembly,
+    the reference's pubnub_job_processor.py:198-280 chain) — availableNow,
+    and exceptAll-diff the answered rows against the same operators run in
+    batch mode. One row: request counts both sides, the no-context share,
+    symmetric-difference size, equality. Duplicate requests are exact row
+    copies, so batch dropDuplicates and streaming state both keep an
+    identical row and the comparison is deterministic."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
+        answer_requests,
+        dedup_requests,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    # job_id: mostly resolvable against documents; every 11th request
+    # points at job -1 (no knowledge-base row → the no-context branch)
+    job_id = F.when(F.col("event_id") % 11 == 0, F.lit(-1)).otherwise(
+        F.col("event_id") % 500
+    )
+    base_req = events.select(
+        F.col("event_id").cast("string").alias("request_id"),
+        job_id.cast("long").alias("job_id"),
+        F.col("event_type").alias("query"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    # exact-duplicate retries for every 7th request (the reference's
+    # at-least-once redelivery the 300 s seen-map suppresses)
+    fixture = base_req.union(
+        base_req.filter(F.col("request_id").cast("long") % 7 == 0)
+    )
+    kb = docs.select("doc_id", "text")
+
+    def build(stream: DataFrame) -> DataFrame:
+        return answer_requests(dedup_requests(stream), kb)
+
+    got = _run_to_memory(spark, fixture, build, "append", poll_stateful=False)
+    # lazy localCheckpoint: exceptAll's replication-count rewrite trips an
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on this left-join + concat plan
+    # (Catalyst project-collapse bug); materializing the twin sidesteps it
+    # and also stops the batch pipeline re-running for each diff direction
+    want = answer_requests(dedup_requests(base_req), kb).localCheckpoint(
+        eager=False
+    )
+    n_stream = got.count()
+    return spark.range(1).select(
+        F.lit(n_stream).cast("long").alias("n_requests_stream"),
+        F.lit(want.count()).cast("long").alias("n_requests_batch"),
+        F.lit(
+            got.join(
+                kb.select(F.col("doc_id").alias("job_id")), "job_id", "left_anti"
+            ).count()
+        ).cast("long").alias("n_no_context"),
+        _sym_diff_count(got, want).alias("n_mismatches"),
+    ).select(
+        "n_requests_stream",
+        "n_requests_batch",
+        "n_no_context",
+        "n_mismatches",
+        (F.col("n_mismatches") == 0).alias("stream_equals_batch"),
+    )
+
+
 def _batch_side_sql(name: str) -> str:
     """Reuse the batch twins' own oracle SQL (already driver-green) as the
     parity oracles' source of truth."""
@@ -279,6 +355,24 @@ def _oracles() -> dict[str, str]:
                    true AS stream_equals_batch
             FROM ({_batch_side_sql("session")}) t
         """,
+        # batch side recomputed from first principles: one request per
+        # event (dups are exact copies, so DISTINCT ≡ dedup on request_id),
+        # context = LEFT JOIN documents on the derived job_id
+        "job_stream_parity": """
+            WITH req AS (
+                SELECT DISTINCT CAST(event_id AS VARCHAR) AS request_id,
+                       CASE WHEN event_id % 11 = 0 THEN -1
+                            ELSE event_id % 500 END AS job_id
+                FROM events
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_requests_stream,
+                   CAST(count(*) AS BIGINT) AS n_requests_batch,
+                   CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_no_context,
+                   CAST(0 AS BIGINT) AS n_mismatches,
+                   true AS stream_equals_batch
+            FROM req LEFT JOIN documents d ON d.doc_id = req.job_id
+        """,
     }
 
 
@@ -288,4 +382,5 @@ QUERIES = {
     "cdc_stream_parity": cdc_stream_parity,
     "funnel_stream_parity": funnel_stream_parity,
     "session_stream_parity": session_stream_parity,
+    "job_stream_parity": job_stream_parity,
 }

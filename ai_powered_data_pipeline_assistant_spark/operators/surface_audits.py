@@ -199,6 +199,12 @@ def insert_append_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CACHE_TTL_US = 600 * 1_000_000  # 10-minute TTL, integer microseconds
 
+# Above this measured max-accesses-per-key, the in-row `aggregate` fold
+# (which materializes one key's whole access history as a single array row)
+# gives way to the pointer-doubling chain walk — O(1) state per ROW, exact
+# same verdicts. 250k struct entries ≈ 10 MB per row: a safe upper bite.
+CACHE_FOLD_MAX_KEY_ACCESSES = 250_000
+
 
 def cache_hit_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the EXACT TTLCache policy (functions/caching.TTLCache.get,
@@ -211,27 +217,51 @@ def cache_hit_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 18-min access is 18 min after the insertion even though only 9 min
     after the previous access. Per event_type hit/miss totals and hit rate.
 
-    Scale design: the epoch start is a sequential per-key fold (each
-    decision depends on where the previous MISS fell), which no fixed
-    number of window passes expresses — so accesses are folded per key
-    with the `aggregate` higher-order function over a sorted in-row array:
-    ONE hash shuffle on the key (exactly how the cache itself shards),
-    all arithmetic JVM-side, no Python. Per-key memory is O(accesses per
-    key) — inherent to the policy's sequential dependency; a production
-    variant over unbounded keys would pre-split each key at coarse time
-    boundaries ≫ TTL and fold the splits independently. Timestamps compare
-    as integer microseconds (unix_micros vs DuckDB epoch_us) so the TTL
-    boundary is exact, never a float tolerance."""
+    Scale design — measure, then pick (the repo-standard adaptive guard):
+    - While the measured max accesses-per-key fits an in-row array
+      (CACHE_FOLD_MAX_KEY_ACCESSES), the epoch fold runs as the
+      `aggregate` higher-order function over each key's sorted access
+      array: ONE hash shuffle on the key, all arithmetic JVM-side.
+    - Past it (a hot key with 10⁸ accesses would be one giant row), the
+      replay switches to `_cache_verdicts_chain`: gap-sessionize, then
+      pointer-double the greedy miss chain — O(1) state per row, O(log
+      misses-per-session) join rounds, exact same verdicts (docstring
+      there has the proof sketch).
+    Timestamps compare as integer microseconds (unix_micros vs DuckDB
+    epoch_us) so the TTL boundary is exact, never a float tolerance."""
     events = load_table(spark, sf_dir, "events")
     # ts is TIMESTAMP_NTZ off parquet; session tz is UTC, so the cast is the
     # identity conversion that makes unix_micros applicable (same convention
     # as behavior.event_gaps).
     us = F.unix_micros(F.col("ts").cast("timestamp"))
+    acc = events.select("user_id", us.alias("ts_us"), "event_id", "event_type")
+    max_per_key = (
+        acc.groupBy("user_id").agg(F.count("*").alias("c")).agg(F.max("c")).first()[0]
+    )
+    if max_per_key is not None and max_per_key > CACHE_FOLD_MAX_KEY_ACCESSES:
+        folded = _cache_verdicts_chain(acc)
+    else:
+        folded = _cache_verdicts_fold(acc)
+    hits = F.sum(F.when(F.col("hit"), 1).otherwise(0))
+    total = F.count("*")
+    return (
+        folded.groupBy("event_type")
+        .agg(
+            hits.alias("hits"),
+            (total - hits).alias("misses"),
+            F.round(hits / total.cast("double"), 6).alias("hit_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _cache_verdicts_fold(acc: DataFrame) -> DataFrame:
+    """(event_type, hit) per access via the in-row sequential fold — the
+    small-key path: each key's history becomes one sorted array row."""
     per_key = (
-        events.select("user_id", us.alias("ts_us"), "event_id", "event_type")
         # sort_array orders the struct lexicographically → (ts_us, event_id)
         # is the same total order as the oracle's ORDER BY ts, event_id
-        .groupBy("user_id")
+        acc.groupBy("user_id")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("ts_us", "event_id", "event_type"))
@@ -241,7 +271,7 @@ def cache_hit_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fold state = (epoch = ts of the last miss, out = per-access verdicts).
     # Seed epoch at -2^62 so the first access is always a miss (and the
     # subtraction stays inside int64).
-    folded = per_key.select(
+    return per_key.select(
         F.explode(
             F.expr(
                 f"""
@@ -264,16 +294,94 @@ def cache_hit_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("a")
     ).select("a.event_type", "a.hit")
-    hits = F.sum(F.when(F.col("hit"), 1).otherwise(0))
-    total = F.count("*")
+
+
+def _cache_verdicts_chain(acc: DataFrame) -> DataFrame:
+    """(event_type, hit) per access with O(1) state per ROW — the hot-key
+    path. Exact, not approximate:
+
+    1. Gap-sessionize each key at inter-access gaps > TTL. The access that
+       opens a session is provably a MISS regardless of prior state (epoch
+       ≤ previous access ts, so its age > gap > TTL), so sessions replay
+       independently — this is the only boundary at which the sequential
+       policy actually decouples (fixed time-bucket splits do NOT: an
+       epoch-alignment shift cascades arbitrarily far past a boundary).
+    2. Within a session (all gaps ≤ TTL) the misses form the greedy chain
+       m₀ = first access, m_{k+1} = first access with ts > ts(m_k) + TTL.
+       `g(i)` = that jump target's intra-session index = the count of
+       in-session accesses with ts ≤ ts_i + TTL — ONE rangeBetween window
+       sharing the sessionization shuffle. The chain = the orbit of index
+       0 under g, computed by pointer doubling (reach ∪ jump(reach), jump
+       squared each round — connected_components' trick applied to a
+       functional graph): O(log misses-per-session) equi-join rounds,
+       every frame row-per-access, never row-per-key.
+    3. hit(i) ⇔ i not in the orbit.
+    """
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_reset = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(order) > CACHE_TTL_US, 1
+    ).otherwise(0)
+    with_sess = acc.withColumn("sess", F.sum(gap_reset).over(order))
+    sess_w = Window.partitionBy("user_id", "sess").orderBy("ts_us", "event_id")
+    range_w = (
+        Window.partitionBy("user_id", "sess")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, CACHE_TTL_US)
+    )
+    n_w = Window.partitionBy("user_id", "sess")
+    base = with_sess.select(
+        "user_id",
+        "sess",
+        "event_type",
+        (F.row_number().over(sess_w) - 1).alias("idx"),
+        # g(idx): ties in ts_us all count (≤ bound), matching the policy's
+        # hit-iff-age-≤-TTL with the (ts, event_id) total order
+        F.count("*").over(range_w).alias("g"),
+        F.count("*").over(n_w).alias("n_sess"),
+        # per-session miss-chain length bound: one miss per TTL of span
+        (
+            (F.max("ts_us").over(n_w) - F.min("ts_us").over(n_w))
+            / F.lit(CACHE_TTL_US)
+        ).alias("span_ttls"),
+    ).localCheckpoint(eager=False)
+    max_chain = base.agg(F.max("span_ttls")).first()[0]
+    if max_chain is None:  # no accesses at all
+        return base.select("event_type", F.lit(True).alias("hit"))
+    rounds = max(1, int(max_chain + 1).bit_length())
+    jump = base.filter(F.col("g") < F.col("n_sess")).select(
+        "user_id", "sess", "idx", "g"
+    )
+    reach = base.filter(F.col("idx") == 0).select("user_id", "sess", "idx")
+    for k in range(rounds):
+        # reach covers chain distances < 2^k; jump spans 2^k steps → after
+        # this round reach covers < 2^{k+1}. Distances are unique along a
+        # chain, so no dedup shuffle is needed.
+        reach = reach.union(
+            reach.join(jump, ["user_id", "sess", "idx"]).select(
+                "user_id", "sess", F.col("g").alias("idx")
+            )
+        ).localCheckpoint(eager=False)
+        if k < rounds - 1:
+            j2 = jump.select(
+                F.col("user_id"),
+                F.col("sess"),
+                F.col("g").alias("idx"),
+                F.col("idx").alias("_src"),
+            )
+            jump = (
+                j2.join(jump, ["user_id", "sess", "idx"])
+                .select(
+                    "user_id", "sess", F.col("_src").alias("idx"), "g"
+                )
+                .localCheckpoint(eager=False)
+            )
+    misses = reach.withColumn("is_miss", F.lit(True))
     return (
-        folded.groupBy("event_type")
-        .agg(
-            hits.alias("hits"),
-            (total - hits).alias("misses"),
-            F.round(hits / total.cast("double"), 6).alias("hit_rate"),
+        base.join(misses, ["user_id", "sess", "idx"], "left")
+        .select(
+            "event_type",
+            F.coalesce(~F.col("is_miss"), F.lit(True)).alias("hit"),
         )
-        .orderBy("event_type")
     )
 
 

@@ -84,7 +84,10 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int 
         "vec_id",
         cosine_similarity(F.col("embedding"), F.col("query_vec")).alias("similarity"),
     )
-    return _per_query_topk(scored, k)
+    # brute force scores the whole corpus per query: the corpus row count
+    # IS the per-query reducer load, so measure it and let the helper pick
+    # the plain window below the single-reducer bound
+    return _per_query_topk(scored, k, per_query_rows=emb.count())
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5) -> DataFrame:
@@ -162,7 +165,9 @@ def assign_lists(
 TOPK_SALTS = 8
 
 
-def _per_query_topk(candidates: DataFrame, k: int) -> DataFrame:
+def _per_query_topk(
+    candidates: DataFrame, k: int, per_query_rows: int | None = None
+) -> DataFrame:
     """Salted two-phase grouped top-k (same pattern as `knn_join`): phase 1
     keeps top-k per (query_id, salt) — TOPK_SALTS× more reduce groups than
     queries, so no single reducer sees a query's full candidate list —
@@ -170,7 +175,26 @@ def _per_query_topk(candidates: DataFrame, k: int) -> DataFrame:
     Window.partitionBy(query_id) over all scored rows would funnel the
     whole corpus through |Q| reducers — the grouped-top-N scale killer.
     Both phases use the same (similarity DESC, vec_id ASC) total order, so
-    the result is bit-identical to the single-window formulation."""
+    the result is bit-identical to the single-window formulation.
+
+    ``per_query_rows`` is the caller's measured (upper bound on) candidate
+    rows per query; when it proves a single reducer's load small, the plain
+    one-window plan is used instead — the salted form pays an extra shuffle
+    that only buys anything once per-query candidate lists are large
+    (the repo-standard measure-then-pick guard, ranking.py:31 shape)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.ranking import (
+        SINGLE_REDUCER_MAX_ROWS,
+    )
+
+    if per_query_rows is not None and per_query_rows <= SINGLE_REDUCER_MAX_ROWS:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("similarity"), F.asc("vec_id")
+        )
+        return (
+            candidates.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "vec_id", "similarity", "rk")
+        )
     salted = candidates.withColumn("salt", F.col("vec_id") % TOPK_SALTS)
     w1 = Window.partitionBy("query_id", "salt").orderBy(
         F.desc("similarity"), F.asc("vec_id")

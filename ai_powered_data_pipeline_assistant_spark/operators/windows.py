@@ -226,9 +226,14 @@ def user_activity_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
-    parted = counts.repartitionByRange(
-        32, F.desc("cnt"), F.asc("user_id")
-    ).withColumn("bucket", F.spark_partition_id())
+    parted = (
+        counts.repartitionByRange(32, F.desc("cnt"), F.asc("user_id"))
+        .withColumn("bucket", F.spark_partition_id())
+        # Pin the sampled range boundaries: `parted` feeds two subtrees
+        # (intra-bucket running sums and the per-bucket totals) — see
+        # ranking.append_global_rank for the full rationale.
+        .localCheckpoint(eager=False)
+    )
     intra_w = (
         Window.partitionBy("bucket")
         .orderBy(F.desc("cnt"), "user_id")
@@ -511,8 +516,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(Window.partitionBy()).alias("n"),
         )
     else:
-        per_cust = per_cust.persist()
-        n = per_cust.count()  # scalar; also materializes the persist
+        # lazy localCheckpoint (not persist) — computed once, auto-released
+        per_cust = per_cust.localCheckpoint(eager=False)
+        n = per_cust.count()  # scalar; also materializes the checkpoint
         ranked = per_cust
         for out_col, order in RANK_ORDERS:
             ranked = append_global_rank(ranked, order, out_col, n_rows=n)
@@ -584,21 +590,65 @@ def watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     `withWatermark` for a production stream (too tight silently drops
     data; too loose bloats state).
 
-    Lateness is integer seconds off one global running max (arrival-order
-    window). At 100 TB the running max moves to the two-phase bucketed
-    prefix pattern (`user_activity_pareto`); the candidate evaluation is
+    Lateness is integer seconds off the arrival-order running event-time
+    max. Scale shape: the running max is a prefix aggregate, so it uses
+    the same two-phase bucketed pattern as `ranking.append_global_rank` —
+    range-partition on arrival order, per-bucket running max in parallel,
+    then greatest() with the broadcast exclusive prefix max of earlier
+    buckets' maxima (≤ buckets rows). Below SINGLE_REDUCER_MAX_ROWS the
+    plain single window is cheaper and is used instead (measure, then
+    pick — the repo-standard adaptive guard); the candidate evaluation is
     a fixed-width conditional aggregate either way.
     """
+    from ai_powered_data_pipeline_assistant_spark.operators.ranking import (
+        SINGLE_REDUCER_MAX_ROWS,
+    )
+
     events = load_table(spark, sf_dir, "events")
     base = events.select(
         "event_id", F.unix_timestamp("ts").alias("es")
     )
-    w = Window.partitionBy().orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    late = base.select(
-        (F.max("es").over(w) - F.col("es")).alias("late_s")
-    )
+    if events.count() <= SINGLE_REDUCER_MAX_ROWS:
+        w = Window.partitionBy().orderBy("event_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        late = base.select(
+            (F.max("es").over(w) - F.col("es")).alias("late_s")
+        )
+    else:
+        parted = (
+            base.repartitionByRange(32, F.asc("event_id"))
+            .withColumn("_wb", F.spark_partition_id())
+            # pin the sampled range boundaries — `parted` feeds two plan
+            # subtrees (intra running max + per-bucket maxima); see
+            # ranking.append_global_rank
+            .localCheckpoint(eager=False)
+        )
+        intra_w = (
+            Window.partitionBy("_wb")
+            .orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        bucket_max = parted.groupBy("_wb").agg(F.max("es").alias("_bmax"))
+        # exclusive prefix max over ≤32 bucket rows — trivially single-node
+        prev_w = Window.orderBy("_wb").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = bucket_max.select(
+            "_wb", F.max("_bmax").over(prev_w).alias("_prev_max")
+        )
+        late = (
+            parted.withColumn("_intra_max", F.max("es").over(intra_w))
+            .join(F.broadcast(offsets), "_wb")
+            # greatest() skips NULLs, so the first bucket (no prior max)
+            # falls back to its own intra running max
+            .select(
+                (
+                    F.greatest(F.col("_intra_max"), F.col("_prev_max"))
+                    - F.col("es")
+                ).alias("late_s")
+            )
+        )
     aggs = []
     for wm in WATERMARK_CANDIDATES:
         aggs.append(

@@ -85,79 +85,86 @@ _MODULES = [
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The correctness driver checks the FIRST 50 registry entries per round, so
-# ordering decides which queries get a driver verdict. Round-4 window:
-# (a) re-checks for every operator whose code changed this round (guarded
-# label broadcasts, salted batch top-k, the insertion-anchored cache
-# policy rewrite), (b) the four new driver-scorable twins (embedder golden
-# checksums + the three streaming-vs-batch parity rows), and (c)
-# never-checked entries, graph/entity/market families first per the
-# round-3 verdict. Remaining never-checked queries rotate per the pools
-# in ROADMAP.md; run scripts/next_window.py before each rotation.
+# ordering decides which queries get a driver verdict. Round-5 window:
+# (a) re-checks for every operator whose code changed this round (counted
+# connected-components + explicit broadcast-guard count, pinned bucketed
+# ranks, persist → localCheckpoint swaps, the bounded cache-replay chain
+# path, the hardened stream-parity harness, the guarded batch top-k),
+# (b) the two new driver-scorable twins (job_stream_parity,
+# media_probe_audit), and (c) never-checked entries — multimodal /
+# embedding-stats / sampling / scoring / behavior-tail / revenue /
+# incremental families first per the round-4 verdict. Remaining
+# never-checked queries rotate per the pools in ROADMAP.md; run
+# scripts/next_window.py before each rotation.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- re-checks: code changed in round 4, r3-green rows must stay green --
+    # -- re-checks: code changed in round 5 (CC counted-return + broadcast
+    # guard, append_global_rank/pareto localCheckpoint pin, persist →
+    # localCheckpoint swaps, cache chain path, stream-parity poll loop) --
     "cluster_safe_split",
     "neardup_keep_best",
-    "ann_brute_topk",
-    "ann_ivf_topk",
+    "neardup_cluster_sizes",
+    "split_contamination_audit",
+    "entity_clusters",
     "cache_hit_simulation",
-    # -- new this round: U2 golden-checksum twin + streaming parity rows --
-    "embedder_probe_audit",
+    "key_skew_stats",
+    "salting_plan",
     "cdc_stream_parity",
     "funnel_stream_parity",
     "session_stream_parity",
-    # -- never checked: graph / entity / market families --
-    "event_pagerank",
-    "markov_prediction_audit",
-    "event_trigrams",
-    "entity_match_pairs",
-    "entity_clusters",
-    "entity_canonical_rollup",
-    "basket_pairs",
-    "item_recommendations",
-    "knn_join",
-    "weighted_median",
-    # -- never checked: semantic / incremental dedup tail --
-    "semantic_dedup",
-    "semantic_decontaminate",
-    "containment_pairs",
-    "crosscorpus_neardup",
-    "daily_dedup_ledger",
-    "split_contamination_audit",
-    "neardup_triangles",
-    "neardup_cluster_sizes",
-    "minhash_calibration_audit",
-    "doc_duplication_share",
-    "lsh_parameter_plan",
-    "dedup_method_report",
-    # -- never checked: retrieval quality --
-    "hybrid_search_rrf",
-    "retrieval_ndcg",
-    "ivf_balance_report",
-    "ivf_probe_recall_sweep",
-    # -- never checked: formats round-trips + physical layout --
-    "jsonl_roundtrip_agg",
-    "csv_roundtrip_agg",
-    "orc_roundtrip_agg",
-    "bucketed_join_rollup",
-    "events_partition_pruned",
-    "zorder_pruning_audit",
-    # -- never checked: diagnostics (salting_plan changed this round) --
-    "salting_plan",
-    "key_skew_stats",
-    "column_profile",
-    "table_inventory",
-    # -- never checked: text / corpus quality --
-    "normalize_text",
-    "readability_scores",
-    "lexical_diversity",
-    # -- never checked: splits --
-    "train_test_split",
-    "temporal_split",
+    "ann_brute_topk",
+    # -- changed this round AND never checked --
+    "watermark_planner",
+    "user_activity_pareto",
+    "hot_keys",
+    "conversion_latency",
+    "rfm_segments",
+    "docs_profile",
+    # -- new this round: T2 job-pipeline parity twin --
+    "job_stream_parity",
+    # -- never checked: multimodal --
+    "extract_features",
+    "resize_images",
+    "sample_frames",
+    "media_dedup",
+    "media_probe_audit",
+    # -- never checked: embedding stats --
+    "pca_project",
+    "pca_variance_report",
+    "embedding_quantize",
+    "embedding_drift_report",
+    "dimension_variance_report",
+    "label_balance_report",
+    # -- never checked: sampling --
+    "stratified_sample",
+    "weighted_sample",
+    "source_mix_resample",
+    # -- never checked: scoring tail --
+    "unigram_logprob",
+    "bigram_logprob",
+    "compression_ratio_audit",
+    "quality_classifier",
+    # -- never checked: behavior tail --
+    "stickiness_report",
+    "churn_risk_flags",
+    "ab_test_report",
+    "forecast_baseline_report",
+    "dn_retention",
+    "decayed_engagement",
+    # -- never checked: revenue analytics --
+    "customer_running_revenue",
+    "brand_revenue_share",
+    "monthly_revenue_yoy",
+    "discount_effectiveness",
+    "order_to_ship_latency",
+    # -- never checked: incremental --
+    "cdc_apply",
+    "incremental_daily_rollup",
 )
-# Still never-checked after this window (~85 names; rotate round 5+):
-# behavior tail (stickiness/churn/cohort variants, ab tests, forecasting),
-# sampling (stratified/weighted/source_mix), embedding stats (pca/quantize/
-# drift), revenue analytics, scoring tail, remaining diagnostics — run
+# Still never-checked after this window (~47 names; rotate round 6+):
+# behavior/cohort variants (heatmap/transitions/seasonality/retention
+# tail), corpus/webcorpus tail (vocab/zipf/domain/tfidf/manifest), windows
+# tail (gapfill/anomalies/ntiles), kmeans/centroid reports, remaining
+# diagnostics (scan_file_stats, fk_integrity_audit) — run
 # scripts/next_window.py for the authoritative set.
 
 

@@ -179,7 +179,8 @@ def test_label_broadcast_guard_flips_join_strategy(spark):
     """The membership-label broadcast is size-guarded: under
     BROADCAST_MAX_EDGES the hint forces a BroadcastHashJoin; above it (a
     30-50%-duplicate web corpus, labels corpus-order) the hint is dropped
-    and the join falls back to a shuffle join — no forced driver OOM."""
+    and the join falls back to a shuffle join — no forced driver OOM.
+    The count is an explicit parameter (no global state)."""
     from ai_powered_data_pipeline_assistant_spark.operators.neardup_cluster import (
         BROADCAST_MAX_EDGES,
         _labels_maybe_broadcast,
@@ -189,26 +190,45 @@ def test_label_broadcast_guard_flips_join_strategy(spark):
         F.col("id").alias("doc_id"), F.col("id").alias("family_id")
     )
     docs = spark.range(256).select(F.col("id").alias("doc_id"))
-    saved = getattr(connected_components, "last_n_edges", None)
     threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         # disable size-based auto-broadcast so the HINT is the only thing
         # that can pick the strategy — the flip is then observable
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-        connected_components.last_n_edges = BROADCAST_MAX_EDGES  # small: hint on
-        small = docs.join(_labels_maybe_broadcast(labels), "doc_id", "left")
+        small = docs.join(
+            _labels_maybe_broadcast(labels, BROADCAST_MAX_EDGES), "doc_id", "left"
+        )
         small_plan = small._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in small_plan, small_plan
 
-        connected_components.last_n_edges = BROADCAST_MAX_EDGES + 1  # large: off
-        big = docs.join(_labels_maybe_broadcast(labels), "doc_id", "left")
+        big = docs.join(
+            _labels_maybe_broadcast(labels, BROADCAST_MAX_EDGES + 1), "doc_id", "left"
+        )
         big_plan = big._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in big_plan, big_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
-        if saved is None:
-            if hasattr(connected_components, "last_n_edges"):
-                del connected_components.last_n_edges
-        else:
-            connected_components.last_n_edges = saved
+
+
+def test_counted_components_interleaved_runs_use_own_edge_counts(spark):
+    """Two back-to-back connected_components_counted runs of very different
+    sizes each report THEIR OWN edge count — the broadcast guard decision
+    for one graph can never be made on the other's count (the round-4
+    function-attribute side channel, removed in round 5)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.neardup_cluster import (
+        connected_components_counted,
+    )
+
+    tiny_edges = spark.createDataFrame([(0, 1)], "a_id long, b_id long")
+    big_edges = spark.range(500).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    tiny_labels, tiny_n = connected_components_counted(tiny_edges)
+    big_labels, big_n = connected_components_counted(big_edges)
+    # counts are the symmetrized edge-list sizes of EACH graph
+    assert tiny_n == 2
+    assert big_n == 1000
+    # the earlier (tiny) result's count is untouched by the later run
+    assert tiny_labels.count() == 2
+    assert big_labels.count() == 501

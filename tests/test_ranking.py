@@ -69,13 +69,15 @@ def test_rank_is_total_and_stable_across_bucket_counts(spark):
 def test_plan_switches_on_measured_size(spark):
     df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("v"))
     order = [F.asc("v"), F.asc("id")]
-    big_plan = (
-        append_global_rank(df, order, "rank", n_rows=FORCE_TWO_PHASE)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "rangepartitioning" in big_plan.lower(), big_plan
+    big = append_global_rank(df, order, "rank", n_rows=FORCE_TWO_PHASE)
+    # the range repartition is pinned behind a localCheckpoint (so the two
+    # consuming subtrees can never sample different boundaries): the
+    # downstream plan reads the checkpointed RDD, and the range shuffle
+    # lives in the checkpoint's own lineage
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in big_plan and "_rank_bucket" in big_plan, big_plan
+    ckpt_plan = big._jdf.queryExecution().analyzed().toString()
+    assert "_rank_bucket" in ckpt_plan, ckpt_plan
     small_plan = (
         append_global_rank(df, order, "rank", n_rows=100)
         ._jdf.queryExecution()
@@ -89,3 +91,20 @@ def test_plan_switches_on_measured_size(spark):
 def test_empty_frame(spark):
     df = spark.range(0).select(F.col("id"), F.col("id").alias("v"))
     assert append_global_rank(df, [F.asc("v"), F.asc("id")], "rank").count() == 0
+
+
+def test_watermark_planner_two_phase_path_matches_single_window(spark, sf_dir, monkeypatch):
+    """`watermark_planner`'s running max switches to the bucketed two-phase
+    prefix pattern past SINGLE_REDUCER_MAX_ROWS; forcing the threshold to 0
+    must produce byte-identical candidate rows to the plain single-window
+    path (the adaptive switch is output-invisible)."""
+    import ai_powered_data_pipeline_assistant_spark.operators.ranking as ranking
+    from ai_powered_data_pipeline_assistant_spark.operators.windows import (
+        watermark_planner,
+    )
+
+    small = [tuple(r) for r in watermark_planner(spark, sf_dir).collect()]
+    monkeypatch.setattr(ranking, "SINGLE_REDUCER_MAX_ROWS", 0)
+    big = [tuple(r) for r in watermark_planner(spark, sf_dir).collect()]
+    assert small == big
+    assert len(small) > 0

@@ -87,3 +87,50 @@ def test_nl2sql_unmatched_is_refused_not_executed(spark, sf_dir):
     rows = {r["request"]: r for r in sa.nl2sql_audit(spark, sf_dir).collect()}
     assert not rows["drop all the tables"]["matched"]
     assert rows["count nation by n_regionkey"]["n_rows"] == 5
+
+
+def test_cache_chain_path_matches_fold_path(spark, sf_dir, monkeypatch):
+    """The hot-key pointer-doubling replay (`_cache_verdicts_chain`) must
+    produce the exact same per-type hit/miss totals as the in-row fold —
+    the adaptive switch is output-invisible. Forced by dropping the
+    guard threshold to 0."""
+    baseline = [tuple(r) for r in sa.cache_hit_simulation(spark, sf_dir).collect()]
+    monkeypatch.setattr(sa, "CACHE_FOLD_MAX_KEY_ACCESSES", 0)
+    chained = [tuple(r) for r in sa.cache_hit_simulation(spark, sf_dir).collect()]
+    assert baseline == chained
+    assert len(baseline) > 0
+
+
+def test_cache_chain_verdicts_exact_on_adversarial_alignment(spark):
+    """Chain-path verdicts on a hand-built stream that breaks naive fixed
+    time-bucket splitting: accesses spaced 0.9·TTL apart keep shifting the
+    epoch alignment, so every verdict depends on the full prefix. The
+    greedy-chain orbit must reproduce the sequential policy exactly."""
+    from ai_powered_data_pipeline_assistant_spark.operators.surface_audits import (
+        CACHE_TTL_US,
+        _cache_verdicts_chain,
+        _cache_verdicts_fold,
+    )
+
+    step = int(CACHE_TTL_US * 0.9)
+    rows = [("u1", i * step, i, f"t{i % 3}") for i in range(40)]
+    # plus a second key with a > TTL gap (session split) and ties
+    rows += [("u2", 0, 100, "a"), ("u2", 0, 101, "a"),
+             ("u2", CACHE_TTL_US, 102, "a"),
+             ("u2", 3 * CACHE_TTL_US, 103, "a")]
+    acc = spark.createDataFrame(
+        rows, "user_id string, ts_us long, event_id long, event_type string"
+    )
+
+    def totals(df):
+        out = {}
+        for r in df.groupBy("event_type", "hit").count().collect():
+            out[(r["event_type"], r["hit"])] = r["count"]
+        return out
+
+    assert totals(_cache_verdicts_chain(acc)) == totals(_cache_verdicts_fold(acc))
+    # u2 ground truth: miss(t=0), hit(tie t=0), hit(t=TTL, age==TTL → hit),
+    # miss(t=3·TTL, new session)
+    u2 = _cache_verdicts_chain(acc.filter("user_id = 'u2'"))
+    assert u2.filter("hit").count() == 2
+    assert u2.filter("NOT hit").count() == 2
