@@ -68,6 +68,36 @@ def _assign_to_nearest(emb: DataFrame, centroids: list[list[float]]) -> DataFram
     )
 
 
+def _lloyd_centroids(
+    emb: DataFrame, k: int, iters: int
+) -> list[list[float]]:
+    """The Lloyd's iteration loop over any (vec_id, embedding) frame:
+    init = first k stored vectors, then ``iters`` rounds of argmin-assign →
+    per-(cluster, dim) mean (posexplode + partial-aggregated groupBy, only
+    k·dim aggregate rows reach the driver). Shared by `kmeans_embeddings`
+    (corpus) and `kmeans_probe_audit` (fixed integer probes)."""
+    init_rows = (
+        emb.filter(F.col("vec_id") < k).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = [[float(v) for v in r["embedding"]] for r in init_rows]
+    for _ in range(iters):
+        assigned = _assign_to_nearest(emb, centroids)
+        means = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty clusters keep theirs
+        by_cluster: dict[int, list] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], []).append((r["pos"], r["mean"]))
+        for cid, vals in by_cluster.items():
+            new_centroids[cid] = [m for _, m in sorted(vals)]
+        centroids = new_centroids
+    return centroids
+
+
 def kmeans_embeddings(
     spark: SparkSession,
     sf_dir: str,
@@ -85,29 +115,7 @@ def kmeans_embeddings(
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", "embedding"
     )
-    init_rows = (
-        emb.filter(F.col("vec_id") < k).orderBy("vec_id").select("embedding").collect()
-    )
-    centroids = [[float(v) for v in r["embedding"]] for r in init_rows]
-
-    assigned = None
-    for _ in range(iters):
-        assigned = _assign_to_nearest(emb, centroids)
-        # per-dimension means: k·dim aggregate rows, map-side combined
-        means = (
-            assigned.select("cluster", F.posexplode("embedding").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("mean"))
-            .collect()
-        )
-        new_centroids = [list(c) for c in centroids]  # empty clusters keep theirs
-        by_cluster: dict[int, list] = {}
-        for r in means:
-            by_cluster.setdefault(r["cluster"], []).append((r["pos"], r["mean"]))
-        for cid, vals in by_cluster.items():
-            new_centroids[cid] = [m for _, m in sorted(vals)]
-        centroids = new_centroids
-
+    centroids = _lloyd_centroids(emb, k, iters)
     final = _assign_to_nearest(emb, centroids)
     stats = final.groupBy("cluster").agg(
         F.count("*").alias("size"),
@@ -456,8 +464,127 @@ ORACLES["centroid_label_accuracy"] = f"""
     FROM pred GROUP BY 1 ORDER BY 1
 """
 
+
+
+KMEANS_PROBE_DIM = 4
+KMEANS_PROBE_K = 3
+KMEANS_PROBE_ITERS = 3
+
+
+def _kmeans_probe_rows() -> list[tuple[int, list[float]]]:
+    """18 fixed integer vectors in 3 well-separated blobs (around 0, +10,
+    -10 per coordinate, with deterministic ±2 integer jitter). The first k
+    vectors — the Lloyd's seeds — land one per blob. INTEGER components
+    keep every distributed aggregate exact (per-cluster mean = int-sum /
+    int-count, identical bits to the golden replica), so the audit needs
+    no tolerance."""
+    rows = []
+    for i in range(18):
+        blob = i % 3
+        base = {0: 0, 1: 10, 2: -10}[blob]
+        vec = [
+            float(base + ((i * 5 + j * 3) % 5) - 2)
+            for j in range(KMEANS_PROBE_DIM)
+        ]
+        rows.append((i, vec))
+    return rows
+
+
+def kmeans_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable twin for the k-means surface (rows-only until now —
+    iterative + corpus floats): run the REAL distributed Lloyd's loop
+    (`_lloyd_centroids` — argmin-assign projection, posexplode mean
+    aggregation, driver round-trip per iteration) over fixed integer probe
+    vectors and emit per-cluster integers: size, Σ floor(dist²·1e4)
+    (order-free: each row's scaled distance is floored BEFORE the
+    cross-row sum), and Σ_j floor(centroid_j·1e6). The oracle carries
+    goldens from a pure-Python Lloyd replica of the same IEEE ops
+    (left-fold distance accumulation, first-match tie-break, empty-cluster
+    carry-over) — any drift in assignment, the mean aggregation, or
+    iteration order flips a value."""
+    emb = spark.createDataFrame(
+        _kmeans_probe_rows(), "vec_id long, embedding array<double>"
+    ).repartition(4)
+    centroids = _lloyd_centroids(emb, KMEANS_PROBE_K, KMEANS_PROBE_ITERS)
+    final = _assign_to_nearest(emb, centroids)
+    stats = final.groupBy("cluster").agg(
+        F.count("*").alias("size"),
+        F.sum(F.floor(F.col("dist_sq") * 1e4).cast("long")).cast("long").alias(
+            "inertia_u"
+        ),
+    )
+    cent_rows = [
+        (
+            i,
+            int(sum(__import__("math").floor(c_j * 1e6) for c_j in c)),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "cluster int, centroid_u long")
+    return stats.join(broadcast(cent_df), "cluster").orderBy("cluster")
+
+
+def _kmeans_probe_golden() -> list[tuple[int, int, int, int]]:
+    import math
+
+    rows = _kmeans_probe_rows()
+    x = [v for _, v in rows]
+    k, iters, dim = KMEANS_PROBE_K, KMEANS_PROBE_ITERS, KMEANS_PROBE_DIM
+    cents = [list(x[i]) for i in range(k)]
+
+    def dist(v, c):
+        acc = 0.0
+        for j in range(dim):
+            d = v[j] - c[j]
+            acc += d * d
+        return acc
+
+    def assign():
+        out = []
+        for v in x:
+            ds = [dist(v, c) for c in cents]
+            best = min(ds)
+            out.append(next(i for i, d in enumerate(ds) if d == best))
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        new = [list(c) for c in cents]
+        for cid in range(k):
+            members = [x[i] for i in range(len(x)) if a[i] == cid]
+            if members:
+                new[cid] = [
+                    sum(v[j] for v in members) / len(members) for j in range(dim)
+                ]
+        cents = new
+    a = assign()
+    out = []
+    for cid in range(k):
+        members = [i for i in range(len(x)) if a[i] == cid]
+        inertia_u = sum(int(math.floor(dist(x[i], cents[cid]) * 1e4)) for i in members)
+        cent_u = int(sum(math.floor(c_j * 1e6) for c_j in cents[cid]))
+        out.append((cid, len(members), inertia_u, cent_u))
+    return out
+
+
+def _kmeans_probe_oracle() -> str:
+    values = ",\n            ".join(
+        f"({cid}, CAST({n} AS BIGINT), CAST({iu} AS BIGINT), CAST({cu} AS BIGINT))"
+        for cid, n, iu, cu in _kmeans_probe_golden()
+    )
+    return f"""
+        SELECT * FROM (VALUES
+            {values}
+        ) AS t(cluster, size, inertia_u, centroid_u)
+        ORDER BY cluster
+    """
+
+
+ORACLES["kmeans_probe_audit"] = _kmeans_probe_oracle()
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
+    "kmeans_probe_audit": kmeans_probe_audit,
     "centroid_label_accuracy": centroid_label_accuracy,
     "train_test_split": train_test_split,
     "temporal_split": temporal_split,

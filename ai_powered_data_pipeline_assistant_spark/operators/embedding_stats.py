@@ -107,9 +107,13 @@ def _moments(emb: DataFrame) -> tuple[int, np.ndarray, np.ndarray]:
     return n, s, xtx.reshape(dim, dim)
 
 
-def pca_basis(emb: DataFrame, k: int = PCA_K) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(mean, top-k eigenvectors [k×d], explained-variance ratios [k])."""
-    n, s, xtx = _moments(emb)
+def _basis_from_moments(
+    n: int, s: np.ndarray, xtx: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pure basis math (mean/cov/eigh/sign-pin/ratios) factored out so
+    `pca_probe_audit`'s golden generator runs EXACTLY the ops the query
+    runs — the only difference under audit is where the moments came from
+    (the distributed two-level reduce vs one local numpy pass)."""
     mean = s / n
     cov = xtx / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)  # ascending
@@ -124,11 +128,16 @@ def pca_basis(emb: DataFrame, k: int = PCA_K) -> tuple[np.ndarray, np.ndarray, n
     return mean, top, ratios
 
 
-def pca_project(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> DataFrame:
-    """(vec_id, label, proj[k]) — embeddings projected onto the corpus
-    top-k principal components (mean-centered). Basis broadcasts; the
-    projection is one numpy matmul per Arrow batch."""
-    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+def pca_basis(emb: DataFrame, k: int = PCA_K) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mean, top-k eigenvectors [k×d], explained-variance ratios [k])."""
+    n, s, xtx = _moments(emb)
+    return _basis_from_moments(n, s, xtx, k)
+
+
+def _project_frame(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
+    """(vec_id, label, proj[k]) over any (vec_id, label, embedding) frame:
+    distributed basis + broadcast + one numpy matmul per Arrow batch.
+    Shared by `pca_project` (corpus) and `pca_probe_audit` (fixed probes)."""
     mean, top, _ = pca_basis(emb, k)
     b_mean = spark.sparkContext.broadcast(mean)
     b_top = spark.sparkContext.broadcast(top)
@@ -151,6 +160,14 @@ def pca_project(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> DataFrame:
     )
 
 
+def pca_project(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> DataFrame:
+    """(vec_id, label, proj[k]) — embeddings projected onto the corpus
+    top-k principal components (mean-centered). Basis broadcasts; the
+    projection is one numpy matmul per Arrow batch."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    return _project_frame(spark, emb, k)
+
+
 def pca_variance_report(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> DataFrame:
     """One row per component: explained-variance ratio and cumulative —
     the scree report used to pick k."""
@@ -165,17 +182,90 @@ def pca_variance_report(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> Dat
     )
 
 
-def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector int8 affine quantization (the vector-store compression
-    step: 4 bytes/dim → 1) with per-vector reconstruction-error stats.
+PCA_PROBE_N = 24
+PCA_PROBE_DIM = 6
+PCA_PROBE_K = 3
 
-    scale/zero-point derive from each vector's own min/max (asymmetric
-    per-row quantization); everything is array HOFs on the JVM — no
-    shuffle, no Python. Output keeps the int8 codes plus max-abs and mean
-    reconstruction error so a caller can gate on quality. Rows-only check
-    (per-element float round-trips aren't SQL-oracle-stable); numeric
-    bounds are pinned in tests/test_embedding_stats.py."""
-    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+
+def _pca_probe_matrix() -> np.ndarray:
+    """Fixed integer-valued probe matrix. INTEGER components make the
+    distributed moment sums EXACT in float64 (every partial and their sum
+    is an integer ≪ 2^53), so the audit's moments equal the golden
+    generator's local pass bit-for-bit regardless of partition order —
+    the one place the distributed path could have diverged."""
+    return np.array(
+        [
+            [((i * 7 + j * 13 + (i * j) % 5) % 19) - 9 for j in range(PCA_PROBE_DIM)]
+            for i in range(PCA_PROBE_N)
+        ],
+        dtype=np.float64,
+    )
+
+
+def pca_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable twin for the PCA surface (rows-only until now —
+    DuckDB has no eigensolver, so the oracle carries GOLDEN integers
+    generated at import from the same `_basis_from_moments` + projection
+    ops, fed by a local exact-moment pass; the embedder_probe_audit
+    pattern). The query runs the REAL distributed pipeline — mapInPandas
+    moment partials over 5 partitions, the fixed-pool merge reduce, driver
+    eigh, broadcast basis, Arrow-batched projection — over the fixed
+    integer probe matrix, then reduces to integer checksums: any drift in
+    the two-level reduce, Arrow round-trip, sign pinning, or component
+    ordering flips a value."""
+    x = _pca_probe_matrix()
+    rows = [
+        (i, int(i % 3), [float(v) for v in x[i]]) for i in range(PCA_PROBE_N)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).repartition(5)
+    proj = _project_frame(spark, emb, PCA_PROBE_K)
+    q = F.transform(F.col("proj"), lambda v: F.floor(v * 10_000))
+    per_vec = proj.select(
+        F.concat(F.lit("vec_"), F.lpad(F.col("vec_id").cast("string"), 2, "0")).alias(
+            "item"
+        ),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, b: a + b).alias("metric_u"),
+    )
+    _, _, ratios = pca_basis(emb, PCA_PROBE_K)
+    extras = [("dim", PCA_PROBE_DIM), ("n", PCA_PROBE_N)] + [
+        (f"ratio_{c}", int(np.floor(r * 1_000_000))) for c, r in enumerate(ratios)
+    ]
+    extra_df = spark.createDataFrame(extras, "item string, metric_u long")
+    return per_vec.unionByName(extra_df).orderBy("item")
+
+
+def _pca_probe_oracle() -> str:
+    x = _pca_probe_matrix()
+    n = x.shape[0]
+    s = x.sum(axis=0)
+    xtx = x.T @ x
+    mean, top, ratios = _basis_from_moments(n, s, xtx, PCA_PROBE_K)
+    p = np.round((x - mean) @ top.T, PROJ_ROUND)
+    rows = [
+        (f"vec_{i:02d}", int(np.floor(p[i] * 10_000).sum())) for i in range(n)
+    ]
+    rows += [("dim", PCA_PROBE_DIM), ("n", n)]
+    rows += [
+        (f"ratio_{c}", int(np.floor(r * 1_000_000))) for c, r in enumerate(ratios)
+    ]
+    values = ",\n            ".join(
+        f"('{item}', CAST({v} AS BIGINT))" for item, v in rows
+    )
+    return f"""
+        SELECT * FROM (VALUES
+            {values}
+        ) AS t(item, metric_u)
+        ORDER BY item
+    """
+
+
+def _quantize_frame(emb: DataFrame) -> DataFrame:
+    """Shared int8 affine-quantization frame: input rows plus `_lo`,
+    `_scale`, `_codes`, `_deq`, `_err` columns — all array HOFs on the
+    JVM, no shuffle, no Python. Used by `embedding_quantize` (full output)
+    and `embedding_quantize_audit` (scalarized driver-hashable twin)."""
     lo = F.array_min("embedding")
     hi = F.array_max("embedding")
     scale = (hi - lo) / F.lit(255.0)
@@ -189,13 +279,26 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.expr(
         "transform(arrays_zip(embedding, _deq), p -> abs(p.embedding - p.`_deq`))"
     )
-    out = (
+    return (
         emb.withColumn("_lo", lo.cast("double"))
         .withColumn("_scale", safe_scale.cast("double"))
         .withColumn("_codes", q)
         .withColumn("_deq", deq)
         .withColumn("_err", err)
     )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 affine quantization (the vector-store compression
+    step: 4 bytes/dim → 1) with per-vector reconstruction-error stats.
+
+    scale/zero-point derive from each vector's own min/max (asymmetric
+    per-row quantization). Output keeps the int8 codes plus max-abs and
+    mean reconstruction error so a caller can gate on quality. Rows-only
+    check (the codes ARRAY can't cross the driver's canonicalizer);
+    `embedding_quantize_audit` is the scalarized oracle-exact twin."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    out = _quantize_frame(emb)
     return out.select(
         "vec_id",
         "_codes",
@@ -207,6 +310,43 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_abs_err"),
         F.col("_scale").alias("scale"),
         F.col("_lo").alias("zero_point"),
+    ).orderBy("vec_id")
+
+
+def embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable twin of `embedding_quantize`: per-vector integer
+    checksums of the int8 codes (sum, sum of squares, min, max) plus
+    floor-scaled reconstruction-error/scale/zero-point — every element of
+    the codes array participates in a checksum, so any drift in the JVM
+    quantization chain flips a hash. The oracle recomputes the SAME
+    IEEE-double chain with DuckDB list functions (both engines promote
+    float→double at the same points and round half away from zero, so the
+    comparison is exact, not tolerance-based); floor(x·1e6) on identical
+    doubles avoids the decimal-rounding divergence a round(x, 6) pair
+    could hit."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    out = _quantize_frame(emb)
+    as_long = lambda c: c.cast("long")  # noqa: E731
+    return out.select(
+        "vec_id",
+        F.aggregate(
+            "_codes", F.lit(0).cast("long"), lambda a, c: a + as_long(c)
+        ).alias("code_sum"),
+        F.aggregate(
+            "_codes",
+            F.lit(0).cast("long"),
+            lambda a, c: a + as_long(c) * as_long(c),
+        ).alias("code_sq_sum"),
+        F.array_min("_codes").cast("int").alias("code_min"),
+        F.array_max("_codes").cast("int").alias("code_max"),
+        F.floor(F.array_max("_err") * 1e6).cast("long").alias("max_err_u"),
+        F.floor(
+            F.aggregate("_err", F.lit(0.0), lambda a, x: a + x)
+            / F.size("_err")
+            * 1e6
+        ).cast("long").alias("mean_err_u"),
+        F.floor(F.col("_scale") * 1e6).cast("long").alias("scale_u"),
+        F.floor(F.col("_lo") * 1e6).cast("long").alias("zero_u"),
     ).orderBy("vec_id")
 
 
@@ -355,6 +495,45 @@ def label_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    # golden integers generated at import from the local exact-moment pass
+    # through the same basis/projection ops (see pca_probe_audit)
+    "pca_probe_audit": _pca_probe_oracle(),
+    "embedding_quantize_audit": """
+        WITH base AS (
+          SELECT vec_id, embedding,
+                 CAST(list_min(embedding) AS DOUBLE) AS lo_d,
+                 list_max(embedding) - list_min(embedding) AS diff_f
+          FROM embeddings),
+        p AS (
+          SELECT vec_id, embedding, lo_d,
+                 CASE WHEN CAST(diff_f AS DOUBLE) / 255.0 = 0 THEN 1.0
+                      ELSE CAST(diff_f AS DOUBLE) / 255.0 END AS s
+          FROM base),
+        c AS (
+          SELECT vec_id, lo_d, s,
+                 list_transform(embedding,
+                     x -> CAST(round((CAST(x AS DOUBLE) - lo_d) / s) - 128
+                               AS TINYINT)) AS codes,
+                 list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE) -
+                              ((round((CAST(x AS DOUBLE) - lo_d) / s) - 128
+                                + 128) * s + lo_d))) AS err
+          FROM p)
+        SELECT vec_id,
+               CAST(list_sum(list_transform(codes, k -> CAST(k AS BIGINT)))
+                    AS BIGINT) AS code_sum,
+               CAST(list_sum(list_transform(codes,
+                        k -> CAST(k AS BIGINT) * CAST(k AS BIGINT)))
+                    AS BIGINT) AS code_sq_sum,
+               CAST(list_min(codes) AS INT) AS code_min,
+               CAST(list_max(codes) AS INT) AS code_max,
+               CAST(floor(list_max(err) * 1e6) AS BIGINT) AS max_err_u,
+               CAST(floor(list_sum(err) / len(err) * 1e6) AS BIGINT)
+                   AS mean_err_u,
+               CAST(floor(s * 1e6) AS BIGINT) AS scale_u,
+               CAST(floor(lo_d * 1e6) AS BIGINT) AS zero_u
+        FROM c ORDER BY vec_id
+    """,
     "embedding_drift_report": f"""
         WITH h AS (SELECT count(*) // 2 AS half FROM embeddings),
         vals AS (
@@ -421,12 +600,14 @@ ORACLES: dict[str, str] = {
                    / ({DIM_SCALE}.0 * {DIM_SCALE}) < {DEAD_DIM_VAR} AS dead
         FROM stats ORDER BY dim
     """,
-}  # pca/quantize: eigensolve / float round-trips → rows-only
+}  # pca: eigensolve → rows-only; quantize arrays → rows-only + exact audit
 
 QUERIES = {
     "pca_project": pca_project,
     "pca_variance_report": pca_variance_report,
+    "pca_probe_audit": pca_probe_audit,
     "embedding_quantize": embedding_quantize,
+    "embedding_quantize_audit": embedding_quantize_audit,
     "label_balance_report": label_balance_report,
     "dimension_variance_report": dimension_variance_report,
     "embedding_drift_report": embedding_drift_report,

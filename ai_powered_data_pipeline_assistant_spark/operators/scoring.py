@@ -295,12 +295,64 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+
+
+ZLIB_PROBES: list[tuple[int, str]] = [
+    (0, "a"),
+    (1, "abab" * 200),                       # highly compressible template
+    (2, "héllo wörld — ünïcode " * 17),      # multi-byte utf-8
+    (3, "the quick brown fox jumps over the lazy dog. " * 40),
+    (4, "x7Kq9ZpL2mNvR4tYwB8cD1fG6hJ3sU5e" * 11),  # entropy-heavy soup
+]
+
+
+def compression_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-checksum pin of the zlib Arrow path (the embedder_probe_audit
+    pattern): run `zlib_ratio_udf` — the REAL pandas UDF, through Arrow
+    batches over 3 partitions — on fixed probe strings and emit
+    floor(ratio·1e6) integers; the oracle carries goldens generated at
+    import by the same `len(zlib.compress(utf8, 6)) / len(utf8)` spec.
+    zlib output is deterministic for a given level, so this is exact, and
+    it upgrades the zlib surface from the bounds-only
+    `compression_ratio_audit` to per-value equality (the corpus-wide
+    `compression_ratio` stays rows-only: its values depend on sf)."""
+    probes = spark.createDataFrame(ZLIB_PROBES, "probe_id long, text string").repartition(3)
+    ratio = zlib_ratio_udf()
+    return probes.select(
+        "probe_id",
+        F.floor(ratio("text") * 1e6).cast("long").alias("ratio_u"),
+    ).orderBy("probe_id")
+
+
+def _compression_probe_oracle() -> str:
+    import zlib
+
+    rows = []
+    for pid, t in ZLIB_PROBES:
+        b = t.encode("utf-8")
+        r = round(len(zlib.compress(b, 6)) / len(b), 6)
+        rows.append((pid, int(r * 1e6 // 1)))
+    values = ",\n            ".join(
+        f"({pid}, CAST({v} AS BIGINT))" for pid, v in rows
+    )
+    return f"""
+        SELECT * FROM (VALUES
+            {values}
+        ) AS t(probe_id, ratio_u)
+        ORDER BY probe_id
+    """
+
+
+ORACLES["compression_probe_audit"] = _compression_probe_oracle()
+
+
 QUERIES = {
     "unigram_logprob": unigram_logprob,
     "bigram_logprob": bigram_logprob,
     "quality_classifier": quality_classifier,
     "compression_ratio": compression_ratio,
     "compression_ratio_audit": compression_ratio_audit,
+    "compression_probe_audit": compression_probe_audit,
 }
 
 
