@@ -243,6 +243,25 @@ def session_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _job_requests(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(base_req, kb): the deterministic request fixture shared by the T2
+    (`job_stream_parity`) and T1/T7 (`channel_fanout_parity`) twins — one
+    request per event, request_id = event_id, every 11th job_id pointing
+    nowhere (no knowledge-base row → the no-context branch)."""
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    job_id = F.when(F.col("event_id") % 11 == 0, F.lit(-1)).otherwise(
+        F.col("event_id") % 500
+    )
+    base_req = events.select(
+        F.col("event_id").cast("string").alias("request_id"),
+        job_id.cast("long").alias("job_id"),
+        F.col("event_type").alias("query"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    return base_req, docs.select("doc_id", "text")
+
+
 def job_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2/T3 job pipeline ≡ its batch twin: replay a deterministic request
     set (one request per event, request_id = event_id, some request_ids
@@ -260,25 +279,12 @@ def job_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_requests,
     )
 
-    events = load_table(spark, sf_dir, "events")
-    docs = load_table(spark, sf_dir, "documents")
-    # job_id: mostly resolvable against documents; every 11th request
-    # points at job -1 (no knowledge-base row → the no-context branch)
-    job_id = F.when(F.col("event_id") % 11 == 0, F.lit(-1)).otherwise(
-        F.col("event_id") % 500
-    )
-    base_req = events.select(
-        F.col("event_id").cast("string").alias("request_id"),
-        job_id.cast("long").alias("job_id"),
-        F.col("event_type").alias("query"),
-        F.col("ts").cast("timestamp").alias("ts"),
-    )
+    base_req, kb = _job_requests(spark, sf_dir)
     # exact-duplicate retries for every 7th request (the reference's
     # at-least-once redelivery the 300 s seen-map suppresses)
     fixture = base_req.union(
         base_req.filter(F.col("request_id").cast("long") % 7 == 0)
     )
-    kb = docs.select("doc_id", "text")
 
     def build(stream: DataFrame) -> DataFrame:
         return answer_requests(dedup_requests(stream), kb)
@@ -307,6 +313,76 @@ def job_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_no_context",
         "n_mismatches",
         (F.col("n_mismatches") == 0).alias("stream_equals_batch"),
+    )
+
+
+def channel_fanout_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T7/S15 twin: run the REAL `publish_channels` stream — one
+    foreachBatch fanning each micro-batch into job_responses / tasks /
+    logs parquet channel tables (the reference's chat→tasks→logs publish,
+    backend/api/routes/chat.py:159-221) — availableNow over the job
+    fixture, then verify the landed channels against the batch twin:
+    job_responses exceptAll-equals the batch answer set, and tasks / logs
+    rows are exactly the per-response derivations the publisher emits.
+    One row: per-channel counts, mismatch counts, equality verdict. The
+    diffs are computed before the temp channel dirs are removed."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
+        answer_requests,
+        dedup_requests,
+        publish_channels,
+    )
+
+    base_req, kb = _job_requests(spark, sf_dir)
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"chan_parity_{run_id}_")
+    try:
+        src = f"{tmp}/src"
+        base_req.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(base_req.schema).parquet(src)
+        answered = answer_requests(dedup_requests(stream), kb)
+        q = publish_channels(answered, f"{tmp}/chan", f"{tmp}/ckpt")
+        q.awaitTermination(180)
+
+        got_resp = spark.read.parquet(f"{tmp}/chan/job_responses")
+        got_tasks = spark.read.parquet(f"{tmp}/chan/tasks")
+        got_logs = spark.read.parquet(f"{tmp}/chan/logs")
+        want_resp = answer_requests(dedup_requests(base_req), kb).localCheckpoint(
+            eager=False
+        )
+        want_tasks = want_resp.select(
+            F.col("request_id").alias("task_name"),
+            F.lit("completed").alias("status"),
+            F.col("ts"),
+        )
+        want_logs = want_resp.select(
+            F.col("ts").alias("time"),
+            F.lit("INFO").alias("level"),
+            F.concat(F.lit("answered "), "request_id").alias("message"),
+        )
+        # all comparisons must materialize BEFORE the finally rmtree
+        n_resp = got_resp.count()
+        n_tasks = got_tasks.count()
+        n_logs = got_logs.count()
+        resp_mm = (
+            want_resp.exceptAll(got_resp.select(*want_resp.columns)).count()
+            + got_resp.select(*want_resp.columns).exceptAll(want_resp).count()
+        )
+        task_mm = (
+            want_tasks.exceptAll(got_tasks.select(*want_tasks.columns)).count()
+            + got_tasks.select(*want_tasks.columns).exceptAll(want_tasks).count()
+        )
+        log_mm = (
+            want_logs.exceptAll(got_logs.select(*want_logs.columns)).count()
+            + got_logs.select(*want_logs.columns).exceptAll(want_logs).count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(n_resp).cast("long").alias("n_responses"),
+        F.lit(n_tasks).cast("long").alias("n_tasks"),
+        F.lit(n_logs).cast("long").alias("n_logs"),
+        F.lit(resp_mm + task_mm + log_mm).cast("long").alias("n_mismatches"),
+        F.lit(resp_mm + task_mm + log_mm == 0).alias("channels_equal_batch"),
     )
 
 
@@ -358,6 +434,16 @@ def _oracles() -> dict[str, str]:
         # batch side recomputed from first principles: one request per
         # event (dups are exact copies, so DISTINCT ≡ dedup on request_id),
         # context = LEFT JOIN documents on the derived job_id
+        # one response per distinct request; tasks/logs are 1:1 derivations
+        "channel_fanout_parity": """
+            WITH req AS (SELECT DISTINCT event_id FROM events)
+            SELECT CAST(count(*) AS BIGINT) AS n_responses,
+                   CAST(count(*) AS BIGINT) AS n_tasks,
+                   CAST(count(*) AS BIGINT) AS n_logs,
+                   CAST(0 AS BIGINT) AS n_mismatches,
+                   true AS channels_equal_batch
+            FROM req
+        """,
         "job_stream_parity": """
             WITH req AS (
                 SELECT DISTINCT CAST(event_id AS VARCHAR) AS request_id,
@@ -383,4 +469,5 @@ QUERIES = {
     "funnel_stream_parity": funnel_stream_parity,
     "session_stream_parity": session_stream_parity,
     "job_stream_parity": job_stream_parity,
+    "channel_fanout_parity": channel_fanout_parity,
 }

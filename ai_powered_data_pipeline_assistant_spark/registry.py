@@ -119,8 +119,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "conversion_latency",
     "rfm_segments",
     "docs_profile",
-    # -- new this round: T2 job-pipeline parity twin --
+    # -- new this round: T2 job-pipeline + T1/T7 channel-fanout twins --
     "job_stream_parity",
+    "channel_fanout_parity",
     # -- never checked: multimodal --
     "extract_features",
     "resize_images",
@@ -148,7 +149,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "churn_risk_flags",
     "ab_test_report",
     "forecast_baseline_report",
-    "dn_retention",
     "decayed_engagement",
     # -- never checked: revenue analytics --
     "customer_running_revenue",
