@@ -33,7 +33,14 @@ PROBES = [
     "curate_corpus",      # composed gates
     "neardup_triangles",  # oriented wedge join over the dup graph
     "retrieval_ndcg",     # two retrievers + driver-scale eval
-    "cache_hit_simulation",  # per-key lag window
+    "cache_hit_simulation",  # per-key fold (adaptive chain path past guard)
+    # round-5 touched / new surfaces
+    "neardup_keep_best",  # LSH + counted CC + guarded label join
+    "user_activity_pareto",  # pinned two-phase bucketed prefix sums
+    "watermark_planner",  # adaptive running max (plain vs bucketed)
+    "media_dedup",        # sha256 digest shuffle, payloads stay in scan
+    "embedding_quantize_audit",  # JVM array HOFs + checksums
+    "pca_project",        # two-level moment reduce + Arrow projection
 ]
 
 
