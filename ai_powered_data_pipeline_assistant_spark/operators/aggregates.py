@@ -30,6 +30,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
+    md5_int,
+    md5_int_sql,
+)
 
 
 def _cents(col: str) -> F.Column:
@@ -707,3 +711,111 @@ ORACLES["weighted_median"] = """
     FROM tot t JOIN hit h USING (event_type)
     ORDER BY t.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — mergeable, deterministic
+# ---------------------------------------------------------------------------
+
+KMV_K = 128
+KMV_SALTS = 8
+KMV_SPACE = 16 ** 15  # md5_int hash space: 15 hex chars = 2^60
+
+
+def kmv_distinct_report(
+    spark: SparkSession, sf_dir: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group distinct-count estimation via the KMV (k-minimum-values /
+    bottom-k) sketch (Bar-Yossef et al. 2002): keep the k smallest DISTINCT
+    md5 hashes per group; estimate = (k-1)·M / h_(k). Unlike HLL the
+    estimator here is fully DETERMINISTIC (md5 is the randomness), so the
+    report is oracle-EXACT, and the sketch is trivially mergeable — union
+    of two groups' bottom-k sets, re-trimmed to k, is the union sketch —
+    which is what makes it the cross-partition / cross-day distinct
+    primitive at 100 TB (ship k longs per group, never the key sets).
+
+    Scale shape: one distinct shuffle on (group, hash), then the
+    repo-standard salted two-phase bottom-k — k smallest per
+    (group, h % KMV_SALTS) in parallel, k smallest of the ≤ salts·k
+    survivors per group — no reducer ever holds a group's full distinct
+    set. Emits exact vs estimate plus the 3σ (≈3/√(k−2)) relative-error
+    verdict; the final division runs in double from exactly-representable
+    integers, identically in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    h = md5_int(F.col("user_id").cast("string"))
+    d = events.select("event_type", h.alias("h")).distinct()
+    w1 = Window.partitionBy("event_type", F.col("h") % KMV_SALTS).orderBy("h")
+    survivors = (
+        d.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    bottomk = (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+    )
+    sketch = bottomk.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("kth_min"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    est = (
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(
+            F.lit(float((k - 1) * KMV_SPACE)) / F.col("kth_min").cast("double")
+        )
+    )
+    rel_tol = 3.0 / (k - 2) ** 0.5
+    return (
+        sketch.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            "n_kept",
+            F.floor(est).cast("long").alias("kmv_estimate"),
+            (
+                F.abs(est - F.col("exact_distinct").cast("double"))
+                <= F.col("exact_distinct").cast("double") * F.lit(rel_tol)
+                + F.lit(2.0)
+            ).alias("within_tol"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_KMV_REL_TOL = 3.0 / (KMV_K - 2) ** 0.5
+
+ORACLES["kmv_distinct_report"] = f"""
+    WITH d AS (
+        SELECT DISTINCT event_type,
+               {md5_int_sql("CAST(user_id AS VARCHAR)")} AS h
+        FROM events),
+    bk AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM d),
+    sk AS (
+        SELECT event_type, count(*) AS n_kept, CAST(max(h) AS BIGINT) AS kth_min
+        FROM bk WHERE rn <= {KMV_K} GROUP BY 1),
+    ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1),
+    est AS (
+        SELECT sk.event_type, ex.exact_distinct, sk.n_kept,
+               CASE WHEN sk.n_kept < {KMV_K}
+                    THEN CAST(sk.n_kept AS DOUBLE)
+                    ELSE CAST({float((KMV_K - 1) * KMV_SPACE)} AS DOUBLE)
+                         / CAST(sk.kth_min AS DOUBLE) END AS e
+        FROM sk JOIN ex USING (event_type))
+    SELECT event_type, exact_distinct, n_kept,
+           CAST(floor(e) AS BIGINT) AS kmv_estimate,
+           abs(e - CAST(exact_distinct AS DOUBLE))
+               <= CAST(exact_distinct AS DOUBLE) * {_KMV_REL_TOL} + 2.0
+               AS within_tol
+    FROM est ORDER BY event_type
+"""
+
+QUERIES["kmv_distinct_report"] = kmv_distinct_report
