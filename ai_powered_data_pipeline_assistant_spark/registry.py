@@ -17,6 +17,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     aggregates,
     batching,
     behavior,
+    bpe,
     clustering,
     corpus,
     curation,
@@ -52,6 +53,7 @@ _MODULES = [
     aggregates,
     batching,
     behavior,
+    bpe,
     joins,
     vector,
     dedup,
