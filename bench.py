@@ -85,6 +85,12 @@ HEADLINE = [
     # late round-3: graph transitivity + retrieval-quality eval
     "neardup_triangles",
     "retrieval_ndcg",
+    # round-5 additions: mergeable distinct sketch, tokenizer training,
+    # quantize checksums, hot-key replay (chain-guarded)
+    "kmv_distinct_report",
+    "bpe_pair_counts",
+    "embedding_quantize_audit",
+    "cache_hit_simulation",
 ]
 
 # The round-1 headline set, unchanged since: its sub-total is reported as
