@@ -255,13 +255,109 @@ def _pair_counts_oracle(top: int = 50) -> str:
     """
 
 
+def _apply_merges(words: DataFrame, merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    """Encode: apply the trained merge table in rank order (R sequential
+    in-row folds — vocabulary-scale work, the corpus never sees a fold)."""
+    for _, a, b, _ in merges:
+        words = _merge_pair(words, a, b)
+    return words
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the TRAINED tokenizer — the token
+    budget a real packing/pricing pass would use, vs the whitespace-word
+    count the regex estimate gives.
+
+    Scale shape: train on the vocabulary head (bpe_merge_table's loop),
+    ENCODE the vocabulary (R in-row folds over ≤ BPE_VOCAB_CAP words),
+    broadcast the (word → n_tokens) map onto the corpus word explode, and
+    aggregate per document. Out-of-head words fall back to character
+    tokens (their length) — the worst-case fragmentation a small merge
+    table implies. Rows-only (depends on the trained table); the encode
+    fold is pinned exactly by `bpe_encode_probe_audit`."""
+    words = _word_freqs(spark, sf_dir).withColumn("syms", _chars_expr())
+    merges = _train(words, BPE_ROUNDS, BPE_MIN_COUNT)
+    encoded = _apply_merges(words, merges).select(
+        "word", F.size("syms").alias("n_tokens")
+    )
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    doc_words = docs.select(
+        "doc_id", F.explode(toks).alias("word")
+    ).filter(F.length("word") > 0)
+    joined = doc_words.join(F.broadcast(encoded), "word", "left")
+    per_tok = F.coalesce(F.col("n_tokens"), F.length("word")).cast("long")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(per_tok).alias("bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bpe_encode_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden pin of the ENCODE path: train on the probe vocabulary, apply
+    the merge table back to the probe words through the real distributed
+    folds, and emit (word, n_tokens, tokens_concat); the oracle carries
+    values from the pure-Python replica. Catches any divergence between
+    training-time and encode-time merge semantics (the classic BPE
+    implementation bug)."""
+    words = spark.createDataFrame(BPE_PROBES, "word string, freq long").repartition(
+        3
+    ).withColumn("syms", _chars_expr())
+    merges = _train(words, BPE_PROBE_ROUNDS, BPE_MIN_COUNT)
+    encoded = _apply_merges(words, merges)
+    return encoded.select(
+        "word",
+        F.size("syms").alias("n_tokens"),
+        F.concat_ws("|", "syms").alias("tokens"),
+    ).orderBy("word")
+
+
+def _bpe_encode_golden() -> list[tuple[str, int, str]]:
+    merges = _bpe_golden()
+    rows = []
+    for w, _f in BPE_PROBES:
+        syms = list(w)
+        for _, a, b, _c in merges:
+            acc: list[str] = []
+            for s in syms:
+                if acc and acc[-1] == a and s == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(s)
+            syms = acc
+        rows.append((w, len(syms), "|".join(syms)))
+    return sorted(rows)
+
+
+def _bpe_encode_oracle() -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ",\n            ".join(
+        f"({q(w)}, CAST({n} AS INT), {q(t)})" for w, n, t in _bpe_encode_golden()
+    )
+    return f"""
+        SELECT * FROM (VALUES
+            {values}
+        ) AS t(word, n_tokens, tokens)
+        ORDER BY word
+    """
+
+
 ORACLES: dict[str, str] = {
     "bpe_pair_counts": _pair_counts_oracle(),
     "bpe_probe_audit": _bpe_probe_oracle(),
+    "bpe_encode_probe_audit": _bpe_encode_oracle(),
 }
 
 QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_merge_table": bpe_merge_table,  # rows-only (R-round fold)
     "bpe_probe_audit": bpe_probe_audit,
+    "bpe_token_counts": bpe_token_counts,  # rows-only (trained-table dep)
+    "bpe_encode_probe_audit": bpe_encode_probe_audit,
 }
