@@ -34,6 +34,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     neardup_cluster,
     packing,
     pipeline,
+    quality_trainer,
     relational,
     repetition,
     scalar_ops,
@@ -49,6 +50,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
 from ai_powered_data_pipeline_assistant_spark.sources import formats, layout
 
 _MODULES = [
+    quality_trainer,
     relational,
     aggregates,
     batching,
