@@ -330,15 +330,15 @@ def plan_shuffle_census(
     count nondeterministically with session history. Cold plans are the
     contract: the profile of each query promoted in isolation.
     """
-    from ai_powered_data_pipeline_assistant_spark.operators import stream_parity
-    from ai_powered_data_pipeline_assistant_spark.registry import all_queries
+    from ai_powered_data_pipeline_assistant_spark.registry import (
+        EXECUTES_AT_BUILD,
+        all_queries,
+    )
 
-    # The stream-parity harnesses RUN real Structured Streaming jobs while
-    # building their (trivial, spark.range(1)-shaped) result frames —
-    # censusing them pays minutes of stream wall-clock to count the
-    # Exchanges of a literal projection. Their inner pipelines' plans are
-    # covered by the batch twins they diff against, so they are skipped.
-    executing = set(stream_parity.QUERIES)
+    # Harnesses that RUN distributed work (streams, iterative trainers)
+    # while building their — then trivial — result frames are skipped:
+    # censusing a literal projection is worthless and pays the whole run.
+    executing = EXECUTES_AT_BUILD
     rows = []
     for name, fn in sorted(all_queries().items()):
         if names is not None and name not in names:

@@ -88,6 +88,28 @@ _MODULES = [
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Queries whose BUILDER executes distributed work (streaming runs,
+# iterative trainers with driver round-trips) before returning a — then
+# trivial — result frame. Plan-shape sweeps (plan_shuffle_census,
+# tests/test_plans.py cartesian sweep) skip these: censusing a literal
+# projection is worthless and pays the whole run; their inner plans are
+# covered by the batch twins / single-round counting queries they wrap.
+EXECUTES_AT_BUILD: frozenset[str] = frozenset(
+    {
+        "cdc_stream_parity",
+        "funnel_stream_parity",
+        "session_stream_parity",
+        "job_stream_parity",
+        "channel_fanout_parity",
+        "bpe_merge_table",
+        "bpe_token_counts",
+        "bpe_probe_audit",
+        "bpe_encode_probe_audit",
+        "quality_trainer_report",
+        "logreg_probe_audit",
+    }
+)
+
 # The correctness driver checks the FIRST 50 registry entries per round, so
 # ordering decides which queries get a driver verdict. Round-5 window:
 # (a) re-checks for every operator whose code changed this round (counted

@@ -104,15 +104,15 @@ def test_jaccard_selfjoin_has_shingle_df_cap(spark, sf_dir):
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     """No oracle-checked operator may contain a CartesianProduct — every
     join is either keyed or an intentional broadcast of a tiny side.
-    Stream-parity harnesses are skipped for the same reason as in
+    EXECUTES_AT_BUILD harnesses are skipped for the same reason as in
     plan_shuffle_census: building their trivial result frame executes
-    whole streaming jobs, and their inner plans are covered by the batch
-    twins they diff against."""
-    from ai_powered_data_pipeline_assistant_spark.operators import stream_parity
+    whole streaming jobs / training loops, and their inner plans are
+    covered by the batch twins / single-round queries they wrap."""
+    from ai_powered_data_pipeline_assistant_spark.registry import EXECUTES_AT_BUILD
 
     offenders = []
     for name, fn in QUERIES.items():
-        if name in stream_parity.QUERIES:
+        if name in EXECUTES_AT_BUILD:
             continue
         try:
             plan = _initial_plan(fn(spark, sf_dir))
