@@ -39,6 +39,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     repetition,
     scalar_ops,
     scoring,
+    sharding,
     stream_parity,
     surface_audits,
     text_analysis,
@@ -70,6 +71,7 @@ _MODULES = [
     webcorpus,
     packing,
     scoring,
+    sharding,
     surface_audits,
     stream_parity,
     windows,
