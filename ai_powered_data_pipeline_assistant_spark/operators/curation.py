@@ -67,7 +67,7 @@ def curate_corpus(
         gated.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .persist()  # feeds both the LSH stage and the final anti-join
+        .localCheckpoint(eager=False)  # feeds both the LSH stage and the final anti-join
     )
     drops = (
         minhash_lsh_pairs_for(kept.select("doc_id", "text"), threshold=jaccard)
@@ -104,7 +104,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_gated.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     drops = (
         minhash_lsh_pairs_for(kept.select("doc_id", "text"))
@@ -231,7 +231,7 @@ def curation_dropped_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang_ok") & F.col("quality_ok"), F.row_number().over(w)
         ),
     )
-    kept = ranked.filter(F.col("_rn") == 1).select("doc_id", "text").persist()
+    kept = ranked.filter(F.col("_rn") == 1).select("doc_id", "text").localCheckpoint(eager=False)
     drops = (
         minhash_lsh_pairs_for(kept, threshold=JACCARD_THRESHOLD)
         .select(F.col("b_id").alias("doc_id"))

@@ -139,7 +139,7 @@ def _pair_jaccard(
         postings.withColumn("_df", df_w)
         .filter(F.col("_df") <= max_shingle_df)
         .drop("_df")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     sizes = postings.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = postings.select(F.col("doc_id").alias("a_id"), "h")
@@ -270,7 +270,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str,
         postings.withColumn("_df", df_w)
         .filter(F.col("_df") <= MAX_SHINGLE_DF)
         .drop("_df")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     sizes = postings.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = postings.select(F.col("doc_id").alias("a_id"), "h")
@@ -383,13 +383,13 @@ def minhash_lsh_pairs_for(
     instead (same signatures, same band join, different pairing rule)."""
     if pair_cond is None:
         pair_cond = lambda a, b: a < b  # noqa: E731
-    postings = _shingles(docs).persist()
+    postings = _shingles(docs).localCheckpoint(eager=False)
     h = F.col("h") % HASH_MOD
     aggs = [
         F.min((F.lit(PERM_A[j]) * h + F.lit(PERM_B[j])) % HASH_MOD).alias(f"m{j}")
         for j in range(N_PERMS)
     ] + [F.count("*").alias("sz")]
-    sigs = postings.groupBy("doc_id").agg(*aggs).persist()
+    sigs = postings.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=False)
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),
@@ -512,7 +512,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3
     all-pairs SQL), while the join cost drops from O(n²) to Σ bucket².
     """
     assert max_hamming < SIMHASH_BANDS, "pigeonhole exactness needs hamming < bands"
-    s = _simhash_frame(spark, sf_dir).persist()
+    s = _simhash_frame(spark, sf_dir).localCheckpoint(eager=False)
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     bands = s.select(
         "doc_id",
@@ -592,7 +592,7 @@ def decontaminate(spark: SparkSession, sf_dir: str,
     boilerplate shingle shared with an eval doc can't multiply the output.
     """
     docs = load_table(spark, sf_dir, "documents")
-    posts = _shingles(docs).persist()
+    posts = _shingles(docs).localCheckpoint(eager=False)
     eval_p = posts.filter((F.col("doc_id") % eval_mod) == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "h"
     )
@@ -995,7 +995,7 @@ def doc_duplication_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings self-join the pair ops need.
     """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    postings = _shingles(docs).persist()
+    postings = _shingles(docs).localCheckpoint(eager=False)
     dfreq = postings.groupBy("h").agg(F.count("*").alias("df"))
     out = (
         postings.join(dfreq, "h")

@@ -49,7 +49,7 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("parts"))
         .filter(F.size("parts") <= MAX_BASKET)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     n_baskets = baskets.agg(F.count("*").alias("n_baskets"))
     item_support = (

@@ -266,7 +266,7 @@ def ann_ivf_pruned(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = ivf_centroids(emb, n_lists)
     queries = _query_vectors(spark, sf_dir, n_queries)
-    probed = assign_lists(queries, "query_vec", centroids, "probe_list", n_probe).persist()
+    probed = assign_lists(queries, "query_vec", centroids, "probe_list", n_probe).localCheckpoint(eager=False)
     # Literal probe list → PartitionFilters on the layout scan. ≤ n_queries ×
     # n_probe ints collected driver-side: this IS the index lookup, bounded.
     probe_lists = sorted(
@@ -1156,7 +1156,7 @@ def ivf_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     k·|Q|-row frames — the sweep costs |probes| passes over the candidate
     sets, never over the corpus pairs.
     """
-    exact = ann_brute_topk(spark, sf_dir).select("query_id", "vec_id").persist()
+    exact = ann_brute_topk(spark, sf_dir).select("query_id", "vec_id").localCheckpoint(eager=False)
     k_times_q = exact.count()  # |Q|·k, bounded
     out = None
     for p in IVF_SWEEP_PROBES:
