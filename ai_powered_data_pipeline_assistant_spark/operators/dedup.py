@@ -109,7 +109,10 @@ _SHINGLE_SQL = _shingle_sql()
 
 
 def _pair_jaccard(
-    postings: DataFrame, min_jaccard: float, max_shingle_df: int = MAX_SHINGLE_DF
+    postings: DataFrame,
+    min_jaccard: float,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+    pin: bool = True,
 ) -> DataFrame:
     """All-pairs Jaccard from a (doc_id, h) postings frame.
 
@@ -139,8 +142,13 @@ def _pair_jaccard(
         postings.withColumn("_df", df_w)
         .filter(F.col("_df") <= max_shingle_df)
         .drop("_df")
-        .localCheckpoint(eager=False)
     )
+    if pin:
+        # ``pin=False`` exists ONLY so plan tests can assert the df-cap
+        # window sits before the self-join — the checkpoint barrier hides
+        # upstream operators from the downstream plan string. Production
+        # callers always pin (computed once, ContextCleaner-released).
+        postings = postings.localCheckpoint(eager=False)
     sizes = postings.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = postings.select(F.col("doc_id").alias("a_id"), "h")
     b = postings.select(F.col("doc_id").alias("b_id"), "h")
@@ -242,10 +250,12 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, pin: bool = True
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle postings self-join."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    return _pair_jaccard(_shingles(docs), JACCARD_THRESHOLD)
+    return _pair_jaccard(_shingles(docs), JACCARD_THRESHOLD, pin=pin)
 
 
 CONTAINMENT_THRESHOLD = 0.6

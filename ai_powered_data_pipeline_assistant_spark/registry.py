@@ -113,87 +113,99 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 )
 
 # The correctness driver checks the FIRST 50 registry entries per round, so
-# ordering decides which queries get a driver verdict. Round-5 window:
-# (a) re-checks for every operator whose code changed this round (counted
-# connected-components + explicit broadcast-guard count, pinned bucketed
-# ranks, persist → localCheckpoint swaps, the bounded cache-replay chain
-# path, the hardened stream-parity harness, the guarded batch top-k),
-# (b) the two new driver-scorable twins (job_stream_parity,
-# media_probe_audit), and (c) never-checked entries — multimodal /
-# embedding-stats / sampling / scoring / behavior-tail / revenue /
-# incremental families first per the round-4 verdict. Remaining
-# never-checked queries rotate per the pools in ROADMAP.md; run
-# scripts/next_window.py before each rotation.
+# ordering decides which queries get a driver verdict. Round-6 window
+# (VERDICT r5 next-round #1/#2/#5): (a) the scalarized exact audit twins
+# FIRST — pca_probe_audit / embedding_quantize_audit replace the two
+# array-returning parents that erred in r5 (the parents stay registered
+# for users; their driver currency is carried by the twins, which check
+# the same math through integer checksums), plus the bpe / logreg /
+# kmeans / compression probe audits and the KMV sketch report;
+# (b) re-checks for the code touched this round (persist →
+# localCheckpoint(eager=False) lifecycle swap in dedup/curation/market/
+# vector): one representative per touched file — minhash_lsh_pairs
+# (shared minhash_lsh_pairs_for core), curate_corpus, item_recommendations,
+# ann_ivf_pruned — the remaining touched queries were all re-verified
+# green by scripts/driver_sim.py at sf0.01 this round AND by the
+# oracle-parity suite (the swap is output-invisible cache lifecycle);
+# (c) never-checked entries, touched-module members first, then the
+# corpus/webcorpus, kmeans/centroid, windows, and formats/layout tails.
+# Every slot carries an oracle and passes driver_sim.py --window
+# (enforced by tests/test_driver_sim_hardening.py). Rows-only entries
+# (bpe_merge_table, kmeans_embeddings, compression_ratio, embed_*,
+# quality_trainer_report, bpe_token_counts, scan_file_stats) are NEVER
+# windowed — their currency is their scalarized audit twins.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- re-checks: code changed in round 5 (CC counted-return + broadcast
-    # guard, append_global_rank/pareto localCheckpoint pin, persist →
-    # localCheckpoint swaps, cache chain path, stream-parity poll loop) --
-    "cluster_safe_split",
-    "neardup_keep_best",
-    "neardup_cluster_sizes",
-    "split_contamination_audit",
-    "entity_clusters",
-    "cache_hit_simulation",
-    "key_skew_stats",
-    "salting_plan",
-    "cdc_stream_parity",
-    "funnel_stream_parity",
-    "session_stream_parity",
-    "ann_brute_topk",
-    # -- changed this round AND never checked --
-    "watermark_planner",
-    "user_activity_pareto",
-    "hot_keys",
-    "conversion_latency",
-    "rfm_segments",
-    "docs_profile",
-    # -- new this round: T2 job-pipeline + T1/T7 channel-fanout twins --
-    "job_stream_parity",
-    "channel_fanout_parity",
-    # -- never checked: multimodal --
-    "extract_features",
-    "resize_images",
-    "sample_frames",
-    "media_dedup",
-    "media_probe_audit",
-    # -- never checked: embedding stats --
-    "pca_project",
-    "pca_variance_report",
-    "embedding_quantize",
-    "embedding_drift_report",
-    "dimension_variance_report",
-    "label_balance_report",
-    # -- never checked: sampling --
-    "stratified_sample",
-    "weighted_sample",
-    "source_mix_resample",
-    # -- never checked: scoring tail --
-    "unigram_logprob",
-    "bigram_logprob",
-    "compression_ratio_audit",
-    "quality_classifier",
-    # -- never checked: behavior tail --
-    "stickiness_report",
-    "churn_risk_flags",
-    "ab_test_report",
-    "forecast_baseline_report",
-    "decayed_engagement",
-    # -- never checked: revenue analytics --
-    "customer_running_revenue",
-    "brand_revenue_share",
-    "monthly_revenue_yoy",
-    "discount_effectiveness",
-    "order_to_ship_latency",
-    # -- never checked: incremental --
-    "cdc_apply",
-    "incremental_daily_rollup",
+    # -- scalarized exact twins (replace r5's two err rows + close the
+    # probe-audit family) --
+    "pca_probe_audit",
+    "embedding_quantize_audit",
+    "compression_probe_audit",
+    "kmeans_probe_audit",
+    "bpe_probe_audit",
+    "bpe_encode_probe_audit",
+    "logreg_probe_audit",
+    "bpe_pair_counts",
+    "kmv_distinct_report",
+    # -- re-checks: persist -> lazy localCheckpoint swap (round 6) --
+    "minhash_lsh_pairs",
+    "curate_corpus",
+    "item_recommendations",
+    "ann_ivf_pruned",
+    # -- never checked, touched modules first --
+    "curation_dropped_audit",
+    "neardup_similarity_histogram",
+    "crosssource_dup_matrix",
+    "retrieval_overlap_report",
+    # -- never checked: kmeans/centroid reports --
+    "centroid_label_accuracy",
+    "centroid_separation_report",
+    # -- never checked: diagnostics --
+    "fk_integrity_audit",
+    # -- never checked: corpus/webcorpus tail --
+    "tfidf_keywords",
+    "chunk_documents",
+    "corpus_manifest",
+    "bm25_search",
+    "domain_stats",
+    "domain_cap_sample",
+    "vocab_topk",
+    "zipf_fit",
+    "frequent_terms_audit",
+    "cms_heavy_hitters",
+    "packing_summary",
+    "heldout_perplexity",
+    "shard_manifest",
+    "char_trigram_entropy",
+    "corpus_drift_report",
+    # -- never checked: text/quality tail --
+    "quality_bands_by_lang",
+    "lang_confusion",
+    "repetition_gate",
+    "neardup_degree_stats",
+    # -- never checked: windows tail --
+    "daily_counts_gapfill",
+    "event_gaps",
+    "value_moving_avg",
+    "session_summary",
+    "session_window_counts",
+    "event_transitions",
+    # -- never checked: formats/layout/relational tail --
+    "arrow_byte_stats",
+    "snapshot_diff",
+    "backfill_plan",
+    "lateral_topn_per_customer",
+    "top_docs_per_lang",
 )
-# Still never-checked after this window (~47 names; rotate round 6+):
-# behavior/cohort variants (heatmap/transitions/seasonality/retention
-# tail), corpus/webcorpus tail (vocab/zipf/domain/tfidf/manifest), windows
-# tail (gapfill/anomalies/ntiles), kmeans/centroid reports, remaining
-# diagnostics (scan_file_stats, fk_integrity_audit) — run
-# scripts/next_window.py for the authoritative set.
+# Still never-checked after this window (19 oracle-backed names; rotate in
+# round 7): kanon_report, winsorized_stats, length_batched_padding,
+# value_anomalies, chars_histogram, value_hour_correlation,
+# daily_count_anomalies_mad, weekly_change_alerts, dow_seasonality,
+# ab_funnel_report, wow_contribution, event_cooccurrence,
+# boilerplate_prefixes, oov_rate, vocab_coverage_curve,
+# source_concentration, collocation_pmi, activity_heatmap, dn_retention —
+# ALL pre-verified MATCH at sf0.01 via scripts/driver_sim.py this round.
+# Run scripts/next_window.py for the authoritative set.
+
 
 
 def all_queries() -> dict[str, QueryFn]:

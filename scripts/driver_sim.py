@@ -2,7 +2,17 @@
 __spark_entry__.queries() at sf0.01 and compare against oracle_sql() via
 DuckDB (sorted columns, normalized values, row multisets).
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage:
+    python scripts/driver_sim.py [sf_dir] [only_csv]
+    python scripts/driver_sim.py --window [sf_dir]
+
+``--window`` validates the 50-slot driver window itself instead of
+comparing values: every windowed entry must (a) carry an oracle — a
+rows-only entry in the window burns a slot on a verdict the driver records
+as red ``no_oracle`` — and (b) pass ``driver_representable`` (no HUGEINT
+oracle columns, no array/map/struct Spark output). Round 5 burned two
+slots on array-returning queries exactly because this rule lived only in a
+docstring; run this before every rotation (VERDICT r5 next-round #2).
 """
 
 from __future__ import annotations
@@ -63,7 +73,42 @@ def driver_representable(df, rel) -> list[str]:
     return problems
 
 
+DRIVER_WINDOW_SLOTS = 50
+
+
+def check_window(sf_dir: str) -> int:
+    """Validate the driver window (first ``DRIVER_WINDOW_SLOTS`` entries of
+    ``queries()``): every slot must carry an oracle and be
+    driver-representable. Values are NOT compared — run the default mode
+    for that; this is the cheap pre-rotation gate."""
+    spark = get_spark("driver-sim-window")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    window = list(queries)[:DRIVER_WINDOW_SLOTS]
+    fails: list[str] = []
+    for name in window:
+        if name not in oracles:
+            print(f"{name}: NO-ORACLE (window slot would land a red rows-only row)")
+            fails.append(name)
+            continue
+        df = queries[name](spark, sf_dir)
+        rep = driver_representable(df, con.sql(oracles[name]))
+        if rep:
+            print(f"{name}: NOT-DRIVER-REPRESENTABLE {'; '.join(rep)}")
+            fails.append(name)
+        else:
+            print(f"{name}: ok")
+    print("WINDOW FAILS:", fails)
+    return 1 if fails else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--window":
+        return check_window(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001")
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = get_spark("driver-sim")

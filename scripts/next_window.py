@@ -50,9 +50,22 @@ def main() -> int:
     for n in never:
         print(f"  {n}")
     print("\ncurrent window (50):")
+    oracles = registry.all_oracles()
+    bad = []
     for n in window[:50]:
         mark = "red" if n in red else ("new" if n in never else "green")
-        print(f"  {n} [{mark}]")
+        oracle_mark = "" if n in oracles else " NO-ORACLE"
+        if n not in oracles:
+            bad.append(n)
+        print(f"  {n} [{mark}]{oracle_mark}")
+    if bad:
+        # A rows-only entry in the window burns a slot on a guaranteed-red
+        # `no_oracle` verdict (round 5 burned two on array-returning
+        # queries). Schema representability additionally needs
+        # `driver_sim.py --window`, which builds the frames.
+        print(f"\nERROR: window entries without oracles: {bad}")
+        print("Run `python scripts/driver_sim.py --window` for the full schema gate.")
+        return 1
     return 0
 
 

@@ -37,3 +37,18 @@ def test_array_output_is_rejected(spark):
     df = spark.range(1).selectExpr("array('a', 'b') AS keys")
     problems = driver_representable(df, rel)
     assert problems and "array" in problems[0], problems
+
+
+def test_driver_window_entries_all_have_oracles():
+    """Every driver-window slot must carry an oracle: a rows-only entry in
+    the window lands a guaranteed-red ``no_oracle`` verdict (round 5 burned
+    two slots this way — VERDICT r5 next-round #2). Schema
+    representability is additionally gated by ``driver_sim.py --window``,
+    which builds the frames; this metadata half runs on every pytest."""
+    from ai_powered_data_pipeline_assistant_spark import registry
+
+    oracles = registry.all_oracles()
+    missing = [n for n in registry._DRIVER_WINDOW if n not in oracles]
+    assert missing == [], (
+        f"driver-window entries without oracles (slot burned on red): {missing}"
+    )

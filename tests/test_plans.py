@@ -90,7 +90,13 @@ def test_jaccard_selfjoin_has_shingle_df_cap(spark, sf_dir):
     """The postings self-join must be preceded by a document-frequency drop
     (window count over h, filtered before the join) — without it one hot
     stop-word shingle makes the join Σ posting² at web scale."""
-    plan = _initial_plan(QUERIES["ngram_jaccard_pairs"](spark, sf_dir))
+    # pin=False: the production localCheckpoint barrier hides upstream
+    # operators from the plan string; the pipeline is otherwise identical.
+    from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    plan = _initial_plan(ngram_jaccard_pairs(spark, sf_dir, pin=False))
     # the cap: a per-h window count whose filter runs BEFORE the self-join
     assert "windowspecdefinition(h#" in plan.lower() or "Window" in plan, plan
     assert "_df" in plan, plan
