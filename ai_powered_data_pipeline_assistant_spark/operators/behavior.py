@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
 
 FUNNEL_STAGES = ("view", "click", "purchase")
 WEEK_EPOCH = "2024-01-01"  # integer week index origin (Monday)
@@ -575,8 +576,8 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_global_rank,
     )
 
-    # lazy localCheckpoint (not persist) — computed once, auto-released
-    per_user = per_user.localCheckpoint(eager=False)
+    # lazy materialize (execution.py policy) — computed once, auto-released
+    per_user = per_user.transform(materialize)
     n = per_user.count()  # scalar; also materializes the checkpoint
     ranked = append_global_rank(
         per_user, [F.col("lat_s"), F.col("user_id")], "rn", n_rows=n

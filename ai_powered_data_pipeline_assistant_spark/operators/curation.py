@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
 from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     minhash_lsh_cte,
@@ -67,7 +68,7 @@ def curate_corpus(
         gated.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .localCheckpoint(eager=False)  # feeds both the LSH stage and the final anti-join
+        .transform(materialize)  # feeds both the LSH stage and the final anti-join
     )
     drops = (
         minhash_lsh_pairs_for(kept.select("doc_id", "text"), threshold=jaccard)
@@ -104,7 +105,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_gated.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     drops = (
         minhash_lsh_pairs_for(kept.select("doc_id", "text"))
@@ -231,7 +232,7 @@ def curation_dropped_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang_ok") & F.col("quality_ok"), F.row_number().over(w)
         ),
     )
-    kept = ranked.filter(F.col("_rn") == 1).select("doc_id", "text").localCheckpoint(eager=False)
+    kept = ranked.filter(F.col("_rn") == 1).select("doc_id", "text").transform(materialize)
     drops = (
         minhash_lsh_pairs_for(kept, threshold=JACCARD_THRESHOLD)
         .select(F.col("b_id").alias("doc_id"))

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
 from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
     HASH_MOD,
     md5_int,
@@ -148,7 +149,7 @@ def _pair_jaccard(
         # window sits before the self-join — the checkpoint barrier hides
         # upstream operators from the downstream plan string. Production
         # callers always pin (computed once, ContextCleaner-released).
-        postings = postings.localCheckpoint(eager=False)
+        postings = postings.transform(materialize)
     sizes = postings.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = postings.select(F.col("doc_id").alias("a_id"), "h")
     b = postings.select(F.col("doc_id").alias("b_id"), "h")
@@ -280,7 +281,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str,
         postings.withColumn("_df", df_w)
         .filter(F.col("_df") <= MAX_SHINGLE_DF)
         .drop("_df")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     sizes = postings.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = postings.select(F.col("doc_id").alias("a_id"), "h")
@@ -393,13 +394,13 @@ def minhash_lsh_pairs_for(
     instead (same signatures, same band join, different pairing rule)."""
     if pair_cond is None:
         pair_cond = lambda a, b: a < b  # noqa: E731
-    postings = _shingles(docs).localCheckpoint(eager=False)
+    postings = _shingles(docs).transform(materialize)
     h = F.col("h") % HASH_MOD
     aggs = [
         F.min((F.lit(PERM_A[j]) * h + F.lit(PERM_B[j])) % HASH_MOD).alias(f"m{j}")
         for j in range(N_PERMS)
     ] + [F.count("*").alias("sz")]
-    sigs = postings.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=False)
+    sigs = postings.groupBy("doc_id").agg(*aggs).transform(materialize)
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),
@@ -522,7 +523,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3
     all-pairs SQL), while the join cost drops from O(n²) to Σ bucket².
     """
     assert max_hamming < SIMHASH_BANDS, "pigeonhole exactness needs hamming < bands"
-    s = _simhash_frame(spark, sf_dir).localCheckpoint(eager=False)
+    s = _simhash_frame(spark, sf_dir).transform(materialize)
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     bands = s.select(
         "doc_id",
@@ -602,7 +603,7 @@ def decontaminate(spark: SparkSession, sf_dir: str,
     boilerplate shingle shared with an eval doc can't multiply the output.
     """
     docs = load_table(spark, sf_dir, "documents")
-    posts = _shingles(docs).localCheckpoint(eager=False)
+    posts = _shingles(docs).transform(materialize)
     eval_p = posts.filter((F.col("doc_id") % eval_mod) == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "h"
     )
@@ -1005,7 +1006,7 @@ def doc_duplication_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings self-join the pair ops need.
     """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    postings = _shingles(docs).localCheckpoint(eager=False)
+    postings = _shingles(docs).transform(materialize)
     dfreq = postings.groupBy("h").agg(F.count("*").alias("df"))
     out = (
         postings.join(dfreq, "h")

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
 
 PCTS = (0.5, 0.9, 0.99)
 HOT_KEYS_N = 10
@@ -73,12 +74,12 @@ def partition_stats(df: DataFrame, keys: list[str]) -> DataFrame:
 
     counts = (
         df.groupBy(*keys).agg(F.count("*").alias("cnt"))
-        # lazy localCheckpoint, not persist(): shared by the rank/picks/
+        # lazy materialize (execution.py policy): shared by the rank/picks/
         # summary subtrees exactly once, and its blocks are auto-released
         # by the ContextCleaner when the frame drops out of scope — a
         # persist() here leaks CacheManager storage across a long session
         # unless every caller remembers to unpersist after its action.
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     n = counts.count()  # scalar; also materializes the checkpoint
     ranked = append_global_rank(
@@ -124,11 +125,11 @@ def hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The top-N heaviest keys with their share of all rows — the concrete
     keys you'd salt (or route to AQE skew-join handling)."""
     events = load_table(spark, sf_dir, "events")
-    # lazy localCheckpoint (not persist) — computed once, auto-released
+    # lazy materialize (execution.py policy) — computed once, auto-released
     counts = (
         events.groupBy("user_id")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     # 1-row total crossJoin-broadcast onto the counts — not an unpartitioned
     # window, which would funnel every key-count row through one partition.
@@ -164,11 +165,11 @@ def salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     row through a single partition — the exact shape this table exists to
     remediate)."""
     events = load_table(spark, sf_dir, "events")
-    # lazy localCheckpoint (not persist) — computed once, auto-released
+    # lazy materialize (execution.py policy) — computed once, auto-released
     counts = (
         events.groupBy("user_id")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     summary = counts.agg(
         F.sum("cnt").alias("_total"), F.count("*").alias("_n_keys")

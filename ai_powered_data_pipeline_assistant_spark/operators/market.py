@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
 
 MIN_SUPPORT = 3  # pair must appear in ≥ this many baskets
 MAX_BASKET = 1_000  # degenerate-basket guard
@@ -49,7 +50,7 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("parts"))
         .filter(F.size("parts") <= MAX_BASKET)
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     n_baskets = baskets.agg(F.count("*").alias("n_baskets"))
     item_support = (

@@ -23,7 +23,7 @@ Scale design:
   same join+groupBy primitive extends to large-star/small-star
   (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond"),
   which converges in O(log n) rounds.
-- `localCheckpoint` after every round truncates lineage so the plan and
+- `materialize_barrier` (execution.py) after every round truncates lineage so the plan and
   its recompute cost don't grow with the round count.
 - Keep-best is one window over the (tiny) clustered subset: rank by the
   shared quality score (text_analysis.quality_expr), keep rank 1.
@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.execution import materialize, materialize_barrier
 from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     minhash_lsh_pairs,
@@ -107,7 +108,7 @@ def connected_components_counted(
        equi-join + groupBy).
 
     Convergence is a scalar sum(label) compare (labels only ever decrease),
-    and `localCheckpoint` truncates lineage so plan size stays constant
+    and `materialize_barrier` truncates lineage so plan size stays constant
     across rounds. Sets `connected_components.last_rounds` for tests.
     """
     # Materialize the edge list ONCE: it feeds every propagation round, and
@@ -118,7 +119,7 @@ def connected_components_counted(
         .union(edges.select(F.col("b_id").alias("node"), F.col("a_id").alias("nbr")))
         # lazy: the count below materializes the checkpoint — eager
         # checkpoints would run one extra job each
-        .localCheckpoint(eager=False)
+        .transform(materialize_barrier)
     )
     # Right-size the iteration's partitioning to the EDGE LIST, not the
     # session default: post-LSH edge lists are orders of magnitude smaller
@@ -128,10 +129,10 @@ def connected_components_counted(
     n_edges = sym.count()
     parts = max(1, min(n_edges // 500_000 + 1, 2048))
     if parts < sym.rdd.getNumPartitions():
-        sym = sym.repartition(parts, "node").localCheckpoint(eager=False)
+        sym = materialize(sym.repartition(parts, "node"), require_barrier=True)
     labels = (
         sym.select("node").distinct().select("node", F.col("node").alias("label"))
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_barrier)
     connected_components.last_rounds = 0
     prev = labels.agg(F.sum("label")).first()[0]
     if prev is None:  # no edges → no clustered nodes
@@ -157,7 +158,7 @@ def connected_components_counted(
             .agg(F.min("nbr_label").alias("label"))
             # lazy: materialized by the convergence sum right below —
             # one job per round instead of two
-            .localCheckpoint(eager=False)
+            .transform(materialize_barrier)
         )
         labels = new_labels
         connected_components.last_rounds = rnd + 1
@@ -358,7 +359,7 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     # upstream pair-generation DAG in the plan (the LSH pipeline ×5 —
     # ~120 Exchanges; the census budget in tests/test_plans.py caps 30).
     # Same pattern as connected_components above.
-    edges = edges.localCheckpoint(eager=True)
+    edges = materialize(edges, eager=True, require_barrier=True)
     sym = edges.select(F.col("a_id").alias("node")).unionAll(
         edges.select(F.col("b_id").alias("node"))
     )

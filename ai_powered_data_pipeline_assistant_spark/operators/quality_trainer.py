@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
 
 GRAD_SCALE = 1_000_000_000_000  # 1e12: per-row gradient quantization grid
 LOSS_SCALE = 1_000_000_000  # 1e9: per-row log-loss quantization grid
@@ -139,7 +140,7 @@ def quality_trainer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per iteration (mean log-loss, int-scaled) plus a final row
     with the learned weights (floor·1e6) and training accuracy. Rows-only;
     the trainer's exactness is pinned by `logreg_probe_audit`."""
-    df = _doc_features(spark, sf_dir).localCheckpoint(eager=False)
+    df = _doc_features(spark, sf_dir).transform(materialize)
     w, history = _logreg_train(df, dims=5)
     rows = [(it, "loss", float(lu), n) for it, lu, n in history]
     # training accuracy with the final model — one more scan

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
 
 RANK_BUCKETS = 32
 
@@ -68,7 +69,7 @@ def append_global_rank(
         # divergence, recompute after block loss) the subtrees could sample
         # DIFFERENT boundaries and sizes would disagree with ranks. Lazy:
         # the first downstream job materializes it.
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     intra_w = Window.partitionBy("_rank_bucket").orderBy(*order_cols)
     sizes = parted.groupBy("_rank_bucket").agg(F.count("*").alias("_bn"))

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.execution import materialize_barrier
 
 
 def _run_to_memory(
@@ -290,12 +291,12 @@ def job_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return answer_requests(dedup_requests(stream), kb)
 
     got = _run_to_memory(spark, fixture, build, "append", poll_stateful=False)
-    # lazy localCheckpoint: exceptAll's replication-count rewrite trips an
+    # materialize_barrier (lineage barrier REQUIRED, all modes): exceptAll trips an
     # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on this left-join + concat plan
     # (Catalyst project-collapse bug); materializing the twin sidesteps it
     # and also stops the batch pipeline re-running for each diff direction
-    want = answer_requests(dedup_requests(base_req), kb).localCheckpoint(
-        eager=False
+    want = answer_requests(dedup_requests(base_req), kb).transform(
+        materialize_barrier
     )
     n_stream = got.count()
     return spark.range(1).select(
@@ -346,8 +347,8 @@ def channel_fanout_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         got_resp = spark.read.parquet(f"{tmp}/chan/job_responses")
         got_tasks = spark.read.parquet(f"{tmp}/chan/tasks")
         got_logs = spark.read.parquet(f"{tmp}/chan/logs")
-        want_resp = answer_requests(dedup_requests(base_req), kb).localCheckpoint(
-            eager=False
+        want_resp = answer_requests(dedup_requests(base_req), kb).transform(
+            materialize_barrier
         )
         want_tasks = want_resp.select(
             F.col("request_id").alias("task_name"),

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table, load_tables
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
 from ai_powered_data_pipeline_assistant_spark.functions.text import scrub_log_line
 from ai_powered_data_pipeline_assistant_spark.plans.sql_gate import (
     UnsafeQueryError,
@@ -343,7 +344,7 @@ def _cache_verdicts_chain(acc: DataFrame) -> DataFrame:
             (F.max("ts_us").over(n_w) - F.min("ts_us").over(n_w))
             / F.lit(CACHE_TTL_US)
         ).alias("span_ttls"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     max_chain = base.agg(F.max("span_ttls")).first()[0]
     if max_chain is None:  # no accesses at all
         return base.select("event_type", F.lit(True).alias("hit"))
@@ -360,7 +361,7 @@ def _cache_verdicts_chain(acc: DataFrame) -> DataFrame:
             reach.join(jump, ["user_id", "sess", "idx"]).select(
                 "user_id", "sess", F.col("g").alias("idx")
             )
-        ).localCheckpoint(eager=False)
+        ).transform(materialize)
         if k < rounds - 1:
             j2 = jump.select(
                 F.col("user_id"),
@@ -373,7 +374,7 @@ def _cache_verdicts_chain(acc: DataFrame) -> DataFrame:
                 .select(
                     "user_id", "sess", F.col("_src").alias("idx"), "g"
                 )
-                .localCheckpoint(eager=False)
+                .transform(materialize)
             )
     misses = reach.withColumn("is_miss", F.lit(True))
     return (

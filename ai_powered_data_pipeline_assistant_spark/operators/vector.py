@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
 from ai_powered_data_pipeline_assistant_spark.functions.vector_math import (
     cosine_similarity,
     cosine_similarity_sql,
@@ -266,7 +267,7 @@ def ann_ivf_pruned(spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = ivf_centroids(emb, n_lists)
     queries = _query_vectors(spark, sf_dir, n_queries)
-    probed = assign_lists(queries, "query_vec", centroids, "probe_list", n_probe).localCheckpoint(eager=False)
+    probed = assign_lists(queries, "query_vec", centroids, "probe_list", n_probe).transform(materialize)
     # Literal probe list → PartitionFilters on the layout scan. ≤ n_queries ×
     # n_probe ints collected driver-side: this IS the index lookup, bounded.
     probe_lists = sorted(
@@ -1156,7 +1157,7 @@ def ivf_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     k·|Q|-row frames — the sweep costs |probes| passes over the candidate
     sets, never over the corpus pairs.
     """
-    exact = ann_brute_topk(spark, sf_dir).select("query_id", "vec_id").localCheckpoint(eager=False)
+    exact = ann_brute_topk(spark, sf_dir).select("query_id", "vec_id").transform(materialize)
     k_times_q = exact.count()  # |Q|·k, bounded
     out = None
     for p in IVF_SWEEP_PROBES:

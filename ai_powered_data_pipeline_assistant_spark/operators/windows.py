@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
 
 
 def retention_last_n(spark: SparkSession, sf_dir: str, n: int = 100) -> DataFrame:
@@ -232,7 +233,7 @@ def user_activity_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Pin the sampled range boundaries: `parted` feeds two subtrees
         # (intra-bucket running sums and the per-bucket totals) — see
         # ranking.append_global_rank for the full rationale.
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     intra_w = (
         Window.partitionBy("bucket")
@@ -516,8 +517,8 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(Window.partitionBy()).alias("n"),
         )
     else:
-        # lazy localCheckpoint (not persist) — computed once, auto-released
-        per_cust = per_cust.localCheckpoint(eager=False)
+        # lazy materialize (execution.py policy) — computed once, auto-released
+        per_cust = per_cust.transform(materialize)
         n = per_cust.count()  # scalar; also materializes the checkpoint
         ranked = per_cust
         for out_col, order in RANK_ORDERS:
@@ -622,7 +623,7 @@ def watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             # pin the sampled range boundaries — `parted` feeds two plan
             # subtrees (intra running max + per-bucket maxima); see
             # ranking.append_global_rank
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
         intra_w = (
             Window.partitionBy("_wb")
