@@ -387,6 +387,56 @@ def channel_fanout_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trigger_cadence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 rerun throttle, driver-scorable (VERDICT r6 next-round #7): start
+    the REAL `run_job_stream` (dedup → answer → idempotent batch-versioned
+    sink) availableNow over the job fixture, then RESTART the identical
+    stream against the same checkpoint. The restart is the reference's
+    "re-run the job" event; the checkpoint is the throttle: the second
+    trigger must consume zero input rows and land zero new output rows —
+    identical output before and after. One row pins the first run's output
+    count (= the batch-dedup cardinality the oracle recomputes), the second
+    run's input and output deltas at 0, and the trigger mode."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
+        run_job_stream,
+    )
+
+    base_req, kb = _job_requests(spark, sf_dir)
+    # at-least-once redelivery copies, suppressed by T3 dedup
+    fixture = base_req.union(
+        base_req.filter(F.col("request_id").cast("long") % 7 == 0)
+    )
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"cadence_{run_id}_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = f"{tmp}/src"
+        fixture.coalesce(1).write.mode("overwrite").parquet(src)
+
+        def fire():
+            stream = spark.readStream.schema(fixture.schema).parquet(src)
+            return run_job_stream(stream, kb, f"{tmp}/out", f"{tmp}/ckpt")
+
+        q1 = fire()
+        q1.awaitTermination(180)
+        n_run1 = spark.read.parquet(f"{tmp}/out").count()
+        q2 = fire()
+        q2.awaitTermination(180)
+        rows_in_run2 = sum(p["numInputRows"] for p in q2.recentProgress)
+        n_run2 = spark.read.parquet(f"{tmp}/out").count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(n_run1).cast("long").alias("n_output_run1"),
+        F.lit(rows_in_run2).cast("long").alias("n_input_run2"),
+        F.lit(n_run2 - n_run1).cast("long").alias("n_new_output_run2"),
+        F.lit(rows_in_run2 == 0 and n_run2 == n_run1).alias("rerun_suppressed"),
+        F.lit("availableNow").alias("trigger_mode"),
+    )
+
+
 def _batch_side_sql(name: str) -> str:
     """Reuse the batch twins' own oracle SQL (already driver-green) as the
     parity oracles' source of truth."""
@@ -460,6 +510,16 @@ def _oracles() -> dict[str, str]:
                    true AS stream_equals_batch
             FROM req LEFT JOIN documents d ON d.doc_id = req.job_id
         """,
+        # first run answers one response per distinct request_id (= one per
+        # event); the throttled rerun contributes exactly nothing
+        "trigger_cadence_audit": """
+            SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_output_run1,
+                   CAST(0 AS BIGINT) AS n_input_run2,
+                   CAST(0 AS BIGINT) AS n_new_output_run2,
+                   true AS rerun_suppressed,
+                   'availableNow' AS trigger_mode
+            FROM events
+        """,
     }
 
 
@@ -471,4 +531,5 @@ QUERIES = {
     "session_stream_parity": session_stream_parity,
     "job_stream_parity": job_stream_parity,
     "channel_fanout_parity": channel_fanout_parity,
+    "trigger_cadence_audit": trigger_cadence_audit,
 }

@@ -95,8 +95,15 @@ def check_window(sf_dir: str) -> int:
             print(f"{name}: NO-ORACLE (window slot would land a red rows-only row)")
             fails.append(name)
             continue
-        df = queries[name](spark, sf_dir)
-        rep = driver_representable(df, con.sql(oracles[name]))
+        # per-entry isolation: one broken builder must report its slot and
+        # keep going, not hide the rest of the window behind a traceback
+        try:
+            df = queries[name](spark, sf_dir)
+            rep = driver_representable(df, con.sql(oracles[name]))
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: BUILD-ERROR {e}")
+            fails.append(name)
+            continue
         if rep:
             print(f"{name}: NOT-DRIVER-REPRESENTABLE {'; '.join(rep)}")
             fails.append(name)

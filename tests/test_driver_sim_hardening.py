@@ -52,3 +52,44 @@ def test_driver_window_entries_all_have_oracles():
     assert missing == [], (
         f"driver-window entries without oracles (slot burned on red): {missing}"
     )
+
+
+def test_driver_window_entries_driver_representable(spark, duck, sf_dir):
+    """Every driver-window slot must pass ``driver_representable``: array/
+    map/struct Spark outputs and HUGEINT oracle columns land guaranteed-red
+    rows even when values match (the exact round-5 failure mode). This was
+    previously only checked by manually running ``driver_sim.py --window``
+    (ADVICE r6 #1) — now every pytest run builds each windowed frame and
+    its oracle relation and asserts representability."""
+    from ai_powered_data_pipeline_assistant_spark import registry
+
+    queries = registry.all_queries()
+    oracles = registry.all_oracles()
+    problems: dict[str, list[str]] = {}
+    for name in registry._DRIVER_WINDOW:
+        df = queries[name](spark, sf_dir)
+        rep = driver_representable(df, duck.sql(oracles[name]))
+        if rep:
+            problems[name] = rep
+    assert problems == {}, f"non-driver-representable window entries: {problems}"
+
+
+def test_queries_md_counts_match_registry():
+    """QUERIES.md's header counts must match the live registry — the doc
+    drifted twice (r5 verdict task #7, still stale in r6); pin it so
+    ``gen_queries_md.py`` must be re-run after any registry change."""
+    import re
+
+    from ai_powered_data_pipeline_assistant_spark import registry
+
+    with open("QUERIES.md") as fh:
+        for line in fh:
+            m = re.match(r"(\d+) registered queries, (\d+) with exact", line)
+            if m:
+                break
+        else:
+            raise AssertionError("QUERIES.md header count line not found")
+    assert (int(m.group(1)), int(m.group(2))) == (
+        len(registry.all_queries()),
+        len(registry.all_oracles()),
+    ), "QUERIES.md is stale — rerun: python scripts/gen_queries_md.py > QUERIES.md"
