@@ -1176,6 +1176,32 @@ def ivf_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ivf_probe_recall_sweep"] = ivf_probe_recall_sweep
 
 
+IVF_AUTO_RECALL_TARGET = 0.95
+
+
+def ann_ivf_autotuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-tuning IVF ANN (VERDICT r6 next-round #8): run the
+    recall-vs-n_probe sweep, pick the SMALLEST probe count whose recall
+    meets IVF_AUTO_RECALL_TARGET (max probe if none does), and serve
+    ``ann_ivf_topk`` at that setting — the latency/recall trade-off the
+    sweep previously only reported is now applied. The sweep result is a
+    |IVF_SWEEP_PROBES|-row frame, so the pick is a bounded driver-side
+    argmin (the same index-lookup shape as the centroid probe).
+    Deterministic end to end → exact oracle: DuckDB recomputes the same
+    recalls, the same pick, and the picked arm's top-k."""
+    rows = ivf_probe_recall_sweep(spark, sf_dir).select(
+        "n_probe", "recall"
+    ).collect()  # one row per candidate probe setting, bounded
+    eligible = [r["n_probe"] for r in rows if r["recall"] >= IVF_AUTO_RECALL_TARGET]
+    picked = int(min(eligible) if eligible else max(r["n_probe"] for r in rows))
+    return ann_ivf_topk(spark, sf_dir, n_probe=picked).withColumn(
+        "picked_n_probe", F.lit(picked).cast("long")
+    )
+
+
+QUERIES["ann_ivf_autotuned"] = ann_ivf_autotuned
+
+
 def _ivf_sweep_oracle() -> str:
     arms = []
     for p in IVF_SWEEP_PROBES:
@@ -1197,3 +1223,38 @@ def _ivf_sweep_oracle() -> str:
 
 
 ORACLES["ivf_probe_recall_sweep"] = _ivf_sweep_oracle()
+
+
+def _ivf_auto_oracle() -> str:
+    recall_arms = []
+    topk_arms = []
+    for p in IVF_SWEEP_PROBES:
+        recall_arms.append(f"""
+        SELECT CAST({p} AS BIGINT) AS n_probe,
+               round(count(*) / CAST((SELECT count(*) FROM exact) AS DOUBLE), 6)
+                   AS recall
+        FROM ({_ivf_oracle_sql(n_probe=p)}) a
+        JOIN exact x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+        """)
+        topk_arms.append(f"""
+        SELECT CAST({p} AS BIGINT) AS arm_probe, query_id, vec_id,
+               similarity, rk
+        FROM ({_ivf_oracle_sql(n_probe=p)}) t
+        """)
+    return f"""
+        WITH exact AS (
+            SELECT query_id, vec_id FROM ({ORACLES["ann_brute_topk"]})),
+        recalls AS ({" UNION ALL ".join(recall_arms)}),
+        pick AS (
+            SELECT coalesce(
+                min(n_probe) FILTER (WHERE recall >= {IVF_AUTO_RECALL_TARGET}),
+                max(n_probe)) AS p
+            FROM recalls),
+        arms AS ({" UNION ALL ".join(topk_arms)})
+        SELECT query_id, vec_id, similarity, rk,
+               (SELECT p FROM pick) AS picked_n_probe
+        FROM arms WHERE arm_probe = (SELECT p FROM pick)
+    """
+
+
+ORACLES["ann_ivf_autotuned"] = _ivf_auto_oracle()

@@ -110,6 +110,7 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "bpe_encode_probe_audit",
         "quality_trainer_report",
         "logreg_probe_audit",
+        "ann_ivf_autotuned",
     }
 )
 
