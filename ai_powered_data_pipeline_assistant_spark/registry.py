@@ -21,6 +21,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     clustering,
     corpus,
     curation,
+    data_selection,
     dedup,
     diagnostics,
     embedding_pipeline,
@@ -62,6 +63,7 @@ _MODULES = [
     dedup,
     text_analysis,
     curation,
+    data_selection,
     clustering,
     pipeline,
     repetition,
@@ -157,6 +159,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # -- new audit twins (r6 verdict tasks #3 and #7) --
     "scan_file_stats_audit",
     "trigger_cadence_audit",
+    # -- NEW round-7 operators (data_selection.py) — windowed on arrival so
+    # the "every oracle-backed entry has a driver verdict" invariant holds;
+    # they displace four staleness re-checks whose modules are re-checked
+    # through a sibling slot anyway (rollup/grouping_sets via status_counts,
+    # tpch_q3 via tpch_q1, semi_join_active via fk_join_rollup) --
+    "dsir_importance_weights",
+    "dsir_gumbel_resample",
+    "temperature_mix_plan",
+    "ngram_novelty_report",
     # -- staleness re-checks: r1-green, module changed since r1 --
     "scan_project",
     "filter_eq",
@@ -165,13 +176,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "point_lookup",
     "multikey_sort",
     "status_counts",
-    "rollup_counts",
-    "grouping_sets_counts",
     "tpch_q1",
-    "tpch_q3",
     "fk_join_rollup",
     "anti_join_new_docs",
-    "semi_join_active",
     "cosine_topk",
     "cosine_topk_filtered",
     "embedding_neardup_pairs",

@@ -91,6 +91,10 @@ HEADLINE = [
     "bpe_pair_counts",
     "embedding_quantize_audit",
     "cache_hit_simulation",
+    # round-7 additions: data-selection family (DSIR importance resampling,
+    # held-out n-gram novelty)
+    "dsir_importance_weights",
+    "ngram_novelty_report",
 ]
 
 # The round-1 headline set, unchanged since: its sub-total is reported as
