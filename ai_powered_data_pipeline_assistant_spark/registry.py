@@ -35,6 +35,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     neardup_cluster,
     packing,
     pipeline,
+    pq,
     quality_trainer,
     relational,
     repetition,
@@ -60,6 +61,7 @@ _MODULES = [
     bpe,
     joins,
     vector,
+    pq,
     dedup,
     text_analysis,
     curation,
@@ -113,6 +115,10 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "quality_trainer_report",
         "logreg_probe_audit",
         "ann_ivf_autotuned",
+        "pq_encode",
+        "pq_codebooks",
+        "pq_recall_audit",
+        "pq_probe_audit",
     }
 )
 
@@ -168,6 +174,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dsir_gumbel_resample",
     "temperature_mix_plan",
     "ngram_novelty_report",
+    # -- NEW round-7 operators (pq.py) — same windowed-on-arrival rule;
+    # they displace minhash_signatures / ngram_jaccard_pairs, whose module
+    # (dedup.py) keeps four other re-check slots --
+    "pq_probe_audit",
+    "pq_recall_audit",
     # -- staleness re-checks: r1-green, module changed since r1 --
     "scan_project",
     "filter_eq",
@@ -184,8 +195,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_neardup_pairs",
     "exact_dedup",
     "upsert_merge",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "simhash_neardup_pairs",
     "set_ops_summary",

@@ -41,6 +41,11 @@ PROBES = [
     "media_dedup",        # sha256 digest shuffle, payloads stay in scan
     "embedding_quantize_audit",  # JVM array HOFs + checksums
     "pca_project",        # two-level moment reduce + Arrow projection
+    # round-7 data-selection family
+    "dsir_importance_weights",  # bounded-bucket model + broadcast scoring
+    "dsir_gumbel_resample",     # same + deterministic Gumbel top-k
+    "ngram_novelty_report",     # hashed 5-gram distinct/anti-join
+    "temperature_mix_plan",     # |sources|-row mixture reduction
 ]
 
 
