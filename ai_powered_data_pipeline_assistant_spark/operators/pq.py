@@ -124,13 +124,22 @@ def _assign_codes(
 
 
 def _train_pq(
-    emb: DataFrame, m_count: int, subdim: int, k: int, iters: int
+    emb: DataFrame, m_count: int, subdim: int, k: int, iters: int,
+    init_offset: int = 0,
 ) -> list[list[list[float]]]:
     """Lloyd's per subspace, all subspaces per pass. Init: subvectors of
-    the first k stored vectors (deterministic, the kmeans convention).
-    Empty cells keep their previous centroid."""
+    the first k stored vectors (deterministic, the kmeans convention);
+    ``init_offset`` skips ids whose vectors are degenerate for training —
+    the IVF-PQ residual path starts past the coarse-centroid ids, whose
+    residuals are identically zero. Empty cells keep their previous
+    centroid."""
     init_rows = (
-        emb.filter(F.col("vec_id") < k).orderBy("vec_id").select("embedding").collect()
+        emb.filter(
+            (F.col("vec_id") >= init_offset) & (F.col("vec_id") < init_offset + k)
+        )
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
     )
     cents = [
         [[float(v) for v in r["embedding"]][m * subdim : (m + 1) * subdim]

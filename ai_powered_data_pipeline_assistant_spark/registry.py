@@ -29,6 +29,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     entity,
     graphs,
     incremental,
+    ivfpq,
     joins,
     market,
     multimodal,
@@ -62,6 +63,7 @@ _MODULES = [
     joins,
     vector,
     pq,
+    ivfpq,
     dedup,
     text_analysis,
     curation,
@@ -119,6 +121,10 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "pq_codebooks",
         "pq_recall_audit",
         "pq_probe_audit",
+        "ann_ivfpq_topk",
+        "ann_ivfpq_pruned",
+        "ivfpq_recall_audit",
+        "ivfpq_probe_audit",
     }
 )
 
@@ -179,6 +185,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (dedup.py) keeps four other re-check slots --
     "pq_probe_audit",
     "pq_recall_audit",
+    # -- NEW round-7 operators (ivfpq.py — composed IVF routing + residual
+    # PQ) — windowed on arrival; they displace the cosine_topk_filtered /
+    # simhash_fingerprints re-checks (vector.py keeps cosine_topk +
+    # embedding_neardup_pairs, dedup.py keeps simhash_neardup_pairs et al.,
+    # and both displaced names were value-verified by this round's full
+    # driver_sim sf0.01 run) --
+    "ivfpq_probe_audit",
+    "ivfpq_recall_audit",
     # -- staleness re-checks: r1-green, module changed since r1 --
     "scan_project",
     "filter_eq",
@@ -191,11 +205,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "fk_join_rollup",
     "anti_join_new_docs",
     "cosine_topk",
-    "cosine_topk_filtered",
     "embedding_neardup_pairs",
     "exact_dedup",
     "upsert_merge",
-    "simhash_fingerprints",
     "simhash_neardup_pairs",
     "set_ops_summary",
     "lang_id",

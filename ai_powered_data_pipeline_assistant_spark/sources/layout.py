@@ -89,6 +89,74 @@ def ensure_ivf_layout(
     return out
 
 
+def write_ivfpq_layout(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> None:
+    """Persist the composed IVF-PQ index (operators/ivfpq.py) as a
+    lakehouse layout — the on-disk shape a 100 TB deployment actually
+    queries:
+
+    - ``codes/``: (vec_id, _c0.._c{M-1}) partitioned by ``list_id`` —
+      the 32×-narrow posting lists; a probe reads ONLY its lists'
+      directories and never touches raw vectors;
+    - ``coarse/``: the routing table (list_id, centroid) — n_lists rows;
+    - ``codebooks/``: the PQ residual codebooks (m, code, centroid) —
+      M·K rows. Both sidecars are broadcast-sized: a query session reads
+      them once, like FAISS loading an index header.
+
+    Raw vectors intentionally stay in the BASE table only: the exact
+    re-rank fetches its |Q|·rerank rows by vec_id — point lookups, not a
+    scan — so the index adds 1/32nd of the corpus bytes, not a copy.
+    """
+    import os
+
+    from ai_powered_data_pipeline_assistant_spark.operators.ivfpq import (
+        IVFPQ_N_LISTS,
+        _build_index,
+    )
+    from ai_powered_data_pipeline_assistant_spark.operators.pq import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    codes, cent_map, pq_cents, _centroids = _build_index(
+        emb, IVFPQ_N_LISTS, PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS
+    )
+    codes.drop("raw").write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(out_path, "codes")
+    )
+    spark.createDataFrame(
+        sorted(cent_map.items()), "list_id long, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_path, "coarse"))
+    spark.createDataFrame(
+        [
+            (m, c, pq_cents[m][c])
+            for m in range(PQ_M)
+            for c in range(PQ_K)
+        ],
+        "m int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_path, "codebooks"))
+
+
+def ensure_ivfpq_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently materialize the IVF-PQ layout for one sf_dir (the
+    ensure_ivf_layout convention: a write-once index build, cached on the
+    codes _SUCCESS marker)."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}")
+    if not os.path.isfile(os.path.join(out, "codes", "_SUCCESS")):
+        write_ivfpq_layout(spark, sf_dir, out)
+    return out
+
+
 def _bucketed_table(
     spark: SparkSession, sf_dir: str, source: str, bucket_col: str,
     n_buckets: int = 8,

@@ -1,0 +1,169 @@
+"""Semantic pins for the composed IVF-PQ engine (operators/ivfpq.py):
+the full distributed pipeline vs the pure-Python golden replica, the
+retrieval-quality bounds, the routing-pruning invariant, and partitioning
+invariance of the probe audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.operators.ivfpq import (
+    IVFPQ_N_LISTS,
+    IVFPQ_N_PROBE,
+    IVFPQ_N_QUERIES,
+    IVFPQ_PROBE_LISTS,
+    IVFPQ_PROBE_QUERIES,
+    IVFPQ_PROBE_TOPK,
+    IVFPQ_TOPK,
+    _ivfpq_probe_golden,
+    _ivfpq_probe_rows,
+    ann_ivfpq_topk,
+    ivfpq_probe_audit,
+    ivfpq_recall_audit,
+)
+
+
+def test_probe_pipeline_matches_golden_replica(spark, sf_dir):
+    """The REAL composed engine (coarse routing → residual PQ training →
+    ADC over probed lists → salted shortlist → exact re-rank) must be
+    bit-exact against the sequential replica on the integer probes."""
+    rows = [tuple(r) for r in ivfpq_probe_audit(spark, sf_dir).collect()]
+    assert rows == _ivfpq_probe_golden()
+    assert len(rows) == IVFPQ_PROBE_QUERIES * IVFPQ_PROBE_TOPK
+
+
+def test_probe_golden_self_hits_rank_first(spark, sf_dir):
+    """Queries ARE stored vectors: each must come back at rank 1 with
+    exact distance 0 — routing cannot lose a vector's own list and the
+    exact re-rank restores identity regardless of code collisions."""
+    for q, rk, vec, _adc_u, exact_u in _ivfpq_probe_golden():
+        if rk == 1:
+            assert vec == q and exact_u == 0
+
+
+def test_probe_blob_margins_dominate_rounding():
+    """The golden replica routes with unrounded cosine while the engine
+    rounds to 6 decimals; this is sound only while every routing decision
+    has a margin far above the rounding grid. Pin the margin itself."""
+    import math
+
+    rows = _ivfpq_probe_rows()
+    cents = {i: v for i, v in rows[:IVFPQ_PROBE_LISTS]}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    for i, v in rows:
+        sims = sorted((cos(v, c) for c in cents.values()), reverse=True)
+        # data assignment (keep=1) only needs the top-1 gap: ≫ grid
+        assert sims[0] - sims[1] > 1e-2
+        if i < IVFPQ_PROBE_QUERIES:
+            # query probing (keep=2) also needs the top-2 vs top-3 gap;
+            # the tightest measures 2.3e-4 — 230× the 1e-6 rounding grid
+            assert sims[1] - sims[2] > 1e-4
+
+
+def test_probe_audit_partitioning_invariant(spark, sf_dir):
+    """Integer vectors make every distributed mean order-free, so the
+    probe audit must not depend on how the probe frame is partitioned.
+    The audit itself repartitions to 3; re-check the golden equality holds
+    (conftest session uses 32 shuffle partitions — a different physical
+    layout than the replica's sequential order)."""
+    first = [tuple(r) for r in ivfpq_probe_audit(spark, sf_dir).collect()]
+    second = [tuple(r) for r in ivfpq_probe_audit(spark, sf_dir).collect()]
+    assert first == second == _ivfpq_probe_golden()
+
+
+def test_recall_audit_bounds_hold(spark, sf_dir):
+    row = ivfpq_recall_audit(spark, sf_dir).collect()[0]
+    assert row.n_queries == IVFPQ_N_QUERIES and row.k == IVFPQ_TOPK
+    assert row.recall_ok and row.rerank_ok
+    assert row.rerank_no_worse and row.self_hit_all
+    assert row.routing_pruned
+
+
+def test_topk_shape_and_self_hit(spark, sf_dir):
+    """Corpus-scale smoke: every query yields exactly k ranked rows,
+    ranks are 1..k, exact distances are non-decreasing in rank, and each
+    query's own vector is rank 1 with exact_u = 0."""
+    rows = ann_ivfpq_topk(spark, sf_dir).collect()
+    assert len(rows) == IVFPQ_N_QUERIES * IVFPQ_TOPK
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(int(r.query_id), []).append(r)
+    assert len(by_q) == IVFPQ_N_QUERIES
+    for qid, qrows in by_q.items():
+        qrows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in qrows] == list(range(1, IVFPQ_TOPK + 1))
+        assert int(qrows[0].vec_id) == qid and int(qrows[0].exact_u) == 0
+        ds = [int(r.exact_u) for r in qrows]
+        assert ds == sorted(ds)
+
+
+def test_ivfpq_layout_prunes_partitions_and_matches_logical(spark, sf_dir):
+    """The physical-layout path must (a) reach the codes scan as
+    PartitionFilters (list_id IN ...) — only probed lists' directories are
+    opened, over a codes table 32× narrower than the vectors — and (b)
+    return EXACTLY the logical path's rows (same deterministic training,
+    roundtripped through parquet doubles; the two share `_score_and_rerank`
+    so the scoring stage cannot drift)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.ivfpq import (
+        ann_ivfpq_pruned,
+    )
+
+    df = ann_ivfpq_pruned(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "list_id" in pf and "IN" in pf.upper(), plan
+
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, ann_ivfpq_topk(spark, sf_dir).collect()))
+    assert got == want
+
+
+def test_routing_scans_only_probed_lists(spark, sf_dir):
+    """The scale claim, checked structurally: the candidate frame joins
+    codes against n_probe lists per query, so distinct probed lists ≤
+    |Q|·n_probe < n_lists·|Q| and candidate rows < |Q|·corpus."""
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+    from ai_powered_data_pipeline_assistant_spark.operators.ivfpq import (
+        _ivfpq_search,
+    )
+    from ai_powered_data_pipeline_assistant_spark.operators.pq import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+    )
+    from ai_powered_data_pipeline_assistant_spark.operators.vector import (
+        _query_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    queries = _query_vectors(spark, sf_dir, IVFPQ_N_QUERIES)
+    _final, codes, candidates = _ivfpq_search(
+        spark,
+        emb,
+        queries,
+        n_lists=IVFPQ_N_LISTS,
+        n_probe=IVFPQ_N_PROBE,
+        m_count=PQ_M,
+        subdim=PQ_SUBDIM,
+        k_codes=PQ_K,
+        iters=PQ_ITERS,
+        k=IVFPQ_TOPK,
+        rerank=20,
+    )
+    n_corpus = emb.count()
+    assert candidates.count() < IVFPQ_N_QUERIES * n_corpus
+    # every vector is stored in exactly one list
+    assert codes.count() == n_corpus
+    per_list = codes.groupBy("list_id").agg(F.count("*").alias("n")).collect()
+    assert sum(r.n for r in per_list) == n_corpus
+    assert len(per_list) <= IVFPQ_N_LISTS
