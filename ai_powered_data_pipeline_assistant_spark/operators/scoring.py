@@ -137,6 +137,100 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    2020, arXiv:1911.00359): train a PER-LANGUAGE unigram LM on the corpus,
+    score every document by mean negative log-probability, and split each
+    language's documents into equal thirds by rank — head (most fluent)
+    feeds training as-is, middle is kept with caution, tail is dropped or
+    routed to extra filtering. This is the selection stage CCNet runs with
+    a KenLM 5-gram; the unigram scorer slots into the same bucket algebra
+    (`bigram_logprob` is the next rung up).
+
+    Exactness: per-token log-probs are int64-scaled ONCE in the per-lang
+    vocab frame (the `unigram_logprob` rule) so document sums are
+    order-free; the bucket cut is RANK-based (rounded mean, doc_id
+    tie-break) — no float threshold comparisons, so both engines agree
+    bit-for-bit.
+
+    Scale: the per-lang rank is the hazard — ``Window.partitionBy(lang)``
+    funnels corpus/|langs| rows through one reducer. Cure: ONE global
+    two-phase rank over (lang, score, doc_id) via `append_global_rank`,
+    then per-lang rank = global rank − broadcast per-lang offset
+    (|langs|-row frame). The vocab join broadcasts while it fits, exactly
+    as in `unigram_logprob`."""
+    from ai_powered_data_pipeline_assistant_spark.execution import materialize
+    from ai_powered_data_pipeline_assistant_spark.operators.ranking import (
+        append_global_rank,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    vocab = toks.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+    totals = vocab.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    lp = vocab.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "tok",
+        F.round(F.log(F.col("cnt") / F.col("total").cast("double")) * LP_SCALE, 0)
+        .cast("long")
+        .alias("lp_int"),
+    )
+    per_doc = (
+        toks.join(lp, ["lang", "tok"])
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("lp_int").alias("sum_lp"), F.count("*").alias("n_tokens"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(
+                -(F.col("sum_lp") / F.lit(float(LP_SCALE))) / F.col("n_tokens"), 6
+            ).alias("mean_neg_logprob"),
+        )
+        .transform(materialize)
+    )
+    n_rows = per_doc.count()
+    ranked = append_global_rank(
+        per_doc,
+        [F.asc("lang"), F.asc("mean_neg_logprob"), F.asc("doc_id")],
+        "grk",
+        n_rows=n_rows,
+    )
+    lang_sizes = per_doc.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    off_w = Window.orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # |langs|-row frame: the unpartitioned window is bounded by construction
+    offsets = lang_sizes.select(
+        "lang",
+        "n_lang",
+        (F.sum("n_lang").over(off_w) - F.col("n_lang")).alias("off"),
+    )
+    rk = F.col("grk") - F.col("off")
+    bucket = (
+        F.when(rk <= F.floor(F.col("n_lang") / 3), F.lit("head"))
+        .when(rk <= F.floor(F.col("n_lang") * 2 / 3), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "mean_neg_logprob",
+            rk.alias("lang_rank"),
+            bucket.alias("ppl_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic quality score + keep label from the shared per-doc features
     (one codegen'd projection over the scan; weights are inlined
@@ -227,6 +321,40 @@ ORACLES: dict[str, str] = {
     "compression_ratio_audit": """
         SELECT count(*) AS n_docs, true AS all_positive, true AS all_bounded
         FROM documents
+    """,
+    "perplexity_buckets": rf"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+            FROM documents),
+        vocab AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        totals AS (
+            SELECT lang, CAST(sum(cnt) AS BIGINT) AS total FROM vocab GROUP BY 1),
+        lp AS (
+            SELECT lang, tok,
+                   CAST(round(ln(cnt / CAST(total AS DOUBLE)) * {LP_SCALE}, 0)
+                        AS BIGINT) AS lp_int
+            FROM vocab JOIN totals USING (lang)),
+        per_doc AS (
+            SELECT doc_id, lang, count(*) AS n_tokens,
+                   round(-(CAST(sum(lp_int) AS BIGINT) / {LP_SCALE}.0)
+                         / count(*), 6) AS mean_neg_logprob
+            FROM toks JOIN lp USING (lang, tok)
+            GROUP BY doc_id, lang),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY mean_neg_logprob, doc_id) AS lang_rank,
+                   count(*) OVER (PARTITION BY lang) AS n_lang
+            FROM per_doc)
+        SELECT doc_id, lang, n_tokens, mean_neg_logprob,
+               CAST(lang_rank AS BIGINT) AS lang_rank,
+               CASE WHEN lang_rank <= n_lang // 3 THEN 'head'
+                    WHEN lang_rank <= (n_lang * 2) // 3 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM ranked
+        ORDER BY doc_id
     """,
     "unigram_logprob": rf"""
         WITH toks AS (
@@ -349,6 +477,7 @@ ORACLES["compression_probe_audit"] = _compression_probe_oracle()
 QUERIES = {
     "unigram_logprob": unigram_logprob,
     "bigram_logprob": bigram_logprob,
+    "perplexity_buckets": perplexity_buckets,
     "quality_classifier": quality_classifier,
     "compression_ratio": compression_ratio,
     "compression_ratio_audit": compression_ratio_audit,

@@ -193,6 +193,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # driver_sim sf0.01 run) --
     "ivfpq_probe_audit",
     "ivfpq_recall_audit",
+    # -- NEW round-7 operator (scoring.py perplexity_buckets — CCNet
+    # head/middle/tail) — windowed on arrival; displaces the token_stats
+    # re-check (text_analysis.py keeps lang_id + quality_score slots, and
+    # token_stats was value-verified by this round's full driver_sim run) --
+    "perplexity_buckets",
     # -- staleness re-checks: r1-green, module changed since r1 --
     "scan_project",
     "filter_eq",
@@ -212,7 +217,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "set_ops_summary",
     "lang_id",
     "quality_score",
-    "token_stats",
     # -- staleness re-checks: r2-green in materialize-swap modules --
     "firstwins_dedup",
     "retention_last_n",

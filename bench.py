@@ -95,6 +95,8 @@ HEADLINE = [
     # held-out n-gram novelty)
     "dsir_importance_weights",
     "ngram_novelty_report",
+    # late round-7: CCNet perplexity bucketing (per-lang LM + two-phase rank)
+    "perplexity_buckets",
 ]
 
 # The round-1 headline set, unchanged since: its sub-total is reported as
