@@ -231,11 +231,10 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Logistic quality score + keep label from the shared per-doc features
-    (one codegen'd projection over the scan; weights are inlined
-    constants)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _clf_score_col():
+    """The fixed-weight logistic score as a column expression over the
+    `documents` scan — shared by `quality_classifier` and
+    `calibration_report` so the scored model cannot drift between them."""
     n_chars = F.length("text")
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
     n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
@@ -251,12 +250,64 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(W_UPPER) * upper
         + F.lit(BIAS)
     )
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality score + keep label from the shared per-doc features
+    (one codegen'd projection over the scan; weights are inlined
+    constants)."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = _clf_score_col()
     return docs.select(
         "doc_id",
         score.alias("score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+def calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality classifier — the check every
+    curation pipeline should run BEFORE picking a keep-threshold: bucket
+    documents by predicted score decile and compare the bucket's mean
+    predicted probability against the empirical positive rate on a
+    reference label (here the `quality_trainer` synthetic target,
+    long-document ≥ LABEL_MIN_CHARS chars — deterministic and
+    SQL-replicable, standing in for human labels). Large |gap| rows mean
+    the score is not a probability there and a threshold chosen on it
+    keeps/drops different mass than intended.
+
+    Exactness: scores are already 6-dp-rounded doubles (oracle-exact in
+    `quality_classifier`); per-bucket mean prediction sums int64-scaled
+    scores (order-free), and rates divide exact integers — every output
+    column is the identical expression in both engines. One groupBy over
+    the scan; ≤ 10 result rows."""
+    from ai_powered_data_pipeline_assistant_spark.operators.quality_trainer import (
+        LABEL_MIN_CHARS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    score = _clf_score_col()
+    scored = docs.select(
+        F.least(F.floor(score * 10), F.lit(9)).cast("int").alias("bucket"),
+        F.round(score * 1e6, 0).cast("long").alias("score_u"),
+        (F.length("text") >= LABEL_MIN_CHARS).cast("long").alias("pos"),
+    )
+    agg = scored.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("score_u").alias("pred_u"),
+    )
+    mean_pred = F.round(F.col("pred_u") / 1e6 / F.col("n_docs"), 6)
+    pos_rate = F.round(F.col("n_pos").cast("double") / F.col("n_docs"), 6)
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "n_pos",
+        mean_pred.alias("mean_pred"),
+        pos_rate.alias("pos_rate"),
+        F.round(F.abs(mean_pred - pos_rate), 6).alias("abs_gap"),
+    ).orderBy("bucket")
 
 
 def zlib_ratio_udf():
@@ -423,6 +474,44 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+from ai_powered_data_pipeline_assistant_spark.operators.quality_trainer import (  # noqa: E402
+    LABEL_MIN_CHARS as _LABEL_MIN_CHARS,
+)
+
+ORACLES["calibration_report"] = rf"""
+    WITH feats AS (
+        SELECT len(text) AS n_chars,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g'))
+                   AS n_punct,
+               len(text) - len(regexp_replace(text, '[A-Z]', '', 'g'))
+                   AS n_upper
+        FROM documents),
+    scored AS (
+        SELECT n_chars,
+               round(1.0 / (1.0 + exp(-(
+                   {W_LEN} * least(n_tokens / 100.0, 1.0)
+                   + {W_AWL} * ((n_chars - n_tokens + 1)
+                                / CAST(n_tokens AS DOUBLE))
+                   + {W_PUNCT} * (n_punct / CAST(n_chars AS DOUBLE))
+                   + {W_UPPER} * (n_upper / CAST(n_chars AS DOUBLE))
+                   + {BIAS}))), 6) AS score
+        FROM feats),
+    b AS (
+        SELECT CAST(least(floor(score * 10), 9) AS INT) AS bucket,
+               CAST(round(score * 1e6, 0) AS BIGINT) AS score_u,
+               CASE WHEN n_chars >= {_LABEL_MIN_CHARS} THEN 1 ELSE 0 END AS pos
+        FROM scored)
+    SELECT bucket, count(*) AS n_docs, CAST(sum(pos) AS BIGINT) AS n_pos,
+           round(CAST(sum(score_u) AS BIGINT) / 1e6 / count(*), 6)
+               AS mean_pred,
+           round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate,
+           round(abs(round(CAST(sum(score_u) AS BIGINT) / 1e6 / count(*), 6)
+                     - round(CAST(sum(pos) AS DOUBLE) / count(*), 6)), 6)
+               AS abs_gap
+    FROM b GROUP BY bucket ORDER BY bucket
+"""
+
 
 
 ZLIB_PROBES: list[tuple[int, str]] = [
@@ -479,6 +568,7 @@ QUERIES = {
     "bigram_logprob": bigram_logprob,
     "perplexity_buckets": perplexity_buckets,
     "quality_classifier": quality_classifier,
+    "calibration_report": calibration_report,
     "compression_ratio": compression_ratio,
     "compression_ratio_audit": compression_ratio_audit,
     "compression_probe_audit": compression_probe_audit,

@@ -198,9 +198,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # re-check (text_analysis.py keeps lang_id + quality_score slots, and
     # token_stats was value-verified by this round's full driver_sim run) --
     "perplexity_buckets",
+    # -- NEW round-7 operator (scoring.py calibration_report — classifier
+    # reliability diagram) — windowed on arrival; displaces the filter_eq
+    # re-check (relational.py keeps scan_project/keyset_page/offset_page/
+    # point_lookup/multikey_sort slots; filter_eq was value-verified by
+    # this round's full driver_sim run) --
+    "calibration_report",
     # -- staleness re-checks: r1-green, module changed since r1 --
     "scan_project",
-    "filter_eq",
     "keyset_page",
     "offset_page",
     "point_lookup",

@@ -7,6 +7,7 @@ suite; these pin the bucket ALGEBRA.)"""
 from __future__ import annotations
 
 from ai_powered_data_pipeline_assistant_spark.operators.scoring import (
+    calibration_report,
     perplexity_buckets,
 )
 
@@ -44,6 +45,28 @@ def test_buckets_are_fluency_monotone(spark, sf_dir):
             by_b[r.ppl_bucket].append(r.mean_neg_logprob)
         assert max(by_b["head"]) <= min(by_b["middle"])
         assert max(by_b["middle"]) <= min(by_b["tail"])
+
+
+def test_calibration_partitions_corpus_and_gaps_reconcile(spark, sf_dir, duck):
+    """Every document lands in exactly one decile bucket; positives total
+    the reference-label count; mean predicted probability sits inside its
+    bucket's score range; abs_gap is literally |mean_pred − pos_rate|."""
+    from ai_powered_data_pipeline_assistant_spark.operators.quality_trainer import (
+        LABEL_MIN_CHARS,
+    )
+
+    n_docs, n_pos = duck.sql(
+        f"SELECT count(*), sum(CASE WHEN len(text) >= {LABEL_MIN_CHARS} "
+        f"THEN 1 ELSE 0 END) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    rows = calibration_report(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_pos for r in rows) == n_pos
+    for r in rows:
+        assert 0 <= r.bucket <= 9
+        lo, hi = r.bucket / 10.0, (r.bucket + 1) / 10.0 if r.bucket < 9 else 1.0
+        assert lo <= r.mean_pred <= hi
+        assert abs(r.abs_gap - abs(r.mean_pred - r.pos_rate)) < 1e-6
 
 
 def test_lang_rank_is_complete_and_ordered(spark, sf_dir):
