@@ -465,6 +465,95 @@ def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def ivfpq_nprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n_probe latency/recall trade-off for the COMPOSED engine (the
+    `ivf_probe_recall_sweep` / `ann_ivf_autotuned` story, vector.py): build
+    the index ONCE, vary only the probe width, and pin the facts a
+    deployment tunes against, one row per n_probe:
+
+    - ``candidates``: rows ADC-scored — the query-cost axis, growing
+      ~linearly with n_probe (n_probe/n_lists of the corpus); the routing
+      is fixed-point deterministic, so the oracle recomputes this count
+      EXACTLY in SQL (the `_ivf_oracle_sql` assignment/probe CTEs);
+    - ``covers_no_less``: recall@k vs the TRUE global exact top-k never
+      drops below the previous (smaller) n_probe — measured monotone on
+      this corpus (recall itself is float-training-dependent, so the
+      boolean is the driver-pinnable form; pytest pins the raw values);
+    - ``floor_ok``: full-probe (n_probe = n_lists) recall ≥
+      IVFPQ_RERANK_FLOOR — with routing loss gone, the composed engine
+      must be at least as good as the PQ+re-rank path it embeds.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    queries = _query_vectors(spark, sf_dir, IVFPQ_N_QUERIES)
+    codes, cent_map, pq_cents, centroids = _build_index(
+        emb, IVFPQ_N_LISTS, PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS
+    )
+    query_map = {
+        int(r["query_id"]): [float(v) for v in r["query_vec"]]
+        for r in queries.collect()
+    }
+    exact_ids: dict[int, set] = {}
+    for qid, qv in sorted(query_map.items()):
+        exact = (
+            emb.select("vec_id", _sq_dist(F.col("embedding"), qv).alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(IVFPQ_TOPK)
+            .collect()
+        )
+        exact_ids[qid] = {int(r["vec_id"]) for r in exact}
+    rows = []
+    prev_recall: float | None = None
+    for n_probe in IVFPQ_SWEEP_PROBES:
+        probed = assign_lists(
+            queries, "query_vec", centroids, "probe_list", n_probe
+        )
+        probe_pairs = sorted(
+            (int(r["query_id"]), int(r["probe_list"]))
+            for r in probed.select("query_id", "probe_list").collect()
+        )
+        lut_rows = _adc_luts(
+            probe_pairs, query_map, cent_map, pq_cents, PQ_M, PQ_SUBDIM, PQ_K
+        )
+        lut_df = spark.createDataFrame(
+            lut_rows, "query_id long, probe_list long, lut array<array<double>>"
+        )
+        final, candidates = _score_and_rerank(
+            codes,
+            codes.select("vec_id", "raw"),
+            queries,
+            lut_df,
+            PQ_M,
+            IVFPQ_TOPK,
+            IVFPQ_RERANK,
+        )
+        by_q: dict[int, set] = {}
+        for r in final.collect():
+            by_q.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+        recall = sum(
+            len(exact_ids[qid] & by_q.get(qid, set())) / IVFPQ_TOPK
+            for qid in exact_ids
+        ) / len(exact_ids)
+        rows.append(
+            (
+                n_probe,
+                candidates.count(),
+                prev_recall is None or recall >= prev_recall,
+                n_probe < IVFPQ_N_LISTS or recall >= IVFPQ_RERANK_FLOOR,
+            )
+        )
+        prev_recall = recall
+    return spark.createDataFrame(
+        rows,
+        "n_probe int, candidates long, covers_no_less boolean, "
+        "floor_ok boolean",
+    ).orderBy("n_probe")
+
+
 # --- probe audit: the composed engine on fixed integer vectors ----------
 
 IVFPQ_PROBE_N = 24
@@ -663,15 +752,62 @@ def _ivfpq_probe_oracle() -> str:
     """
 
 
+def _ivfpq_sweep_oracle() -> str:
+    """Exact candidate counts per n_probe: the routing is fixed-point
+    deterministic, so DuckDB recomputes assignment sizes and probe ranks
+    bit-for-bit (the `_ivf_oracle_sql` CTE shapes); the recall-derived
+    booleans are literals (the pq_recall_audit bounds pattern)."""
+    from ai_powered_data_pipeline_assistant_spark.functions.vector_math import (
+        cosine_similarity_sql,
+    )
+
+    cos_ec = cosine_similarity_sql("e.embedding", "c.centroid")
+    cos_qc = cosine_similarity_sql("q.query_vec", "c.centroid")
+    probes = ", ".join(str(p) for p in IVFPQ_SWEEP_PROBES)
+    return f"""
+        WITH centroids AS (
+            SELECT vec_id AS list_id, embedding AS centroid
+            FROM embeddings WHERE vec_id < {IVFPQ_N_LISTS}),
+        assigned AS (
+            SELECT vec_id, list_id FROM (
+                SELECT e.vec_id, c.list_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cos_ec} DESC, c.list_id)
+                           AS crk
+                FROM embeddings e CROSS JOIN centroids c)
+            WHERE crk = 1),
+        sizes AS (SELECT list_id, count(*) AS n FROM assigned GROUP BY 1),
+        queries AS (
+            SELECT vec_id AS query_id, embedding AS query_vec
+            FROM embeddings WHERE vec_id < {IVFPQ_N_QUERIES}),
+        proberk AS (
+            SELECT q.query_id, c.list_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {cos_qc} DESC, c.list_id)
+                       AS crk
+            FROM queries q CROSS JOIN centroids c),
+        np AS (SELECT unnest([{probes}]) AS n_probe)
+        SELECT CAST(np.n_probe AS INT) AS n_probe,
+               CAST(sum(s.n) AS BIGINT) AS candidates,
+               true AS covers_no_less, true AS floor_ok
+        FROM np, proberk r, sizes s
+        WHERE r.crk <= np.n_probe AND s.list_id = r.list_id
+        GROUP BY np.n_probe
+        ORDER BY n_probe
+    """
+
+
 QUERIES = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_pruned": ann_ivfpq_pruned,
     "ivfpq_recall_audit": ivfpq_recall_audit,
+    "ivfpq_nprobe_recall_audit": ivfpq_nprobe_recall_audit,
     "ivfpq_probe_audit": ivfpq_probe_audit,
 }
 
 ORACLES: dict[str, str] = {
     "ivfpq_probe_audit": _ivfpq_probe_oracle(),
+    "ivfpq_nprobe_recall_audit": _ivfpq_sweep_oracle(),
     "ivfpq_recall_audit": """
         SELECT CAST(5 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
                true AS recall_ok, true AS rerank_ok,

@@ -124,6 +124,7 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "ann_ivfpq_topk",
         "ann_ivfpq_pruned",
         "ivfpq_recall_audit",
+        "ivfpq_nprobe_recall_audit",
         "ivfpq_probe_audit",
     }
 )
@@ -204,9 +205,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # point_lookup/multikey_sort slots; filter_eq was value-verified by
     # this round's full driver_sim run) --
     "calibration_report",
+    # -- NEW round-7 operator (ivfpq.py nprobe sweep — latency/recall
+    # trade-off for the composed engine) — windowed on arrival; displaces
+    # the keyset_page re-check (relational.py keeps scan_project/
+    # offset_page/point_lookup/multikey_sort; keyset_page was
+    # value-verified by this round's full driver_sim run) --
+    "ivfpq_nprobe_recall_audit",
     # -- staleness re-checks: r1-green, module changed since r1 --
     "scan_project",
-    "keyset_page",
     "offset_page",
     "point_lookup",
     "multikey_sort",

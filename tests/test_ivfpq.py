@@ -125,6 +125,29 @@ def test_ivfpq_layout_prunes_partitions_and_matches_logical(spark, sf_dir):
     assert got == want
 
 
+def test_nprobe_sweep_shape_and_full_coverage(spark, sf_dir, duck):
+    """The sweep audit's booleans must hold, candidate counts must be
+    strictly increasing in n_probe, and at n_probe = n_lists the engine
+    scores the whole corpus for every query (routing loss fully gone)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.ivfpq import (
+        IVFPQ_SWEEP_PROBES,
+        ivfpq_nprobe_recall_audit,
+    )
+
+    n_corpus = duck.sql(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    rows = sorted(
+        ivfpq_nprobe_recall_audit(spark, sf_dir).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in rows] == list(IVFPQ_SWEEP_PROBES)
+    cands = [r.candidates for r in rows]
+    assert cands == sorted(cands) and len(set(cands)) == len(cands)
+    assert cands[-1] == IVFPQ_N_QUERIES * n_corpus
+    assert all(r.covers_no_less and r.floor_ok for r in rows)
+
+
 def test_routing_scans_only_probed_lists(spark, sf_dir):
     """The scale claim, checked structurally: the candidate frame joins
     codes against n_probe lists per query, so distinct probed lists ≤
