@@ -381,6 +381,88 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_for(docs)
 
 
+def minhash_sig_aggs() -> list:
+    """The signature aggregation block (16 permutation minima + distinct-
+    shingle count) — shared by the batch operators and the incremental
+    streaming state builder (streaming/neardup.py) so signature math can
+    never drift between them."""
+    h = F.col("h") % HASH_MOD
+    return [
+        F.min((F.lit(PERM_A[j]) * h + F.lit(PERM_B[j])) % HASH_MOD).alias(f"m{j}")
+        for j in range(N_PERMS)
+    ] + [F.count("*").alias("sz")]
+
+
+def minhash_band_frame(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from a signature frame — one explode, the
+    LSH blocking key both the batch self-join and the streaming
+    state-vs-batch join use."""
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{band * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            ).alias("band_key"),
+        )
+        for band in range(N_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def minhash_verified_pairs(
+    candidates: DataFrame,
+    postings_a: DataFrame,
+    postings_b: DataFrame,
+    sizes_a: DataFrame,
+    sizes_b: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Candidate-only exact Jaccard verification over TWO-SIDED postings
+    (the self-pair operators pass the same frames for both sides; the
+    streaming incremental path passes batch vs state). candidates =
+    (a_id, b_id); postings = (doc_id, h); sizes = (doc_id, sz)."""
+    pa = postings_a.select(F.col("doc_id").alias("a_id"), "h")
+    pb = postings_b.select(F.col("doc_id").alias("b_id"), "h")
+    inter = (
+        candidates.join(pa, "a_id")
+        .join(pb, ["b_id", "h"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes_a.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
+                "sz", "a_sz"
+            ),
+            "a_id",
+        )
+        .join(
+            sizes_b.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
+                "sz", "b_sz"
+            ),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("inter")
+                / (F.col("a_sz") + F.col("b_sz") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs_for(
     docs: DataFrame, threshold: float = JACCARD_THRESHOLD, pair_cond=None
 ) -> DataFrame:
@@ -395,28 +477,8 @@ def minhash_lsh_pairs_for(
     if pair_cond is None:
         pair_cond = lambda a, b: a < b  # noqa: E731
     postings = _shingles(docs).transform(materialize)
-    h = F.col("h") % HASH_MOD
-    aggs = [
-        F.min((F.lit(PERM_A[j]) * h + F.lit(PERM_B[j])) % HASH_MOD).alias(f"m{j}")
-        for j in range(N_PERMS)
-    ] + [F.count("*").alias("sz")]
-    sigs = postings.groupBy("doc_id").agg(*aggs).transform(materialize)
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{band * ROWS_PER_BAND + r}").cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            ).alias("band_key"),
-        )
-        for band in range(N_BANDS)
-    ]
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    sigs = postings.groupBy("doc_id").agg(*minhash_sig_aggs()).transform(materialize)
+    bands = minhash_band_frame(sigs)
     a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_key")
     candidates = (
@@ -427,33 +489,8 @@ def minhash_lsh_pairs_for(
     )
     # Candidate-only exact verification: candidates ⋈ postings, not all-pairs.
     sizes = sigs.select("doc_id", "sz")
-    pa = postings.select(F.col("doc_id").alias("a_id"), "h")
-    pb = postings.select(F.col("doc_id").alias("b_id"), "h")
-    inter = (
-        candidates.join(pa, "a_id")
-        .join(pb, ["b_id", "h"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(
-            sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"),
-            "a_id",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"),
-            "b_id",
-        )
-        .select(
-            "a_id",
-            "b_id",
-            F.round(
-                F.col("inter")
-                / (F.col("a_sz") + F.col("b_sz") - F.col("inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    return minhash_verified_pairs(
+        candidates, postings, postings, sizes, sizes, threshold
     )
 
 

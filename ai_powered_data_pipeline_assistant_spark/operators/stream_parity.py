@@ -31,6 +31,7 @@ this repo's own streaming and batch duals.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import time
@@ -387,6 +388,83 @@ def channel_fanout_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_STREAM_BATCHES = 3
+
+
+def neardup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming near-dup ≡ its batch twin: partition the
+    corpus into ``NEARDUP_STREAM_BATCHES`` arrival batches (batch index =
+    doc_id % NB — the daily-crawl slices), replay them as ORDERED
+    micro-batches (one file per batch, maxFilesPerTrigger=1, monotone
+    mtimes) through the REAL `streaming/neardup.run_neardup_stream` —
+    foreachBatch incremental LSH over accumulated postings/signature state
+    — then exceptAll-diff the accumulated (later, earlier, jaccard) pairs
+    against `dedup.minhash_lsh_pairs_for` with the cross-batch pairing
+    rule ``batch(a) > batch(b)``. One row: pair counts both sides, batch
+    count, symmetric-difference size, equality. The oracle recomputes the
+    batch side via the shared `minhash_lsh_cte` SQL and pins mismatches=0,
+    so any drift in the streaming state path (signature math, band keys,
+    verify rounding, state append order) flips the driver hash."""
+    from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
+        minhash_lsh_pairs_for,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+        run_neardup_stream,
+    )
+
+    nb = NEARDUP_STREAM_BATCHES
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"neardup_stream_{run_id}_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        # one FILE per arrival batch, mtimes strictly increasing so the
+        # file source replays them in batch-index order
+        for i in range(nb):
+            part_dir = f"{tmp}/part{i}"
+            docs.filter(F.col("doc_id") % nb == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part_dir)
+            part = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            dst = f"{src}/batch{i:03d}.parquet"
+            shutil.copyfile(f"{part_dir}/{part}", dst)
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_neardup_stream(stream, f"{tmp}/state", f"{tmp}/pairs", f"{tmp}/ckpt")
+        q.awaitTermination(300)
+        got = spark.read.parquet(f"{tmp}/pairs")
+        want = minhash_lsh_pairs_for(
+            docs, pair_cond=lambda a, b: (a % nb) > (b % nb)
+        ).select(
+            F.col("a_id").alias("later_id"),
+            F.col("b_id").alias("earlier_id"),
+            "jaccard",
+        ).transform(materialize_barrier)
+        n_stream = got.count()
+        n_batch = want.count()
+        missing = want.exceptAll(got).count()
+        extra = got.exceptAll(want).count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(n_stream).cast("long").alias("n_pairs_stream"),
+        F.lit(n_batch).cast("long").alias("n_pairs_batch"),
+        F.lit(nb).cast("int").alias("n_batches"),
+        F.lit(missing + extra).cast("long").alias("n_mismatches"),
+        F.lit(missing + extra == 0).alias("stream_equals_batch"),
+    )
+
+
 def trigger_cadence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 rerun throttle, driver-scorable (VERDICT r6 next-round #7): start
     the REAL `run_job_stream` (dedup → answer → idempotent batch-versioned
@@ -520,7 +598,34 @@ def _oracles() -> dict[str, str]:
                    'availableNow' AS trigger_mode
             FROM events
         """,
+        "neardup_stream_parity": _neardup_parity_sql(),
     }
+
+
+def _neardup_parity_sql() -> str:
+    """Batch side recomputed via the dedup module's own shared LSH CTE
+    chain with the cross-batch pairing rule; mismatches pinned to 0."""
+    from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        minhash_lsh_cte,
+    )
+
+    nb = NEARDUP_STREAM_BATCHES
+    cte = minhash_lsh_cte(
+        "documents", f"(a.doc_id % {nb}) > (b.doc_id % {nb})"
+    )
+    return f"""
+        WITH {cte}
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs_stream,
+               CAST(count(*) AS BIGINT) AS n_pairs_batch,
+               CAST({nb} AS INT) AS n_batches,
+               CAST(0 AS BIGINT) AS n_mismatches,
+               true AS stream_equals_batch
+        FROM candidates c JOIN pairs p
+          ON (c.a_id = p.a_id AND c.b_id = p.b_id)
+          OR (c.a_id = p.b_id AND c.b_id = p.a_id)
+        WHERE p.jaccard >= {JACCARD_THRESHOLD}
+    """
 
 
 ORACLES = _oracles()
@@ -532,4 +637,5 @@ QUERIES = {
     "job_stream_parity": job_stream_parity,
     "channel_fanout_parity": channel_fanout_parity,
     "trigger_cadence_audit": trigger_cadence_audit,
+    "neardup_stream_parity": neardup_stream_parity,
 }

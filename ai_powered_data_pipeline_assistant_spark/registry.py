@@ -110,6 +110,7 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "job_stream_parity",
         "channel_fanout_parity",
         "trigger_cadence_audit",
+        "neardup_stream_parity",
         "bpe_merge_table",
         "bpe_token_counts",
         "bpe_probe_audit",
@@ -211,9 +212,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # offset_page/point_lookup/multikey_sort; keyset_page was
     # value-verified by this round's full driver_sim run) --
     "ivfpq_nprobe_recall_audit",
+    # -- NEW round-7 operator (stream_parity.py neardup_stream_parity —
+    # incremental streaming LSH ≡ batch twin) — windowed on arrival;
+    # displaces the offset_page re-check (relational.py keeps
+    # scan_project/point_lookup/multikey_sort; offset_page was
+    # value-verified by this round's full driver_sim run) --
+    "neardup_stream_parity",
     # -- staleness re-checks: r1-green, module changed since r1 --
     "scan_project",
-    "offset_page",
     "point_lookup",
     "multikey_sort",
     "status_counts",
