@@ -46,6 +46,9 @@ PROBES = [
     "dsir_gumbel_resample",     # same + deterministic Gumbel top-k
     "ngram_novelty_report",     # hashed 5-gram distinct/anti-join
     "temperature_mix_plan",     # |sources|-row mixture reduction
+    # late round-7 surfaces
+    "perplexity_buckets",       # per-lang LM + two-phase rank cut
+    "calibration_report",       # decile reliability groupBy
 ]
 
 
