@@ -65,7 +65,6 @@ from ai_powered_data_pipeline_assistant_spark.operators.pq import (
     PQ_K,
     PQ_M,
     PQ_SUBDIM,
-    _sq_dist,
     _assign_codes,
     _train_pq,
 )
@@ -122,11 +121,12 @@ def _build_index(
     k_codes: int,
     iters: int,
 ):
-    """Train the composed index. Returns (codes, cent_map, pq_cents):
-    codes = (vec_id, list_id, raw, _c0.._c{m-1}) — the stored posting
-    lists; cent_map = {list_id: coarse centroid} (n_lists·d floats — the
-    broadcast-sized routing table every real deployment keeps in memory);
-    pq_cents = the residual codebooks."""
+    """Train the composed index. Returns (codes, cent_map, pq_cents,
+    centroids): codes = (vec_id, list_id, raw, _c0.._c{m-1}) — the stored
+    posting lists; cent_map = {list_id: coarse centroid} (n_lists·d floats
+    — the broadcast-sized routing table every real deployment keeps in
+    memory); pq_cents = the residual codebooks; centroids = the coarse
+    routing frame (list_id, centroid) queries route against."""
     centroids = ivf_centroids(emb, n_lists)
     cent_map = {
         int(r["list_id"]): [float(v) for v in r["centroid"]]
@@ -175,6 +175,39 @@ def _adc_luts(
     return rows
 
 
+def _route_and_luts(
+    spark: SparkSession,
+    queries: DataFrame,
+    centroids: DataFrame,
+    cent_map: dict[int, list[float]],
+    pq_cents: list[list[list[float]]],
+    m_count: int,
+    subdim: int,
+    k_codes: int,
+    n_probe: int,
+) -> DataFrame:
+    """Query routing + ADC LUT construction, shared verbatim by the
+    logical path, the physical layout path, and the n_probe sweep so the
+    probe stage cannot drift between them: route queries through the SAME
+    `assign_lists` code as the data, then inline the per-(query, list)
+    lookup tables as a broadcast-sized frame."""
+    probed = assign_lists(queries, "query_vec", centroids, "probe_list", n_probe)
+    probe_pairs = sorted(
+        (int(r["query_id"]), int(r["probe_list"]))
+        for r in probed.select("query_id", "probe_list").collect()
+    )
+    query_map = {
+        int(r["query_id"]): [float(v) for v in r["query_vec"]]
+        for r in queries.collect()
+    }
+    lut_rows = _adc_luts(
+        probe_pairs, query_map, cent_map, pq_cents, m_count, subdim, k_codes
+    )
+    return spark.createDataFrame(
+        lut_rows, "query_id long, probe_list long, lut array<array<double>>"
+    )
+
+
 def _ivfpq_search(
     spark: SparkSession,
     emb: DataFrame,
@@ -189,33 +222,22 @@ def _ivfpq_search(
     k: int,
     rerank: int,
 ):
-    """The full composed engine. Returns (final, codes, candidates):
-    final = (query_id, rk, vec_id, adc_u, exact_u) — post-re-rank top-k
-    with int-scaled ADC and exact distances; candidates is the pre-top-k
-    scored frame (the recall audit counts it to pin that routing pruned)."""
+    """The full composed engine. Returns (final, codes, candidates,
+    shortlist): final = (query_id, rk, vec_id, adc_u, exact_u) —
+    post-re-rank top-k with int-scaled ADC and exact distances; candidates
+    is the pre-top-k scored frame (the recall audit counts it to pin that
+    routing pruned); shortlist is the ADC top-``rerank`` per query."""
     codes, cent_map, pq_cents, centroids = _build_index(
         emb, n_lists, m_count, subdim, k_codes, iters
     )
-    # Route queries through the SAME assignment code as the data.
-    probed = assign_lists(queries, "query_vec", centroids, "probe_list", n_probe)
-    probe_pairs = sorted(
-        (int(r["query_id"]), int(r["probe_list"]))
-        for r in probed.select("query_id", "probe_list").collect()
+    lut_df = _route_and_luts(
+        spark, queries, centroids, cent_map, pq_cents,
+        m_count, subdim, k_codes, n_probe,
     )
-    query_map = {
-        int(r["query_id"]): [float(v) for v in r["query_vec"]]
-        for r in queries.collect()
-    }
-    lut_rows = _adc_luts(
-        probe_pairs, query_map, cent_map, pq_cents, m_count, subdim, k_codes
-    )
-    lut_df = spark.createDataFrame(
-        lut_rows, "query_id long, probe_list long, lut array<array<double>>"
-    )
-    final, candidates = _score_and_rerank(
+    final, candidates, shortlist = _score_and_rerank(
         codes, codes.select("vec_id", "raw"), queries, lut_df, m_count, k, rerank
     )
-    return final, codes, candidates
+    return final, codes, candidates, shortlist
 
 
 def _score_and_rerank(
@@ -231,7 +253,7 @@ def _score_and_rerank(
     the logical path (`_ivfpq_search`) and the physical layout path
     (`ann_ivfpq_pruned`) so the two can never drift. ``coded`` needs
     (vec_id, list_id, _c0.._c{M-1}); ``raw_df`` provides (vec_id, raw) for
-    the re-rank fetch."""
+    the re-rank fetch. Returns (final, candidates, shortlist)."""
     # ADC: only probed lists' codes are scored; LUT lookups, no float
     # vector math, no join fan-out beyond the broadcast.
     adc = None
@@ -278,7 +300,7 @@ def _score_and_rerank(
         )
         .orderBy("query_id", "rk")
     )
-    return final, candidates
+    return final, candidates, shortlist
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,7 +313,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     queries = _query_vectors(spark, sf_dir, IVFPQ_N_QUERIES)
-    final, _, _ = _ivfpq_search(
+    final, _, _, _ = _ivfpq_search(
         spark,
         emb,
         queries,
@@ -307,6 +329,37 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+def _exact_global_topk(
+    emb: DataFrame, queries: DataFrame, k: int
+) -> dict[int, set]:
+    """TRUE global exact top-k per query over the raw vectors, as ONE
+    distributed job (broadcast query batch + the salted grouped top-k —
+    the `ann_brute_topk` shape, not one scan per query). The distance fold
+    is the identical expression the engine's re-rank stage uses, so the
+    oracle and the engine agree bit-for-bit on ties. Returns
+    {query_id: top-k vec_id set} — |Q|·k rows collected."""
+    scored = emb.join(broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        (
+            -F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("query_vec"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("similarity"),
+    )
+    out: dict[int, set] = {}
+    for r in _per_query_topk(scored, k).collect():
+        out.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    return out
+
+
 def ann_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ over the PHYSICAL index layout (the ann_ivf_pruned analogue,
     vector.py:248): codes stored ``partitionBy(list_id)`` with raw vectors
@@ -317,9 +370,14 @@ def ann_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     PartitionFilters on the codes scan: at 100 TB with 1000 lists and 8
     probes, a query reads 0.8% of a table that is itself 32× narrower than
     the vectors — and the re-rank fetches its |Q|·rerank raw rows from the
-    base table by vec_id instead of scanning it. Results are IDENTICAL to
-    `ann_ivfpq_topk` (same deterministic training, roundtripped through
-    parquet doubles; pinned by tests/test_ivfpq.py)."""
+    base table by vec_id instead of scanning it. Results equal
+    `ann_ivfpq_topk` when the index build and the logical run share a
+    Spark session/partitioning (pinned by tests/test_ivfpq.py, which
+    rebuilds the layout in-session): training means over float residuals
+    are deterministic for a fixed partitioning but, like every float
+    trainer in the repo, not across arbitrary repartitionings — which is
+    why both corpus queries are rows-only and production consumers read
+    the persisted index (built once) rather than a retrained twin."""
     from ai_powered_data_pipeline_assistant_spark.sources.layout import (
         ensure_ivfpq_layout,
     )
@@ -338,31 +396,23 @@ def ann_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_cents[int(r["m"])][int(r["code"])] = [float(v) for v in r["centroid"]]
 
     queries = _query_vectors(spark, sf_dir, IVFPQ_N_QUERIES)
-    probed = assign_lists(queries, "query_vec", centroids, "probe_list", IVFPQ_N_PROBE)
-    probe_pairs = sorted(
-        (int(r["query_id"]), int(r["probe_list"]))
-        for r in probed.select("query_id", "probe_list").collect()
-    )
-    query_map = {
-        int(r["query_id"]): [float(v) for v in r["query_vec"]]
-        for r in queries.collect()
-    }
-    lut_rows = _adc_luts(
-        probe_pairs, query_map, cent_map, pq_cents, PQ_M, PQ_SUBDIM, PQ_K
-    )
-    lut_df = spark.createDataFrame(
-        lut_rows, "query_id long, probe_list long, lut array<array<double>>"
+    lut_df = _route_and_luts(
+        spark, queries, centroids, cent_map, pq_cents,
+        PQ_M, PQ_SUBDIM, PQ_K, IVFPQ_N_PROBE,
     )
     # Literal probe list → PartitionFilters: only the probed lists' files
     # are ever opened (≤ |Q|·n_probe ints collected — the index lookup).
-    probe_lists = sorted({lid for _, lid in probe_pairs})
+    probe_lists = sorted(
+        int(r["probe_list"])
+        for r in lut_df.select("probe_list").distinct().collect()
+    )
     coded = spark.read.parquet(f"{layout}/codes").filter(
         F.col("list_id").isin(probe_lists)
     )
     raw_df = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("raw")
     )
-    final, _ = _score_and_rerank(
+    final, _, _ = _score_and_rerank(
         coded, raw_df, queries, lut_df, PQ_M, IVFPQ_TOPK, IVFPQ_RERANK
     )
     return final
@@ -386,7 +436,7 @@ def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     queries = _query_vectors(spark, sf_dir, IVFPQ_N_QUERIES)
-    final, codes, candidates = _ivfpq_search(
+    final, codes, candidates, shortlist = _ivfpq_search(
         spark,
         emb,
         queries,
@@ -400,19 +450,10 @@ def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=IVFPQ_RERANK,
     )
     got = final.collect()
-    shortlist_rows = IVFPQ_RERANK
-    # Shortlist membership for rerank_ok: re-run the shortlist stage is
-    # implicit in `final` only up to k, so recount from candidates.
-    shortlist = (
-        _per_query_topk(candidates, shortlist_rows)
-        .select("query_id", "vec_id")
-        .collect()
-    )
-    q_rows = sorted(
-        queries.collect(), key=lambda r: r["query_id"]
-    )
+    shortlist_rows = shortlist.select("query_id", "vec_id").collect()
     n_corpus = emb.count()
     cand_rows = candidates.count()
+    exact_by_q = _exact_global_topk(emb, queries, IVFPQ_TOPK)
     recalls: list[float] = []
     short_recalls: list[float] = []
     self_ok = True
@@ -420,18 +461,10 @@ def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in got:
         by_q_final.setdefault(int(r["query_id"]), []).append(r)
     by_q_short: dict[int, set] = {}
-    for r in shortlist:
+    for r in shortlist_rows:
         by_q_short.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
-    for q in q_rows:
-        qid = int(q["query_id"])
-        qv = [float(v) for v in q["query_vec"]]
-        exact = (
-            emb.select("vec_id", _sq_dist(F.col("embedding"), qv).alias("d"))
-            .orderBy("d", "vec_id")
-            .limit(IVFPQ_TOPK)
-            .collect()
-        )
-        exact_ids = {int(r["vec_id"]) for r in exact}
+    for qid in sorted(exact_by_q):
+        exact_ids = exact_by_q[qid]
         final_rows = sorted(by_q_final.get(qid, []), key=lambda r: r["rk"])
         final_ids = {int(r["vec_id"]) for r in final_rows}
         recalls.append(len(exact_ids & final_ids) / IVFPQ_TOPK)
@@ -493,36 +526,15 @@ def ivfpq_nprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, cent_map, pq_cents, centroids = _build_index(
         emb, IVFPQ_N_LISTS, PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS
     )
-    query_map = {
-        int(r["query_id"]): [float(v) for v in r["query_vec"]]
-        for r in queries.collect()
-    }
-    exact_ids: dict[int, set] = {}
-    for qid, qv in sorted(query_map.items()):
-        exact = (
-            emb.select("vec_id", _sq_dist(F.col("embedding"), qv).alias("d"))
-            .orderBy("d", "vec_id")
-            .limit(IVFPQ_TOPK)
-            .collect()
-        )
-        exact_ids[qid] = {int(r["vec_id"]) for r in exact}
+    exact_ids = _exact_global_topk(emb, queries, IVFPQ_TOPK)
     rows = []
     prev_recall: float | None = None
     for n_probe in IVFPQ_SWEEP_PROBES:
-        probed = assign_lists(
-            queries, "query_vec", centroids, "probe_list", n_probe
+        lut_df = _route_and_luts(
+            spark, queries, centroids, cent_map, pq_cents,
+            PQ_M, PQ_SUBDIM, PQ_K, n_probe,
         )
-        probe_pairs = sorted(
-            (int(r["query_id"]), int(r["probe_list"]))
-            for r in probed.select("query_id", "probe_list").collect()
-        )
-        lut_rows = _adc_luts(
-            probe_pairs, query_map, cent_map, pq_cents, PQ_M, PQ_SUBDIM, PQ_K
-        )
-        lut_df = spark.createDataFrame(
-            lut_rows, "query_id long, probe_list long, lut array<array<double>>"
-        )
-        final, candidates = _score_and_rerank(
+        final, candidates, _ = _score_and_rerank(
             codes,
             codes.select("vec_id", "raw"),
             queries,
@@ -595,20 +607,24 @@ def _ivfpq_probe_rows() -> list[tuple[int, list[float]]]:
     return rows
 
 
-def ivfpq_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_probe_audit(
+    spark: SparkSession, sf_dir: str, n_partitions: int = 3
+) -> DataFrame:
     """Driver-hashable pin of the COMPOSED engine: run the real pipeline
     (coarse routing → residual PQ training → ADC over probed lists →
     salted shortlist → exact re-rank) over fixed integer probes and emit
     the final (query_id, rk, vec_id) with int-scaled ADC and exact
     distances. The oracle carries goldens from a pure-Python replica of
-    the same IEEE operations in the same order."""
+    the same IEEE operations in the same order. ``n_partitions`` exists so
+    the pytest can prove partitioning-invariance (integer vectors make the
+    distributed means order-free); the registry entry uses the default."""
     emb = spark.createDataFrame(
         _ivfpq_probe_rows(), "vec_id long, embedding array<double>"
-    ).repartition(3)
+    ).repartition(n_partitions)
     queries = emb.filter(F.col("vec_id") < IVFPQ_PROBE_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    final, _, _ = _ivfpq_search(
+    final, _, _, _ = _ivfpq_search(
         spark,
         emb,
         queries,

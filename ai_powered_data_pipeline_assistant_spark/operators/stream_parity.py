@@ -440,7 +440,15 @@ def neardup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
         )
         q = run_neardup_stream(stream, f"{tmp}/state", f"{tmp}/pairs", f"{tmp}/ckpt")
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a partial pairs table would read as a semantic mismatch;
+            # fail loudly instead (and stop before the dirs are removed)
+            q.stop()
+            q.awaitTermination(30)
+            raise TimeoutError(
+                "neardup stream did not finish within 300 s — parity "
+                "cannot be assessed on a partial pairs table"
+            )
         got = spark.read.parquet(f"{tmp}/pairs")
         want = minhash_lsh_pairs_for(
             docs, pair_cond=lambda a, b: (a % nb) > (b % nb)

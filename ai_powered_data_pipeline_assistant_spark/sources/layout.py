@@ -73,16 +73,31 @@ def write_ivf_layout(
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(out_path)
 
 
+def _source_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Cache key component tying a derived layout to its SOURCE data:
+    basename + size + mtime of the source parquet. A fixture regenerated
+    in place (same path, new data) changes the fingerprint, so stale
+    cached indexes are never silently served against fresh base tables."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(path)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"{tag}_{st.st_size}_{int(st.st_mtime)}"
+
+
 def ensure_ivf_layout(
     spark: SparkSession, sf_dir: str, n_lists: int = 8
 ) -> str:
     """Idempotently materialize the IVF layout for one sf_dir in a temp
     location; returns the path. Cached on disk across calls (_SUCCESS
-    marker) — the layout is a write-once index build, not per-query work."""
+    marker), keyed by the source fingerprint — the layout is a write-once
+    index build, not per-query work, and is invalidated when the source
+    parquet changes."""
     import os
     import tempfile
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _source_fingerprint(sf_dir)
     out = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}_l{n_lists}")
     if not os.path.isfile(os.path.join(out, "_SUCCESS")):
         write_ivf_layout(spark, sf_dir, out, n_lists)
@@ -146,11 +161,12 @@ def write_ivfpq_layout(
 def ensure_ivfpq_layout(spark: SparkSession, sf_dir: str) -> str:
     """Idempotently materialize the IVF-PQ layout for one sf_dir (the
     ensure_ivf_layout convention: a write-once index build, cached on the
-    codes _SUCCESS marker)."""
+    codes _SUCCESS marker, keyed by the source fingerprint so a
+    regenerated base table invalidates the cached index)."""
     import os
     import tempfile
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _source_fingerprint(sf_dir)
     out = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}")
     if not os.path.isfile(os.path.join(out, "codes", "_SUCCESS")):
         write_ivfpq_layout(spark, sf_dir, out)
