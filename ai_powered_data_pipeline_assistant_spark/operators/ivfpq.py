@@ -120,13 +120,18 @@ def _build_index(
     subdim: int,
     k_codes: int,
     iters: int,
+    train_sample: float | None = None,
 ):
     """Train the composed index. Returns (codes, cent_map, pq_cents,
     centroids): codes = (vec_id, list_id, raw, _c0.._c{m-1}) — the stored
     posting lists; cent_map = {list_id: coarse centroid} (n_lists·d floats
     — the broadcast-sized routing table every real deployment keeps in
     memory); pq_cents = the residual codebooks; centroids = the coarse
-    routing frame (list_id, centroid) queries route against."""
+    routing frame (list_id, centroid) queries route against.
+    ``train_sample`` (default $PQ_TRAIN_SAMPLE, default 1.0 — see
+    `pq._train_pq`) trains the residual codebooks on a deterministic
+    hash-sample; code ASSIGNMENT below always runs over the full corpus
+    in one pass, so only the iterative training passes shrink."""
     centroids = ivf_centroids(emb, n_lists)
     cent_map = {
         int(r["list_id"]): [float(v) for v in r["centroid"]]
@@ -134,7 +139,8 @@ def _build_index(
     }
     resid = _residual_frame(emb, centroids).transform(materialize)
     pq_cents = _train_pq(
-        resid, m_count, subdim, k_codes, iters, init_offset=n_lists
+        resid, m_count, subdim, k_codes, iters, init_offset=n_lists,
+        train_sample=train_sample,
     )
     coded = _assign_codes(resid, pq_cents, subdim)
     codes = coded.select(
@@ -501,24 +507,15 @@ def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_SWEEP_PROBES = (1, 2, 4, 8)
 
 
-def ivfpq_nprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The n_probe latency/recall trade-off for the COMPOSED engine (the
-    `ivf_probe_recall_sweep` / `ann_ivf_autotuned` story, vector.py): build
-    the index ONCE, vary only the probe width, and pin the facts a
-    deployment tunes against, one row per n_probe:
-
-    - ``candidates``: rows ADC-scored — the query-cost axis, growing
-      ~linearly with n_probe (n_probe/n_lists of the corpus); the routing
-      is fixed-point deterministic, so the oracle recomputes this count
-      EXACTLY in SQL (the `_ivf_oracle_sql` assignment/probe CTEs);
-    - ``covers_no_less``: recall@k vs the TRUE global exact top-k never
-      drops below the previous (smaller) n_probe — measured monotone on
-      this corpus (recall itself is float-training-dependent, so the
-      boolean is the driver-pinnable form; pytest pins the raw values);
-    - ``floor_ok``: full-probe (n_probe = n_lists) recall ≥
-      IVFPQ_RERANK_FLOOR — with routing loss gone, the composed engine
-      must be at least as good as the PQ+re-rank path it embeds.
-    """
+def _nprobe_sweep(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, int, bool, bool]], list[float]]:
+    """Shared sweep body for `ivfpq_nprobe_recall_audit` (driver-pinned
+    invariants) and the pytest empirical-recall check: build the index
+    ONCE, vary only the probe width. Returns (rows, recalls) where rows =
+    [(n_probe, candidates, probes_nested, floor_ok)] and recalls is the
+    per-n_probe post-re-rank recall@k — EMPIRICAL, deliberately not in the
+    driver row (see the audit docstring)."""
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", "embedding"
     )
@@ -527,12 +524,23 @@ def ivfpq_nprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, IVFPQ_N_LISTS, PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS
     )
     exact_ids = _exact_global_topk(emb, queries, IVFPQ_TOPK)
-    rows = []
-    prev_recall: float | None = None
+    rows: list[tuple[int, int, bool, bool]] = []
+    recalls: list[float] = []
+    prev_probe_sets: dict[int, set[int]] | None = None
     for n_probe in IVFPQ_SWEEP_PROBES:
         lut_df = _route_and_luts(
             spark, queries, centroids, cent_map, pq_cents,
             PQ_M, PQ_SUBDIM, PQ_K, n_probe,
+        )
+        # |Q|·n_probe rows — the routing table, already driver-sized
+        probe_sets: dict[int, set[int]] = {}
+        for r in lut_df.select("query_id", "probe_list").collect():
+            probe_sets.setdefault(int(r["query_id"]), set()).add(
+                int(r["probe_list"])
+            )
+        nested = prev_probe_sets is None or all(
+            prev_probe_sets.get(q, set()) <= probe_sets.get(q, set())
+            for q in prev_probe_sets
         )
         final, candidates, _ = _score_and_rerank(
             codes,
@@ -553,15 +561,45 @@ def ivfpq_nprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (
                 n_probe,
-                candidates.count(),
-                prev_recall is None or recall >= prev_recall,
+                int(candidates.count()),
+                nested,
                 n_probe < IVFPQ_N_LISTS or recall >= IVFPQ_RERANK_FLOOR,
             )
         )
-        prev_recall = recall
+        recalls.append(recall)
+        prev_probe_sets = probe_sets
+    return rows, recalls
+
+
+def ivfpq_nprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n_probe latency/recall trade-off for the COMPOSED engine (the
+    `ivf_probe_recall_sweep` / `ann_ivf_autotuned` story, vector.py): build
+    the index ONCE, vary only the probe width, and pin the facts a
+    deployment tunes against, one row per n_probe:
+
+    - ``candidates``: rows ADC-scored — the query-cost axis, growing
+      ~linearly with n_probe (n_probe/n_lists of the corpus); the routing
+      is fixed-point deterministic, so the oracle recomputes this count
+      EXACTLY in SQL (the `_ivf_oracle_sql` assignment/probe CTEs);
+    - ``probes_nested``: each query's probed-list set at this n_probe is a
+      SUPERSET of its set at the previous (smaller) n_probe. Unlike
+      post-re-rank recall — which is NOT guaranteed monotone in n_probe (a
+      wider probe set can push true neighbors out of the fixed-size ADC
+      shortlist) — nesting is a real invariant: `assign_lists` ranks lists
+      by fixed-point similarity with a deterministic tie-break and keeps
+      the top-n_probe prefix, so probe sets are nested by construction,
+      and with the assignment fixed the candidate set is nested too. The
+      empirical recall curve lives in pytest (test_ivfpq.py), where a
+      fixture change surfaces as a visible test failure instead of a
+      driver flake;
+    - ``floor_ok``: full-probe (n_probe = n_lists) recall ≥
+      IVFPQ_RERANK_FLOOR — with routing loss gone, the composed engine
+      must be at least as good as the PQ+re-rank path it embeds.
+    """
+    rows, _recalls = _nprobe_sweep(spark, sf_dir)
     return spark.createDataFrame(
         rows,
-        "n_probe int, candidates long, covers_no_less boolean, "
+        "n_probe int, candidates long, probes_nested boolean, "
         "floor_ok boolean",
     ).orderBy("n_probe")
 
@@ -771,8 +809,9 @@ def _ivfpq_probe_oracle() -> str:
 def _ivfpq_sweep_oracle() -> str:
     """Exact candidate counts per n_probe: the routing is fixed-point
     deterministic, so DuckDB recomputes assignment sizes and probe ranks
-    bit-for-bit (the `_ivf_oracle_sql` CTE shapes); the recall-derived
-    booleans are literals (the pq_recall_audit bounds pattern)."""
+    bit-for-bit (the `_ivf_oracle_sql` CTE shapes); the invariant booleans
+    (probe-set nesting, full-probe floor) are literals (the
+    pq_recall_audit bounds pattern)."""
     from ai_powered_data_pipeline_assistant_spark.functions.vector_math import (
         cosine_similarity_sql,
     )
@@ -805,7 +844,7 @@ def _ivfpq_sweep_oracle() -> str:
         np AS (SELECT unnest([{probes}]) AS n_probe)
         SELECT CAST(np.n_probe AS INT) AS n_probe,
                CAST(sum(s.n) AS BIGINT) AS candidates,
-               true AS covers_no_less, true AS floor_ok
+               true AS probes_nested, true AS floor_ok
         FROM np, proberk r, sizes s
         WHERE r.crk <= np.n_probe AND s.list_id = r.list_id
         GROUP BY np.n_probe

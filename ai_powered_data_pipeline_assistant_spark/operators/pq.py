@@ -123,16 +123,34 @@ def _assign_codes(
     return staged.select(*emb.columns, *picks)
 
 
+PQ_TRAIN_SAMPLE_MOD = 1_000_000  # hash-sample granularity (ppm)
+
+
 def _train_pq(
     emb: DataFrame, m_count: int, subdim: int, k: int, iters: int,
-    init_offset: int = 0,
+    init_offset: int = 0, train_sample: float | None = None,
 ) -> list[list[list[float]]]:
     """Lloyd's per subspace, all subspaces per pass. Init: subvectors of
     the first k stored vectors (deterministic, the kmeans convention);
     ``init_offset`` skips ids whose vectors are degenerate for training —
     the IVF-PQ residual path starts past the coarse-centroid ids, whose
     residuals are identically zero. Empty cells keep their previous
-    centroid."""
+    centroid.
+
+    ``train_sample`` (default: $PQ_TRAIN_SAMPLE, default 1.0) is the 100 TB
+    knob TUNING.md describes: k-means sees O(K·M) effective degrees of
+    freedom, so the codebooks converge on a corpus SAMPLE — train the Lloyd
+    iterations on a deterministic xxhash64(vec_id) fraction, then callers
+    assign codes to the FULL corpus in their one encode pass. Fraction 1.0
+    (the fixture default) trains on everything, keeping the probe audits'
+    golden replicas exact; a deployment sets PQ_TRAIN_SAMPLE=0.01 and the
+    training passes stop scanning 100 TB per iteration. The sample is
+    hash-deterministic (same rows every run/executor), so training stays
+    reproducible for a fixed partitioning."""
+    import os as _os
+
+    if train_sample is None:
+        train_sample = float(_os.environ.get("PQ_TRAIN_SAMPLE", "1.0"))
     init_rows = (
         emb.filter(
             (F.col("vec_id") >= init_offset) & (F.col("vec_id") < init_offset + k)
@@ -146,8 +164,19 @@ def _train_pq(
          for r in init_rows]
         for m in range(m_count)
     ]
+    train_emb = emb
+    if train_sample < 1.0:
+        from ai_powered_data_pipeline_assistant_spark.execution import (
+            materialize,
+        )
+
+        cut = int(train_sample * PQ_TRAIN_SAMPLE_MOD)
+        # materialized: re-scanned every Lloyd iteration
+        train_emb = emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(PQ_TRAIN_SAMPLE_MOD)) < cut
+        ).transform(materialize)
     for _ in range(iters):
-        assigned = _assign_codes(emb, cents, subdim)
+        assigned = _assign_codes(train_emb, cents, subdim)
         stacked = assigned.select(
             F.explode(
                 F.array(
@@ -179,11 +208,13 @@ def _train_pq(
     return cents
 
 
-def _encoded(spark: SparkSession, sf_dir: str):
+def _encoded(spark: SparkSession, sf_dir: str, train_sample: float | None = None):
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", "embedding"
     )
-    cents = _train_pq(emb, PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS)
+    cents = _train_pq(
+        emb, PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS, train_sample=train_sample
+    )
     assigned = _assign_codes(emb, cents, PQ_SUBDIM)
     packed = assigned.select(
         "vec_id",
@@ -246,7 +277,9 @@ def pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_recall_audit(
+    spark: SparkSession, sf_dir: str, train_sample: float | None = None
+) -> DataFrame:
     """Retrieval-quality pin: ADC top-``PQ_TOPK`` (scored ONLY from the
     packed codes via per-query LUT literals) vs exact L2 top-k over the
     raw vectors, for the first ``PQ_N_QUERIES`` stored vectors. Emits one
@@ -255,8 +288,10 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     below ADC-only), and self-hit (a query's own code must be among its
     ADC top-k — PQ quantizes, it doesn't lose identity).
     The recall VALUE is training-dependent float math, so the oracle pins
-    bounds, not the value (the compression_ratio_audit pattern)."""
-    packed, cents = _encoded(spark, sf_dir)
+    bounds, not the value (the compression_ratio_audit pattern).
+    ``train_sample`` threads the sampled-training knob through for the
+    pytest that proves sampled codebooks still meet the floors."""
+    packed, cents = _encoded(spark, sf_dir, train_sample=train_sample)
     queries = (
         packed.filter(F.col("vec_id") < PQ_N_QUERIES)
         .select("vec_id", "embedding")

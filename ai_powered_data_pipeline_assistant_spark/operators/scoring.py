@@ -166,11 +166,14 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # Materialized: the tokenize/explode — the most expensive scan here —
+    # feeds TWO consumers (vocab aggregation + per-doc scoring join); without
+    # the barrier it would run twice (the dedup.py postings convention).
     toks = docs.select(
         "doc_id",
         "lang",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
-    )
+    ).transform(materialize)
     vocab = toks.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
     totals = vocab.groupBy("lang").agg(F.sum("cnt").alias("total"))
     lp = vocab.join(F.broadcast(totals), "lang").select(

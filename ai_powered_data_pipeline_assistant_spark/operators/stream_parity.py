@@ -397,18 +397,22 @@ def neardup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id % NB — the daily-crawl slices), replay them as ORDERED
     micro-batches (one file per batch, maxFilesPerTrigger=1, monotone
     mtimes) through the REAL `streaming/neardup.run_neardup_stream` —
-    foreachBatch incremental LSH over accumulated postings/signature state
-    — then exceptAll-diff the accumulated (later, earlier, jaccard) pairs
-    against `dedup.minhash_lsh_pairs_for` with the cross-batch pairing
-    rule ``batch(a) > batch(b)``. One row: pair counts both sides, batch
-    count, symmetric-difference size, equality. The oracle recomputes the
-    batch side via the shared `minhash_lsh_cte` SQL and pins mismatches=0,
-    so any drift in the streaming state path (signature math, band keys,
-    verify rounding, state append order) flips the driver hash."""
+    foreachBatch incremental LSH over accumulated bucketed band/posting
+    state — then exceptAll-diff the accumulated (later, earlier, jaccard)
+    pairs against `dedup.minhash_lsh_pairs_for` with the full arrival
+    pairing rule: cross-batch ``batch(a) > batch(b)`` PLUS within-batch
+    ``batch(a) = batch(b) AND a > b`` (the stream self-joins each batch's
+    bands, so two near-dups arriving together are flagged too). One row:
+    pair counts both sides, batch count, symmetric-difference size,
+    equality. The oracle recomputes the batch side via the shared
+    `minhash_lsh_cte` SQL and pins mismatches=0, so any drift in the
+    streaming state path (signature math, band keys, verify rounding,
+    state layout/replay semantics) flips the driver hash."""
     from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
         minhash_lsh_pairs_for,
     )
     from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+        drop_state,
         run_neardup_stream,
     )
 
@@ -449,9 +453,15 @@ def neardup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "neardup stream did not finish within 300 s — parity "
                 "cannot be assessed on a partial pairs table"
             )
-        got = spark.read.parquet(f"{tmp}/pairs")
+        # pairs land batch_id-partitioned (the exactly-once writer);
+        # project the semantic columns
+        got = spark.read.parquet(f"{tmp}/pairs").select(
+            "later_id", "earlier_id", "jaccard"
+        )
         want = minhash_lsh_pairs_for(
-            docs, pair_cond=lambda a, b: (a % nb) > (b % nb)
+            docs,
+            pair_cond=lambda a, b: ((a % nb) > (b % nb))
+            | (((a % nb) == (b % nb)) & (a > b)),
         ).select(
             F.col("a_id").alias("later_id"),
             F.col("b_id").alias("earlier_id"),
@@ -463,6 +473,7 @@ def neardup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra = got.exceptAll(want).count()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        drop_state(spark, f"{tmp}/state")
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.range(1).select(
         F.lit(n_stream).cast("long").alias("n_pairs_stream"),
@@ -612,7 +623,8 @@ def _oracles() -> dict[str, str]:
 
 def _neardup_parity_sql() -> str:
     """Batch side recomputed via the dedup module's own shared LSH CTE
-    chain with the cross-batch pairing rule; mismatches pinned to 0."""
+    chain with the full arrival pairing rule (cross-batch OR within-batch
+    later-id); mismatches pinned to 0."""
     from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         minhash_lsh_cte,
@@ -620,7 +632,9 @@ def _neardup_parity_sql() -> str:
 
     nb = NEARDUP_STREAM_BATCHES
     cte = minhash_lsh_cte(
-        "documents", f"(a.doc_id % {nb}) > (b.doc_id % {nb})"
+        "documents",
+        f"((a.doc_id % {nb}) > (b.doc_id % {nb}) OR "
+        f"((a.doc_id % {nb}) = (b.doc_id % {nb}) AND a.doc_id > b.doc_id))",
     )
     return f"""
         WITH {cte}

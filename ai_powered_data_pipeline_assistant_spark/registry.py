@@ -131,112 +131,83 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 )
 
 # The correctness driver checks the FIRST 50 registry entries per round, so
-# ordering decides which queries get a driver verdict. Round-7 window
-# (VERDICT r6 next-round #1/#2/#3/#7): (a) the final 19 oracle-backed
-# never-checked names — after this round EVERY oracle-backed registry
-# entry has a driver verdict; (b) the two NEW audits closing the last
-# rows-only gaps: scan_file_stats_audit (file-rollup ≡ catalog counts) and
-# trigger_cadence_audit (T5 rerun throttle — checkpoint-suppressed restart
-# lands zero new rows); (c) staleness re-checks, oldest green first: all
-# 27 r1-green entries whose modules changed since r1, plus two r2-greens
-# in modules touched by this round's materialize-policy swap
-# (firstwins_dedup, retention_last_n). The remaining stale-green entries
-# (ROADMAP.md staleness table) are covered by the full
-# scripts/driver_sim.py sf0.01 pre-verification run this round.
+# ordering decides which queries get a driver verdict. Round-8 window
+# (VERDICT r7 next-round #2 + ADVICE r7 #1/#2): (a) ann_ivf_autotuned —
+# the single remaining oracle-backed entry with no driver row (added late
+# in r7); after this round the cumulative record is 279/279; (b) the two
+# r7-windowed entries whose OUTPUT changed this round and therefore must
+# re-land: ivfpq_nprobe_recall_audit (covers_no_less → probes_nested — the
+# monotone-recall pin was not a guaranteed invariant) and
+# neardup_stream_parity (pairing rule extended with within-batch pairs;
+# state moved to bucketed idempotent tables); plus perplexity_buckets
+# (toks now materialized — output-invisible, re-checked as insurance);
+# (c) staleness re-checks, oldest green first per ROADMAP's rotation
+# priority: all 12 remaining r1-greens, then 34 of the 40 r2-greens
+# (the 6 deferred to r9 — tpch_q2/q4/q10/q16/q19/q21 — share the tpch.py
+# module with four windowed siblings and were value-verified by the full
+# driver_sim sf0.01 run this round).
 # Every slot carries an oracle AND is driver-representable — both halves
-# now enforced on every pytest by tests/test_driver_sim_hardening.py
+# enforced on every pytest by tests/test_driver_sim_hardening.py
 # (oracle presence + driver_representable over the built window frames).
 # Rows-only entries (bpe_merge_table, kmeans_embeddings, compression_ratio,
 # embed_*, quality_trainer_report, bpe_token_counts, scan_file_stats) are
 # NEVER windowed — their currency is their scalarized audit twins.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- last never-checked oracle-backed names (drains the tail) --
-    "kanon_report",
-    "winsorized_stats",
-    "length_batched_padding",
-    "value_anomalies",
-    "chars_histogram",
-    "value_hour_correlation",
-    "daily_count_anomalies_mad",
-    "weekly_change_alerts",
-    "dow_seasonality",
-    "ab_funnel_report",
-    "wow_contribution",
-    "event_cooccurrence",
-    "boilerplate_prefixes",
-    "oov_rate",
-    "vocab_coverage_curve",
-    "source_concentration",
-    "collocation_pmi",
-    "activity_heatmap",
-    "dn_retention",
-    # -- new audit twins (r6 verdict tasks #3 and #7) --
-    "scan_file_stats_audit",
-    "trigger_cadence_audit",
-    # -- NEW round-7 operators (data_selection.py) — windowed on arrival so
-    # the "every oracle-backed entry has a driver verdict" invariant holds;
-    # they displace four staleness re-checks whose modules are re-checked
-    # through a sibling slot anyway (rollup/grouping_sets via status_counts,
-    # tpch_q3 via tpch_q1, semi_join_active via fk_join_rollup) --
-    "dsir_importance_weights",
-    "dsir_gumbel_resample",
-    "temperature_mix_plan",
-    "ngram_novelty_report",
-    # -- NEW round-7 operators (pq.py) — same windowed-on-arrival rule;
-    # they displace minhash_signatures / ngram_jaccard_pairs, whose module
-    # (dedup.py) keeps four other re-check slots --
-    "pq_probe_audit",
-    "pq_recall_audit",
-    # -- NEW round-7 operators (ivfpq.py — composed IVF routing + residual
-    # PQ) — windowed on arrival; they displace the cosine_topk_filtered /
-    # simhash_fingerprints re-checks (vector.py keeps cosine_topk +
-    # embedding_neardup_pairs, dedup.py keeps simhash_neardup_pairs et al.,
-    # and both displaced names were value-verified by this round's full
-    # driver_sim sf0.01 run) --
-    "ivfpq_probe_audit",
-    "ivfpq_recall_audit",
-    # -- NEW round-7 operator (scoring.py perplexity_buckets — CCNet
-    # head/middle/tail) — windowed on arrival; displaces the token_stats
-    # re-check (text_analysis.py keeps lang_id + quality_score slots, and
-    # token_stats was value-verified by this round's full driver_sim run) --
-    "perplexity_buckets",
-    # -- NEW round-7 operator (scoring.py calibration_report — classifier
-    # reliability diagram) — windowed on arrival; displaces the filter_eq
-    # re-check (relational.py keeps scan_project/keyset_page/offset_page/
-    # point_lookup/multikey_sort slots; filter_eq was value-verified by
-    # this round's full driver_sim run) --
-    "calibration_report",
-    # -- NEW round-7 operator (ivfpq.py nprobe sweep — latency/recall
-    # trade-off for the composed engine) — windowed on arrival; displaces
-    # the keyset_page re-check (relational.py keeps scan_project/
-    # offset_page/point_lookup/multikey_sort; keyset_page was
-    # value-verified by this round's full driver_sim run) --
+    # -- last never-checked oracle-backed name (completes 279/279) --
+    "ann_ivf_autotuned",
+    # -- output changed in round 8: must re-land --
     "ivfpq_nprobe_recall_audit",
-    # -- NEW round-7 operator (stream_parity.py neardup_stream_parity —
-    # incremental streaming LSH ≡ batch twin) — windowed on arrival;
-    # displaces the offset_page re-check (relational.py keeps
-    # scan_project/point_lookup/multikey_sort; offset_page was
-    # value-verified by this round's full driver_sim run) --
     "neardup_stream_parity",
-    # -- staleness re-checks: r1-green, module changed since r1 --
-    "scan_project",
-    "point_lookup",
-    "multikey_sort",
-    "status_counts",
-    "tpch_q1",
-    "fk_join_rollup",
-    "anti_join_new_docs",
-    "cosine_topk",
-    "embedding_neardup_pairs",
-    "exact_dedup",
-    "upsert_merge",
-    "simhash_neardup_pairs",
-    "set_ops_summary",
-    "lang_id",
-    "quality_score",
-    # -- staleness re-checks: r2-green in materialize-swap modules --
-    "firstwins_dedup",
-    "retention_last_n",
+    # -- module changed in round 8 (materialize insurance) --
+    "perplexity_buckets",
+    # -- staleness re-checks: the 12 remaining r1-greens --
+    "filter_eq",
+    "keyset_page",
+    "offset_page",
+    "rollup_counts",
+    "grouping_sets_counts",
+    "tpch_q3",
+    "semi_join_active",
+    "cosine_topk_filtered",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "token_stats",
+    # -- staleness re-checks: r2-greens, oldest-first rotation --
+    "newest_n",
+    "multidim_counts",
+    "grouped_stats",
+    "quality_metrics",
+    "distinct_users",
+    "rate_window_counts",
+    "asof_join",
+    "range_join",
+    "embedding_array_stats",
+    "doc_fingerprint",
+    "redact_docs",
+    "snippet_truncate",
+    "timestamp_buckets",
+    "tz_convert",
+    "pii_gate",
+    "profanity_gate",
+    "html_clean",
+    "enum_rank_maps",
+    "search_pipeline",
+    "github_union",
+    "expiry_sweep",
+    "access_counter_update",
+    "sliding_window_counts",
+    "value_ntiles",
+    "schedule_arithmetic",
+    "error_extract",
+    "safe_reciprocal",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
+    "tpch_q14",
+    "supplier_balance_rank",
+    "below_nation_avg",
+    "urgent_no_fail_customers",
 )
 
 

@@ -75,15 +75,33 @@ def write_ivf_layout(
 
 def _source_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
     """Cache key component tying a derived layout to its SOURCE data:
-    basename + size + mtime of the source parquet. A fixture regenerated
-    in place (same path, new data) changes the fingerprint, so stale
-    cached indexes are never silently served against fresh base tables."""
+    basename + size + nanosecond mtime + a digest of the parquet footer
+    (the tail holds row-group stats + column offsets, which change whenever
+    the data does). A fixture regenerated in place (same path, new data)
+    changes the fingerprint, so stale cached indexes are never silently
+    served — including the whole-second-mtime edge (a fixed-seed generator
+    rewriting an identical-size file within the same second) that a
+    size+int(mtime) key would miss."""
+    import hashlib
     import os
 
     path = os.path.join(sf_dir, f"{table}.parquet")
     st = os.stat(path)
+    h = hashlib.sha256()
+    if os.path.isdir(path):  # multi-file parquet dataset: hash part tails
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        for part in parts:
+            with open(os.path.join(path, part), "rb") as fh:
+                fh.seek(max(0, os.path.getsize(fh.name) - 65536))
+                h.update(fh.read())
+    else:
+        with open(path, "rb") as fh:
+            fh.seek(max(0, st.st_size - 65536))
+            h.update(fh.read())
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return f"{tag}_{st.st_size}_{int(st.st_mtime)}"
+    return f"{tag}_{st.st_size}_{st.st_mtime_ns}_{h.hexdigest()[:12]}"
 
 
 def ensure_ivf_layout(

@@ -1,6 +1,6 @@
 """Incremental streaming near-duplicate detection — the daily-crawl ingest
 shape: each arriving micro-batch of documents is checked against EVERYTHING
-seen before it, then added to the seen state.
+seen before it AND against itself, then added to the seen state.
 
 Extension lineage: the reference dedups exact URLs/content hashes at ingest
 (reference backend/services/search_service.py seen-URL set → here
@@ -10,40 +10,187 @@ corpus, not equality.
 
 Incrementality (what the state buys at 100 TB): the expensive step —
 shingling + hashing the TEXT — runs exactly once per document, in the
-micro-batch that delivers it. State stores the derived artifacts only:
+micro-batch that delivers it. State stores the derived artifacts only, as
+CATALOG-BACKED BUCKETED TABLES (external paths under ``state_dir``) so a
+batch joins the history without re-shuffling it:
 
-- ``state/sigs``      (doc_id, m0..m15, sz)  — one row per seen doc;
-- ``state/postings``  (doc_id, h)            — 8-byte shingle hashes.
+- ``bands``     (doc_id, band, band_key)  — the LSH blocking keys,
+  PRE-BUCKETED on (band, band_key): the per-batch candidate join shuffles
+  ONLY the arriving batch's bands into the state's bucket layout; the
+  state side is read Exchange-free (plan-asserted in
+  tests/test_neardup_stream.py). Band keys are precomputed once at ingest
+  — the old design recomputed `minhash_band_frame` over the FULL
+  accumulated signature state every micro-batch, an O(corpus-age) compute
+  + shuffle per batch;
+- ``postings``  (doc_id, h)  — 8-byte shingle hashes, bucketed + sorted on
+  doc_id: verification fetches ONLY candidate docs' postings via a
+  driver-bounded ``doc_id IN (...)`` (bucket pruning + row-group stats),
+  not a full postings scan per batch;
+- ``sizes``     (doc_id, sz) — distinct-shingle counts for the Jaccard
+  denominator, same doc_id-pruned access path.
 
-A new batch band-joins its signatures against the state's (candidates come
-from bucket equality, never an all-pairs scan), verifies candidates with
-exact Jaccard against state postings, appends flagged (later, earlier)
-pairs to the output table, and appends its own artifacts to state. Per
-batch the work is O(batch × hit-rate), independent of corpus AGE — the
-same math as the batch operator `dedup.minhash_lsh_pairs_for`, via the
-same shared helpers (`minhash_sig_aggs` / `minhash_band_frame` /
+Per batch the work is shingle O(batch) + band-join O(batch side shuffled,
+state side scanned in place) + verify O(candidates) — no per-batch
+re-shuffle or recompute of the accumulated history. All three tables are
+PARTITIONED BY ``batch_id`` and written with dynamic-partition-overwrite
+``insertInto``: a batch replayed after ANY partial state write (the crash
+window between the parquet commits and the checkpoint commit) simply
+overwrites its own partitions, so state can never diverge into
+sigs-without-postings inconsistency and pairs are exactly-once
+(`jobs.idempotent_append` lands the pair output the same way). Per-batch
+appends accumulate one file set per batch per table;
+`compact_neardup_state` (offline, stream stopped) rewrites each table into
+a single compacted partition with the same bucket layout.
+
+Pair semantics: a batch emits (later, earlier) pairs against all EARLIER
+batches (cross-batch: batch(a) > batch(b)) and within itself (same batch:
+a > b) — two near-identical docs arriving in the same crawl slice are
+flagged, not silently co-admitted to state. The signature/band/verify math
+is the batch operator's own (`minhash_sig_aggs` / `minhash_band_frame` /
 `minhash_verified_pairs`), so the streaming path cannot drift from the
-oracle-checked batch semantics. `neardup_stream_parity`
-(operators/stream_parity.py) pins the equality as a driver-hashable row.
-
-Failure semantics: the pair/state writes are plain appends guarded by the
-stream checkpoint — a batch replayed after a crash between write and
-checkpoint-commit would double-append (at-least-once). The parity audit
-runs each batch exactly once; a production deployment lands both tables
-with `jobs.idempotent_append` (batch_id-partitioned dynamic overwrite) to
-close that hole — same writer, one option.
+oracle-checked batch semantics; `neardup_stream_parity`
+(operators/stream_parity.py) pins the multi-batch replay row-equal to
+`dedup.minhash_lsh_pairs_for` under the combined pairing rule.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.execution import materialize
 
 PAIRS_SCHEMA = "later_id long, earlier_id long, jaccard double"
+
+# Local-test bucket count. At 100 TB size buckets so one bucket's bands ≈
+# 128 MB–1 GB (≈ corpus_rows × N_BANDS × 24 B / target); the bucket count
+# is fixed at table creation, so provision for the corpus you intend to
+# accumulate (TUNING.md "streaming near-dup state").
+NEARDUP_STATE_BUCKETS = 4
+# Verification fetches candidate partners' postings by a literal
+# doc_id IN (...) for bucket/row-group pruning; above this many distinct
+# partner ids the literal stops being driver-friendly and the join falls
+# back to a full postings join (still candidate-only after the join).
+NEARDUP_ISIN_CAP = 100_000
+
+
+def _state_tables(state_dir: str) -> dict[str, str]:
+    """Catalog table names for one stream instance, keyed by the state
+    directory (unique per stream; stable across restarts of the same
+    stream)."""
+    tag = hashlib.md5(os.path.abspath(state_dir).encode()).hexdigest()[:12]
+    return {
+        "bands": f"neardup_bands_{tag}",
+        "postings": f"neardup_postings_{tag}",
+        "sizes": f"neardup_sizes_{tag}",
+    }
+
+
+# (schema, bucket columns) per state table — bucket layout is the contract
+# the band join and the verification point reads depend on.
+_STATE_SPECS: dict[str, tuple[str, list[str]]] = {
+    "bands": (
+        "doc_id long, band int, band_key string, batch_id long",
+        ["band", "band_key"],
+    ),
+    "postings": ("doc_id long, h long, batch_id long", ["doc_id"]),
+    "sizes": ("doc_id long, sz long, batch_id long", ["doc_id"]),
+}
+
+
+def _write_bucketed(df: DataFrame, key: str, name: str, path: str) -> None:
+    """(Re)create one state table at ``path`` with its bucket layout."""
+    bucket_cols = _STATE_SPECS[key][1]
+    (
+        df.write.mode("overwrite")
+        .partitionBy("batch_id")
+        .bucketBy(NEARDUP_STATE_BUCKETS, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def _create_state(
+    spark: SparkSession, state_dir: str, tables: dict[str, str]
+) -> None:
+    """Create the three state tables with their bucket layouts — or, when
+    the catalog entry is gone but the state FILES survive (a stream
+    restarted in a fresh session: the default catalog is in-memory),
+    RE-REGISTER the existing files instead of overwriting them with empty
+    tables."""
+    for key, (schema, bucket_cols) in _STATE_SPECS.items():
+        path = _state_path(state_dir, key)
+        if os.path.isdir(path) and any(
+            f for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        ):
+            cols = ", ".join(bucket_cols)
+            data_cols = ", ".join(
+                c.strip() for c in schema.split(",") if "batch_id" not in c
+            )
+            spark.sql(
+                f"CREATE TABLE {tables[key]} ({data_cols}, batch_id long) "
+                f"USING PARQUET PARTITIONED BY (batch_id) "
+                f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                f"INTO {NEARDUP_STATE_BUCKETS} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+            spark.sql(f"ALTER TABLE {tables[key]} RECOVER PARTITIONS")
+        else:
+            _write_bucketed(
+                spark.createDataFrame([], schema), key, tables[key], path
+            )
+
+
+def _state_path(state_dir: str, key: str) -> str:
+    """Current physical directory for one state table: the newest
+    compaction generation (``{key}_g{n}``) if any, else the base
+    ``{key}`` dir — so a fresh-session re-registration after a compaction
+    finds the compacted files, not the removed original path."""
+    gens = [
+        (int(d.rsplit("_g", 1)[1]), d)
+        for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
+        if d.startswith(f"{key}_g") and d.rsplit("_g", 1)[1].isdigit()
+    ]
+    if gens:
+        return os.path.join(state_dir, max(gens)[1])
+    return os.path.join(state_dir, key)
+
+
+def drop_state(spark: SparkSession, state_dir: str) -> None:
+    """Drop the stream's catalog entries (the external files live under
+    ``state_dir`` and follow its lifecycle)."""
+    for name in _state_tables(state_dir).values():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def _insert_dynamic(df: DataFrame, table: str) -> None:
+    """Dynamic-partition-overwrite insert: the batch's own ``batch_id``
+    partition is REPLACED, other partitions untouched — replays after a
+    crash between state commits and the checkpoint commit are idempotent.
+    The mode must be set on the session (the per-writer option is ignored
+    by insertInto); saved/restored around the write."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.insertInto(table, overwrite=True)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _partner_pruned(state_df: DataFrame, partner_ids: list[int]) -> DataFrame:
+    """State access path for verification: literal doc_id IN (...) →
+    bucket pruning + sorted-file row-group stats on the doc_id-bucketed
+    table; falls back to the unpruned frame past NEARDUP_ISIN_CAP."""
+    if len(partner_ids) <= NEARDUP_ISIN_CAP:
+        return state_df.filter(F.col("doc_id").isin(partner_ids))
+    return state_df
 
 
 def run_neardup_stream(
@@ -61,53 +208,89 @@ def run_neardup_stream(
         minhash_sig_aggs,
         minhash_verified_pairs,
     )
+    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
+        idempotent_append,
+    )
+
+    tables = _state_tables(state_dir)
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         docs = batch_df.select("doc_id", "text")
-        # Shingle/sign ONCE per arriving doc; both frames feed two
-        # consumers (candidate join + state append).
+        # Shingle/sign ONCE per arriving doc; each frame feeds two
+        # consumers (candidate join/verify + state append).
         postings_b = _shingles(docs).transform(materialize)
         sigs_b = (
             postings_b.groupBy("doc_id").agg(*minhash_sig_aggs())
         ).transform(materialize)
-        if os.path.isfile(os.path.join(state_dir, "sigs", "_SUCCESS")):
-            sigs_s = spark.read.parquet(os.path.join(state_dir, "sigs"))
-            postings_s = spark.read.parquet(os.path.join(state_dir, "postings"))
-            bands_b = minhash_band_frame(sigs_b).select(
-                F.col("doc_id").alias("a_id"), "band", "band_key"
-            )
-            bands_s = minhash_band_frame(sigs_s).select(
-                F.col("doc_id").alias("b_id"), "band", "band_key"
-            )
-            candidates = (
-                bands_b.join(bands_s, ["band", "band_key"])
-                .select("a_id", "b_id")
-                .distinct()
-            )
-            pairs = minhash_verified_pairs(
-                candidates,
-                postings_b,
-                postings_s,
-                sigs_b.select("doc_id", "sz"),
-                sigs_s.select("doc_id", "sz"),
-                JACCARD_THRESHOLD,
-            )
-            out = pairs.select(
-                F.col("a_id").alias("later_id"),
-                F.col("b_id").alias("earlier_id"),
-                "jaccard",
-            )
-        else:
-            out = spark.createDataFrame([], PAIRS_SCHEMA)
-        # Pairs first, then state: a replay after a crash in between
-        # re-checks the batch against pre-batch state (duplicate pairs,
-        # reconciled by the idempotent writer in production) rather than
-        # against itself (which would silently flag nothing).
-        out.write.mode("append").parquet(pairs_dir)
-        sigs_b.write.mode("append").parquet(os.path.join(state_dir, "sigs"))
-        postings_b.write.mode("append").parquet(
-            os.path.join(state_dir, "postings")
+        bands_b = minhash_band_frame(sigs_b).transform(materialize)
+        sizes_b = sigs_b.select("doc_id", "sz")
+
+        if not spark.catalog.tableExists(tables["bands"]):
+            _create_state(spark, state_dir, tables)
+        bands_s = spark.table(tables["bands"])
+
+        a = bands_b.select(F.col("doc_id").alias("a_id"), "band", "band_key")
+        # Cross-batch candidates: batch bands vs accumulated state bands.
+        # Only the batch side shuffles into the state's bucket layout; the
+        # state scan itself is Exchange-free (plan-asserted).
+        b_state = bands_s.select(F.col("doc_id").alias("b_id"), "band", "band_key")
+        cross = a.join(b_state, ["band", "band_key"]).select("a_id", "b_id")
+        # Within-batch candidates: the batch's own bands self-joined —
+        # batch-sized, so two near-dups arriving TOGETHER are still caught.
+        b_self = bands_b.select(F.col("doc_id").alias("b_id"), "band", "band_key")
+        within = (
+            a.join(b_self, ["band", "band_key"])
+            .filter(F.col("a_id") > F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+        candidates = cross.unionByName(within).distinct().transform(materialize)
+
+        # Verification partners (the b side) can be state docs (cross) or
+        # batch docs (within): fetch state rows by literal candidate ids
+        # (bucket-pruned point reads, not a per-batch full postings scan)
+        # and union the batch's own in-memory frames.
+        partner_ids = sorted(
+            int(r["b_id"]) for r in candidates.select("b_id").distinct().collect()
+        )
+        postings_part = _partner_pruned(
+            spark.table(tables["postings"]).select("doc_id", "h"), partner_ids
+        ).unionByName(postings_b)
+        sizes_part = _partner_pruned(
+            spark.table(tables["sizes"]).select("doc_id", "sz"), partner_ids
+        ).unionByName(sizes_b)
+        pairs = minhash_verified_pairs(
+            candidates,
+            postings_b,
+            postings_part,
+            sizes_b,
+            sizes_part,
+            JACCARD_THRESHOLD,
+        )
+        out = pairs.select(
+            F.col("a_id").alias("later_id"),
+            F.col("b_id").alias("earlier_id"),
+            "jaccard",
+        )
+        # Exactly-once pair output: batch_id-partitioned dynamic overwrite.
+        idempotent_append(out, batch_id, pairs_dir)
+        # State appends: each table's batch partition is replaced on
+        # replay, so a crash between ANY two of the three commits leaves a
+        # state the replay repairs in place — no write-order sentinel
+        # needed (columns ordered to each table's schema; insertInto is
+        # position-based).
+        bid = F.lit(batch_id).cast("long")
+        _insert_dynamic(
+            bands_b.select("doc_id", "band", "band_key", bid.alias("batch_id")),
+            tables["bands"],
+        )
+        _insert_dynamic(
+            postings_b.select("doc_id", "h", bid.alias("batch_id")),
+            tables["postings"],
+        )
+        _insert_dynamic(
+            sizes_b.select("doc_id", "sz", bid.alias("batch_id")),
+            tables["sizes"],
         )
 
     return (
@@ -117,3 +300,68 @@ def run_neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict[str, int]:
+    """Offline state compaction (run with the stream stopped): per-batch
+    appends leave one file set per batch per table; rewrite each state
+    table into a single ``batch_id = -1`` partition with the SAME bucket
+    layout, so the band join's Exchange-free property and the doc_id
+    pruning path survive compaction. Write-new-then-swap, fully
+    distributed: the compacted copy lands in a fresh generation directory
+    (one distributed write, no driver round-trip of state rows), the
+    catalog entry is re-pointed atomically-enough for an offline
+    maintenance job, and the old generation's files are removed last.
+    Returns {table: parquet files after compaction}."""
+    import shutil
+
+    tables = _state_tables(state_dir)
+    out: dict[str, int] = {}
+    for key, name in tables.items():
+        old_location = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+            .filter(F.col("col_name") == "Location")
+            .collect()[0]["data_type"]
+        ).removeprefix("file:")
+        gen = 1 + max(
+            (
+                int(d.rsplit("_g", 1)[1])
+                for d in os.listdir(state_dir)
+                if d.startswith(f"{key}_g") and d.rsplit("_g", 1)[1].isdigit()
+            ),
+            default=0,
+        )
+        new_path = os.path.join(state_dir, f"{key}_g{gen}")
+        cols = [c for c in spark.table(name).columns if c != "batch_id"]
+        staged = (
+            spark.table(name)
+            .select(*cols, F.lit(-1).cast("long").alias("batch_id"))
+            .repartition(
+                NEARDUP_STATE_BUCKETS, *[F.col(c) for c in _STATE_SPECS[key][1]]
+            )
+        )
+        tmp_name = f"{name}_compact"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        # The rewrite must NOT see the source's bucket partitioning: the
+        # optimizer would elide the pre-write repartition (the scan claims
+        # the right hash layout) yet execute one-partition-per-FILE, so the
+        # compacted table would keep one file per (batch, bucket) — exactly
+        # the fragmentation being compacted. With bucketed reads off, the
+        # explicit repartition aligns tasks to buckets → one file each.
+        bkey = "spark.sql.sources.bucketing.enabled"
+        prev_bucketing = spark.conf.get(bkey)
+        spark.conf.set(bkey, "false")
+        try:
+            _write_bucketed(staged, key, tmp_name, new_path)
+        finally:
+            spark.conf.set(bkey, prev_bucketing)
+        # swap: the compacted table takes the stream's name; external-table
+        # drops leave files alone, so remove the old generation explicitly
+        spark.sql(f"DROP TABLE {name}")
+        spark.sql(f"ALTER TABLE {tmp_name} RENAME TO {name}")
+        shutil.rmtree(old_location, ignore_errors=True)
+        out[key] = sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for _, _, files in os.walk(new_path)
+        )
+    return out

@@ -147,26 +147,32 @@ def test_ivfpq_layout_prunes_partitions_and_matches_logical(spark, sf_dir):
 
 
 def test_nprobe_sweep_shape_and_full_coverage(spark, sf_dir, duck):
-    """The sweep audit's booleans must hold, candidate counts must be
-    strictly increasing in n_probe, and at n_probe = n_lists the engine
-    scores the whole corpus for every query (routing loss fully gone)."""
+    """The sweep's invariant booleans must hold, candidate counts must be
+    strictly increasing in n_probe, at n_probe = n_lists the engine scores
+    the whole corpus for every query (routing loss fully gone), and the
+    EMPIRICAL recall curve — deliberately not in the driver row, because
+    post-re-rank recall is not a guaranteed invariant of n_probe — is
+    non-decreasing on this corpus (a fixture change surfaces here as a
+    visible pytest failure, not a driver flake)."""
     from ai_powered_data_pipeline_assistant_spark.operators.ivfpq import (
         IVFPQ_SWEEP_PROBES,
-        ivfpq_nprobe_recall_audit,
+        _nprobe_sweep,
     )
 
     n_corpus = duck.sql(
         f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
     ).fetchone()[0]
-    rows = sorted(
-        ivfpq_nprobe_recall_audit(spark, sf_dir).collect(),
-        key=lambda r: r.n_probe,
-    )
-    assert [r.n_probe for r in rows] == list(IVFPQ_SWEEP_PROBES)
-    cands = [r.candidates for r in rows]
+    rows, recalls = _nprobe_sweep(spark, sf_dir)
+    rows = sorted(rows)
+    assert [r[0] for r in rows] == list(IVFPQ_SWEEP_PROBES)
+    cands = [r[1] for r in rows]
     assert cands == sorted(cands) and len(set(cands)) == len(cands)
     assert cands[-1] == IVFPQ_N_QUERIES * n_corpus
-    assert all(r.covers_no_less and r.floor_ok for r in rows)
+    assert all(nested and floor for _, _, nested, floor in rows)
+    # empirical on this corpus: wider probes have not (yet) displaced true
+    # neighbors from the fixed ADC shortlist
+    assert recalls == sorted(recalls)
+    assert recalls[-1] >= 0.25
 
 
 def test_routing_scans_only_probed_lists(spark, sf_dir):

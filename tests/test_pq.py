@@ -54,3 +54,43 @@ def test_recall_audit_bounds_hold(spark, sf_dir):
     row = pq_recall_audit(spark, sf_dir).collect()[0]
     assert row.recall_ok and row.rerank_ok
     assert row.rerank_no_worse and row.self_hit_all
+
+
+def test_sampled_training_meets_recall_floors(spark):
+    """The 100 TB knob (PQ_TRAIN_SAMPLE / the train_sample arg): codebooks
+    trained on a deterministic xxhash64(vec_id) half-sample, codes assigned
+    to the FULL corpus in one pass, must still clear the published recall
+    floors — run at sf0.01 (the driver's correctness scale) so the sample
+    is large enough to be meaningful (~50% of ~600 vectors)."""
+    row = pq_recall_audit(
+        spark, "/root/testdata/sf0.01", train_sample=0.5
+    ).collect()[0]
+    assert row.recall_ok and row.rerank_ok
+    assert row.rerank_no_worse and row.self_hit_all
+
+
+def test_sampled_training_fraction_one_is_exact_default(spark, sf_dir):
+    """train_sample=1.0 must be the identity: the probe audit's golden
+    replica (full-corpus training) stays exact with the knob threaded
+    through — i.e. the fixture default is byte-identical to pre-knob
+    behavior."""
+    from ai_powered_data_pipeline_assistant_spark.operators.pq import (
+        PQ_PROBE_ITERS,
+        PQ_PROBE_K,
+        PQ_PROBE_M,
+        PQ_PROBE_SUBDIM,
+        _pq_probe_rows,
+        _train_pq,
+    )
+
+    emb = spark.createDataFrame(
+        _pq_probe_rows(), "vec_id long, embedding array<double>"
+    ).repartition(3)
+    full = _train_pq(
+        emb, PQ_PROBE_M, PQ_PROBE_SUBDIM, PQ_PROBE_K, PQ_PROBE_ITERS
+    )
+    explicit = _train_pq(
+        emb, PQ_PROBE_M, PQ_PROBE_SUBDIM, PQ_PROBE_K, PQ_PROBE_ITERS,
+        train_sample=1.0,
+    )
+    assert full == explicit
