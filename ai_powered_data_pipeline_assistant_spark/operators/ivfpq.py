@@ -366,6 +366,29 @@ def _exact_global_topk(
     return out
 
 
+def _read_ivfpq_artifacts(
+    spark: SparkSession, layout: str
+) -> tuple[DataFrame, dict[int, list[float]], list[list[list[float]]]]:
+    """Load the broadcast-sized index sidecars from a persisted IVF-PQ
+    layout (sources/layout.write_ivfpq_layout): the coarse routing frame,
+    its driver map, and the residual PQ codebooks. Parquet stores doubles
+    bit-exact, so artifacts read back equal the training-time floats —
+    which is what lets the incremental-maintenance parity compare an
+    appended index against a one-pass re-encode exactly."""
+    coarse = spark.read.parquet(f"{layout}/coarse")
+    centroids = coarse.select("list_id", "centroid")
+    cent_map = {
+        int(r["list_id"]): [float(v) for v in r["centroid"]]
+        for r in coarse.collect()
+    }
+    pq_cents: list[list[list[float]]] = [
+        [None] * PQ_K for _ in range(PQ_M)  # type: ignore[list-item]
+    ]
+    for r in spark.read.parquet(f"{layout}/codebooks").collect():
+        pq_cents[int(r["m"])][int(r["code"])] = [float(v) for v in r["centroid"]]
+    return centroids, cent_map, pq_cents
+
+
 def ann_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ over the PHYSICAL index layout (the ann_ivf_pruned analogue,
     vector.py:248): codes stored ``partitionBy(list_id)`` with raw vectors
@@ -389,18 +412,7 @@ def ann_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     layout = ensure_ivfpq_layout(spark, sf_dir)
-    coarse = spark.read.parquet(f"{layout}/coarse")
-    centroids = coarse.select("list_id", "centroid")
-    cent_map = {
-        int(r["list_id"]): [float(v) for v in r["centroid"]]
-        for r in coarse.collect()
-    }
-    pq_cents: list[list[list[float]]] = [
-        [None] * PQ_K for _ in range(PQ_M)  # type: ignore[list-item]
-    ]
-    for r in spark.read.parquet(f"{layout}/codebooks").collect():
-        pq_cents[int(r["m"])][int(r["code"])] = [float(v) for v in r["centroid"]]
-
+    centroids, cent_map, pq_cents = _read_ivfpq_artifacts(spark, layout)
     queries = _query_vectors(spark, sf_dir, IVFPQ_N_QUERIES)
     lut_df = _route_and_luts(
         spark, queries, centroids, cent_map, pq_cents,
@@ -501,6 +513,208 @@ def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_queries long, k long, recall_ok boolean, rerank_ok boolean, "
         "rerank_no_worse boolean, self_hit_all boolean, routing_pruned boolean",
+    )
+
+
+# --- incremental index maintenance (append / delete on the layout) ------
+
+IVFPQ_DELTA_MOD = 4  # arrivals slice for the append parity: vec_id % 4 == 0
+IVFPQ_DELETE_MOD = 7  # victims slice for the delete audit: vec_id % 7 == 3
+
+
+def _codes_partition_files(codes_dir: str) -> dict[int, list[str]]:
+    """{list_id: sorted parquet file names} snapshot of the codes layout —
+    the evidence for the partition-local maintenance claims."""
+    import os
+
+    out: dict[int, list[str]] = {}
+    for d in os.listdir(codes_dir):
+        if d.startswith("list_id="):
+            out[int(d.split("=", 1)[1])] = sorted(
+                f
+                for f in os.listdir(os.path.join(codes_dir, d))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def _read_codes(spark: SparkSession, codes_dir: str) -> DataFrame:
+    """Codes read-back normalized to the builder's schema (the partition
+    column is type-inferred int from directory names; the logical frames
+    carry it long)."""
+    return spark.read.parquet(codes_dir).select(
+        "vec_id",
+        F.col("list_id").cast("long").alias("list_id"),
+        *[F.col(f"_c{m}") for m in range(PQ_M)],
+    )
+
+
+def ivfpq_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE parity — the daily-crawl embedding ingest: build
+    the physical IVF-PQ layout on the base corpus (vec_id % 4 != 0), then
+    `append_ivfpq_layout` the arrivals (vec_id % 4 == 0) — routed through
+    the STORED coarse centroids, residual-encoded with the STORED
+    codebooks, appended to their lists' partitions only. Pins, one row:
+
+    - ``codes_mismatches`` = 0: the appended index equals a ONE-PASS
+      re-encode of base ∪ delta against the same stored artifacts — exact,
+      because codebooks are fixed after training (the IVFADC maintenance
+      discipline) and parquet roundtrips doubles bit-for-bit;
+    - ``append_partition_local``: partitions outside the arrivals' routed
+      lists kept their exact file sets — maintenance cost is O(batch),
+      the existing index is never rewritten;
+    - ``query_mismatches`` = 0: the pruned probe over the APPENDED
+      physical index returns row-for-row the logical search over the
+      one-pass codes (queries include appended vectors: vec_ids 0 and 4
+      are in the delta slice, so an arrival must find itself at rank 1).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ai_powered_data_pipeline_assistant_spark.sources.layout import (
+        append_ivfpq_layout,
+        write_ivfpq_layout_for,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % IVFPQ_DELTA_MOD != 0)
+    delta = emb.filter(F.col("vec_id") % IVFPQ_DELTA_MOD == 0)
+    tmp = tempfile.mkdtemp(prefix="ivfpq_incr_")
+    try:
+        write_ivfpq_layout_for(spark, base, tmp)
+        codes_dir = os.path.join(tmp, "codes")
+        before = _codes_partition_files(codes_dir)
+        routed = set(append_ivfpq_layout(spark, tmp, delta))
+        after = _codes_partition_files(codes_dir)
+        untouched_ok = all(
+            files == after.get(lid)
+            for lid, files in before.items()
+            if lid not in routed
+        ) and all(
+            set(before.get(lid, [])) < set(after.get(lid, []))
+            for lid in routed
+        )
+        centroids, cent_map, pq_cents = _read_ivfpq_artifacts(spark, tmp)
+        ref = _assign_codes(
+            _residual_frame(emb, centroids), pq_cents, PQ_SUBDIM
+        ).select("vec_id", "list_id", *[F.col(f"_c{m}") for m in range(PQ_M)])
+        ref = materialize(ref)
+        inc = _read_codes(spark, codes_dir)
+        codes_mm = inc.exceptAll(ref).count() + ref.exceptAll(inc).count()
+
+        queries = _query_vectors(spark, sf_dir, IVFPQ_N_QUERIES)
+        lut_df = _route_and_luts(
+            spark, queries, centroids, cent_map, pq_cents,
+            PQ_M, PQ_SUBDIM, PQ_K, IVFPQ_N_PROBE,
+        )
+        probe_lists = sorted(
+            int(r["probe_list"])
+            for r in lut_df.select("probe_list").distinct().collect()
+        )
+        raw_df = emb.select("vec_id", F.col("embedding").alias("raw"))
+        phys = _read_codes(spark, codes_dir).filter(
+            F.col("list_id").isin(probe_lists)
+        )
+        final_p, _, _ = _score_and_rerank(
+            phys, raw_df, queries, lut_df, PQ_M, IVFPQ_TOPK, IVFPQ_RERANK
+        )
+        final_l, _, _ = _score_and_rerank(
+            ref, raw_df, queries, lut_df, PQ_M, IVFPQ_TOPK, IVFPQ_RERANK
+        )
+        q_mm = (
+            final_p.exceptAll(final_l).count()
+            + final_l.exceptAll(final_p).count()
+        )
+        n_base = base.count()
+        n_delta = delta.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_base,
+                n_delta,
+                codes_mm,
+                codes_mm == 0,
+                untouched_ok,
+                q_mm,
+                q_mm == 0,
+            )
+        ],
+        "n_base long, n_delta long, codes_mismatches long, "
+        "codes_match boolean, append_partition_local boolean, "
+        "query_mismatches long, query_match boolean",
+    )
+
+
+def ivfpq_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE delete: build the full physical layout, then
+    `delete_from_ivfpq_layout` the victims (vec_id % 7 == 3) — a
+    partition-local dynamic-overwrite rewrite of ONLY the lists that hold
+    a victim. Pins, one row: victim rows are gone; surviving rows are
+    byte-identical to the pre-delete codes minus victims (exceptAll both
+    ways = 0); partitions without victims kept their exact files (no
+    full-index rewrite); and the affected-list count is bounded by
+    n_lists. Counts (before/deleted/after) are SQL-exact."""
+    import os
+    import shutil
+    import tempfile
+
+    from ai_powered_data_pipeline_assistant_spark.sources.layout import (
+        delete_from_ivfpq_layout,
+        write_ivfpq_layout_for,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    victims = sorted(
+        int(r["vec_id"])
+        for r in emb.filter(F.col("vec_id") % IVFPQ_DELETE_MOD == 3)
+        .select("vec_id")
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="ivfpq_del_")
+    try:
+        write_ivfpq_layout_for(spark, emb, tmp)
+        codes_dir = os.path.join(tmp, "codes")
+        pre = materialize(_read_codes(spark, codes_dir), eager=True)
+        files_pre = _codes_partition_files(codes_dir)
+        affected = set(delete_from_ivfpq_layout(spark, tmp, victims))
+        post = _read_codes(spark, codes_dir)
+        files_post = _codes_partition_files(codes_dir)
+        n_before = pre.count()
+        n_after = post.count()
+        victims_left = post.filter(F.col("vec_id").isin(victims)).count()
+        want = pre.filter(~F.col("vec_id").isin(victims))
+        surv_mm = (
+            post.exceptAll(want).count() + want.exceptAll(post).count()
+        )
+        untouched_ok = all(
+            files == files_post.get(lid)
+            for lid, files in files_pre.items()
+            if lid not in affected
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_before,
+                len(victims),
+                n_after,
+                victims_left == 0,
+                surv_mm == 0,
+                untouched_ok,
+                len(affected) <= IVFPQ_N_LISTS,
+            )
+        ],
+        "n_before long, n_deleted long, n_after long, victims_gone boolean, "
+        "survivors_intact boolean, untouched_partitions_intact boolean, "
+        "delete_partition_local boolean",
     )
 
 
@@ -858,6 +1072,8 @@ QUERIES = {
     "ivfpq_recall_audit": ivfpq_recall_audit,
     "ivfpq_nprobe_recall_audit": ivfpq_nprobe_recall_audit,
     "ivfpq_probe_audit": ivfpq_probe_audit,
+    "ivfpq_incremental_parity": ivfpq_incremental_parity,
+    "ivfpq_delete_audit": ivfpq_delete_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -868,5 +1084,32 @@ ORACLES: dict[str, str] = {
                true AS recall_ok, true AS rerank_ok,
                true AS rerank_no_worse, true AS self_hit_all,
                true AS routing_pruned
+    """,
+    # the split sizes are SQL-exact; mismatch counters are pinned 0 and the
+    # invariants literal true (the pq_recall_audit bounds pattern)
+    "ivfpq_incremental_parity": f"""
+        SELECT CAST(sum(CASE WHEN vec_id % {IVFPQ_DELTA_MOD} <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+               CAST(sum(CASE WHEN vec_id % {IVFPQ_DELTA_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+               CAST(0 AS BIGINT) AS codes_mismatches,
+               true AS codes_match,
+               true AS append_partition_local,
+               CAST(0 AS BIGINT) AS query_mismatches,
+               true AS query_match
+        FROM embeddings
+    """,
+    "ivfpq_delete_audit": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_before,
+               CAST(sum(CASE WHEN vec_id % {IVFPQ_DELETE_MOD} = 3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+               CAST(count(*) - sum(CASE WHEN vec_id % {IVFPQ_DELETE_MOD} = 3
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_after,
+               true AS victims_gone,
+               true AS survivors_intact,
+               true AS untouched_partitions_intact,
+               true AS delete_partition_local
+        FROM embeddings
     """,
 }

@@ -151,14 +151,23 @@ def _train_pq(
 
     if train_sample is None:
         train_sample = float(_os.environ.get("PQ_TRAIN_SAMPLE", "1.0"))
+    # First k QUALIFYING vectors past the offset (not the id RANGE
+    # [offset, offset+k), which under-fills when the caller trains on a
+    # filtered subset — e.g. the incremental-maintenance base split whose
+    # ids have holes). Identical on contiguous ids, so every golden
+    # replica's init is unchanged.
     init_rows = (
-        emb.filter(
-            (F.col("vec_id") >= init_offset) & (F.col("vec_id") < init_offset + k)
-        )
+        emb.filter(F.col("vec_id") >= init_offset)
         .orderBy("vec_id")
+        .limit(k)
         .select("embedding")
         .collect()
     )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"PQ init needs {k} vectors past vec_id {init_offset}; "
+            f"got {len(init_rows)}"
+        )
     cents = [
         [[float(v) for v in r["embedding"]][m * subdim : (m + 1) * subdim]
          for r in init_rows]

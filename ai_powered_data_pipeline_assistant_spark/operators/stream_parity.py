@@ -484,6 +484,162 @@ def neardup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_INGEST_BATCHES = 2
+
+
+def ann_ingest_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index ingest ≡ one-pass encode: build the BATCHED
+    IVF-PQ layout on the base corpus (vec_id % 4 != 0), replay the
+    arrivals (vec_id % 4 == 0) as ``ANN_INGEST_BATCHES`` ordered
+    micro-batches through the REAL `streaming/ann_ingest.
+    run_ann_ingest_stream` (stored-artifact routing + encoding, dynamic
+    overwrite into per-(list, batch) partitions), then pin, one row:
+
+    - ``codes_mismatches`` = 0: the streamed index equals a one-pass
+      re-encode of the FULL corpus against the same stored artifacts
+      (codebooks fixed after training — parquet roundtrips doubles
+      bit-exact, so equality is exact, not approximate);
+    - ``replay_idempotent``: re-running a completed batch's append (the
+      crash window between parquet commit and checkpoint commit) leaves
+      the index byte-identical — the exactly-once claim, executed;
+    - ``query_mismatches`` = 0: the probe query over the streamed
+      physical index ≡ the logical search (arrivals must find themselves:
+      vec_ids 0 and 4 are arrivals and queries)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.ivfpq import (
+        IVFPQ_N_PROBE,
+        IVFPQ_N_QUERIES,
+        IVFPQ_RERANK,
+        IVFPQ_TOPK,
+        _read_ivfpq_artifacts,
+        _residual_frame,
+        _route_and_luts,
+        _score_and_rerank,
+    )
+    from ai_powered_data_pipeline_assistant_spark.operators.pq import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        _assign_codes,
+    )
+    from ai_powered_data_pipeline_assistant_spark.operators.vector import (
+        _query_vectors,
+    )
+    from ai_powered_data_pipeline_assistant_spark.sources.layout import (
+        append_ivfpq_layout,
+        write_ivfpq_layout_for,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.ann_ingest import (
+        run_ann_ingest_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    nb = ANN_INGEST_BATCHES
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"ann_ingest_{run_id}_")
+    try:
+        layout = f"{tmp}/index"
+        write_ivfpq_layout_for(spark, base, layout, batched=True)
+        codes_dir = f"{layout}/codes"
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        batch_frames = []
+        for i in range(nb):
+            part_dir = f"{tmp}/part{i}"
+            bf = delta.filter((F.col("vec_id") / 4).cast("long") % nb == i)
+            batch_frames.append(bf)
+            bf.coalesce(1).write.mode("overwrite").parquet(part_dir)
+            part = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            dst = f"{src}/batch{i:03d}.parquet"
+            shutil.copyfile(f"{part_dir}/{part}", dst)
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_ann_ingest_stream(stream, layout, f"{tmp}/ckpt")
+        if not q.awaitTermination(300):
+            q.stop()
+            q.awaitTermination(30)
+            raise TimeoutError("ANN ingest stream did not finish within 300 s")
+
+        def _codes():
+            return spark.read.parquet(codes_dir).select(
+                "vec_id",
+                F.col("list_id").cast("long").alias("list_id"),
+                *[F.col(f"_c{m}") for m in range(PQ_M)],
+            )
+
+        centroids, cent_map, pq_cents = _read_ivfpq_artifacts(spark, layout)
+        ref = materialize_barrier(
+            _assign_codes(
+                _residual_frame(emb, centroids), pq_cents, PQ_SUBDIM
+            ).select(
+                "vec_id", "list_id", *[F.col(f"_c{m}") for m in range(PQ_M)]
+            )
+        )
+        streamed = materialize_barrier(_codes())
+        codes_mm = (
+            streamed.exceptAll(ref).count() + ref.exceptAll(streamed).count()
+        )
+        # replay batch 0's append against the finished index: dynamic
+        # overwrite of its own partitions must leave the rows identical
+        append_ivfpq_layout(spark, layout, batch_frames[0], batch_id=0)
+        replayed = _codes()
+        replay_mm = (
+            replayed.exceptAll(streamed).count()
+            + streamed.exceptAll(replayed).count()
+        )
+        queries = _query_vectors(spark, sf_dir, IVFPQ_N_QUERIES)
+        lut_df = _route_and_luts(
+            spark, queries, centroids, cent_map, pq_cents,
+            PQ_M, PQ_SUBDIM, PQ_K, IVFPQ_N_PROBE,
+        )
+        probe_lists = sorted(
+            int(r["probe_list"])
+            for r in lut_df.select("probe_list").distinct().collect()
+        )
+        raw_df = emb.select("vec_id", F.col("embedding").alias("raw"))
+        final_p, _c1, _c2 = _score_and_rerank(
+            replayed.filter(F.col("list_id").isin(probe_lists)),
+            raw_df, queries, lut_df, PQ_M, IVFPQ_TOPK, IVFPQ_RERANK,
+        )
+        final_l, _c3, _c4 = _score_and_rerank(
+            ref, raw_df, queries, lut_df, PQ_M, IVFPQ_TOPK, IVFPQ_RERANK
+        )
+        q_mm = (
+            final_p.exceptAll(final_l).count()
+            + final_l.exceptAll(final_p).count()
+        )
+        n_base = base.count()
+        n_delta = delta.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_base,
+                n_delta,
+                nb,
+                codes_mm,
+                codes_mm == 0,
+                replay_mm == 0,
+                q_mm,
+                q_mm == 0,
+            )
+        ],
+        "n_base long, n_delta long, n_batches int, codes_mismatches long, "
+        "codes_match boolean, replay_idempotent boolean, "
+        "query_mismatches long, query_match boolean",
+    )
+
+
 def trigger_cadence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 rerun throttle, driver-scorable (VERDICT r6 next-round #7): start
     the REAL `run_job_stream` (dedup → answer → idempotent batch-versioned
@@ -618,6 +774,21 @@ def _oracles() -> dict[str, str]:
             FROM events
         """,
         "neardup_stream_parity": _neardup_parity_sql(),
+        # split sizes SQL-exact; mismatch counters pinned 0, invariants
+        # literal true (the maintenance-audit pattern, ivfpq.py)
+        "ann_ingest_stream_parity": f"""
+            SELECT CAST(sum(CASE WHEN vec_id % 4 <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_base,
+                   CAST(sum(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_delta,
+                   CAST({ANN_INGEST_BATCHES} AS INT) AS n_batches,
+                   CAST(0 AS BIGINT) AS codes_mismatches,
+                   true AS codes_match,
+                   true AS replay_idempotent,
+                   CAST(0 AS BIGINT) AS query_mismatches,
+                   true AS query_match
+            FROM embeddings
+        """,
     }
 
 
@@ -660,4 +831,5 @@ QUERIES = {
     "channel_fanout_parity": channel_fanout_parity,
     "trigger_cadence_audit": trigger_cadence_audit,
     "neardup_stream_parity": neardup_stream_parity,
+    "ann_ingest_stream_parity": ann_ingest_stream_parity,
 }

@@ -127,6 +127,9 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "ivfpq_recall_audit",
         "ivfpq_nprobe_recall_audit",
         "ivfpq_probe_audit",
+        "ivfpq_incremental_parity",
+        "ivfpq_delete_audit",
+        "ann_ingest_stream_parity",
     }
 )
 
@@ -141,11 +144,13 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # neardup_stream_parity (pairing rule extended with within-batch pairs;
 # state moved to bucketed idempotent tables); plus perplexity_buckets
 # (toks now materialized — output-invisible, re-checked as insurance);
-# (c) staleness re-checks, oldest green first per ROADMAP's rotation
-# priority: all 12 remaining r1-greens, then 34 of the 40 r2-greens
-# (the 6 deferred to r9 — tpch_q2/q4/q10/q16/q19/q21 — share the tpch.py
-# module with four windowed siblings and were value-verified by the full
-# driver_sim sf0.01 run this round).
+# (c) the NEW round-8 index-maintenance audits, windowed on arrival;
+# (d) staleness re-checks, oldest green first per ROADMAP's rotation
+# priority: all 12 remaining r1-greens, then 31 of the 40 r2-greens
+# (the 9 deferred to r9 — tpch_q2/q4/q10/q16/q19/q21, below_nation_avg,
+# urgent_no_fail_customers, supplier_balance_rank — were value-verified by
+# the full driver_sim sf0.01 run this round, and their modules keep
+# windowed siblings).
 # Every slot carries an oracle AND is driver-representable — both halves
 # enforced on every pytest by tests/test_driver_sim_hardening.py
 # (oracle presence + driver_representable over the built window frames).
@@ -158,6 +163,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # -- output changed in round 8: must re-land --
     "ivfpq_nprobe_recall_audit",
     "neardup_stream_parity",
+    # -- NEW round-8 operators (ivfpq.py index MAINTENANCE: append parity +
+    # partition-local delete; stream_parity.py streaming index ingest) —
+    # windowed on arrival; they displace the below_nation_avg /
+    # urgent_no_fail_customers / supplier_balance_rank r2 re-checks (all
+    # value-verified by this round's full driver_sim sf0.01 run; their
+    # modules keep sibling slots) --
+    "ivfpq_incremental_parity",
+    "ivfpq_delete_audit",
+    "ann_ingest_stream_parity",
     # -- module changed in round 8 (materialize insurance) --
     "perplexity_buckets",
     # -- staleness re-checks: the 12 remaining r1-greens --
@@ -205,9 +219,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q6",
     "tpch_q18",
     "tpch_q14",
-    "supplier_balance_rank",
-    "below_nation_avg",
-    "urgent_no_fail_customers",
 )
 
 

@@ -141,6 +141,27 @@ def write_ivfpq_layout(
     re-rank fetches its |Q|·rerank rows by vec_id — point lookups, not a
     scan — so the index adds 1/32nd of the corpus bytes, not a copy.
     """
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    write_ivfpq_layout_for(spark, emb, out_path)
+
+
+def write_ivfpq_layout_for(
+    spark: SparkSession, emb: DataFrame, out_path: str,
+    batched: bool = False,
+) -> None:
+    """Frame-level IVF-PQ layout build (see `write_ivfpq_layout`) — also
+    the base-index builder for the incremental-maintenance parity, which
+    indexes a SUBSET of the corpus and then appends the rest.
+
+    ``batched=True`` lays codes out ``partitionBy(list_id, batch_id)``
+    (base build = ``batch_id=-1``) — the STREAM-MAINTAINED flavor: each
+    arriving micro-batch then lands in its own (list, batch) partitions
+    via dynamic overwrite, so checkpoint replays are idempotent
+    (streaming/ann_ingest.py). Probe pruning is unchanged — the
+    ``list_id IN (...)`` predicate prunes on the leading partition
+    column either way."""
     import os
 
     from ai_powered_data_pipeline_assistant_spark.operators.ivfpq import (
@@ -154,13 +175,15 @@ def write_ivfpq_layout(
         PQ_SUBDIM,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
-        "vec_id", "embedding"
-    )
     codes, cent_map, pq_cents, _centroids = _build_index(
         emb, IVFPQ_N_LISTS, PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS
     )
-    codes.drop("raw").write.mode("overwrite").partitionBy("list_id").parquet(
+    codes_out = codes.drop("raw")
+    part_cols = ["list_id"]
+    if batched:
+        codes_out = codes_out.withColumn("batch_id", F.lit(-1).cast("long"))
+        part_cols = ["list_id", "batch_id"]
+    codes_out.write.mode("overwrite").partitionBy(*part_cols).parquet(
         os.path.join(out_path, "codes")
     )
     spark.createDataFrame(
@@ -174,6 +197,116 @@ def write_ivfpq_layout(
         ],
         "m int, code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_path, "codebooks"))
+
+
+def append_ivfpq_layout(
+    spark: SparkSession, layout_path: str, new_emb: DataFrame,
+    batch_id: int | None = None,
+) -> list[int]:
+    """Incremental index maintenance — the FAISS ``add()`` analogue for the
+    lakehouse layout: route NEW vectors through the STORED coarse
+    centroids, encode their residuals with the STORED codebooks (no
+    retraining — the published IVFADC maintenance discipline: codebooks
+    are fixed after training, arrivals are encoded against them), and
+    append the codes to their lists' partitions only. Touches exactly the
+    routed lists' directories; every other partition's files are
+    untouched (pinned by `ivfpq_incremental_parity`). Returns the sorted
+    routed list ids.
+
+    ``batch_id`` targets the BATCHED layout flavor (write_ivfpq_layout_for
+    ``batched=True``): the arrivals land in their own
+    (list_id, batch_id=N) partitions via dynamic overwrite, so a replay of
+    batch N (streaming checkpoint crash window) REPLACES its own output
+    instead of duplicating codes — the exactly-once discipline the
+    streaming ingest (streaming/ann_ingest.py) relies on. ``None`` keeps
+    the plain append onto the unbatched layout.
+
+    Scale: one broadcast-route + encode pass over the ARRIVING batch; the
+    existing index is never read, let alone rewritten. Periodic codebook
+    retraining (drift) is a full rebuild by design — the write-once
+    `ensure_ivfpq_layout` path."""
+    import os
+
+    from ai_powered_data_pipeline_assistant_spark.operators.ivfpq import (
+        _read_ivfpq_artifacts,
+        _residual_frame,
+    )
+    from ai_powered_data_pipeline_assistant_spark.operators.pq import (
+        PQ_M,
+        PQ_SUBDIM,
+        _assign_codes,
+    )
+
+    from ai_powered_data_pipeline_assistant_spark.execution import materialize
+
+    centroids, _cent_map, pq_cents = _read_ivfpq_artifacts(spark, layout_path)
+    # materialized: feeds both the codes write and the routed-lists collect
+    resid = materialize(
+        _residual_frame(new_emb.select("vec_id", "embedding"), centroids)
+    )
+    coded = _assign_codes(resid, pq_cents, PQ_SUBDIM)
+    new_codes = coded.select(
+        "vec_id", "list_id", *[F.col(f"_c{m}") for m in range(PQ_M)]
+    )
+    codes_path = os.path.join(layout_path, "codes")
+    if batch_id is None:
+        new_codes.write.mode("append").partitionBy("list_id").parquet(codes_path)
+    else:
+        (
+            new_codes.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("list_id", "batch_id")
+            .parquet(codes_path)
+        )
+    return sorted(
+        int(r["list_id"])
+        for r in resid.select("list_id").distinct().collect()
+    )
+
+
+def delete_from_ivfpq_layout(
+    spark: SparkSession, layout_path: str, vec_ids: list[int]
+) -> list[int]:
+    """Incremental index maintenance — tombstone-free DELETE: find the
+    lists holding the victim ids (one narrow codes scan), then rewrite
+    ONLY those partitions via dynamic partition overwrite — the other
+    n_lists − |affected| directories keep their exact files (pinned by
+    `ivfpq_delete_audit`). This is the lakehouse shape of pgvector's
+    DELETE + autovacuum (reference Supabase/knowledge_base-RAG.sql):
+    partition-local rewrite instead of B-tree page surgery. Returns the
+    sorted affected list ids."""
+    import os
+
+    codes_path = os.path.join(layout_path, "codes")
+    codes = spark.read.parquet(codes_path)
+    affected = sorted(
+        int(r["list_id"])
+        for r in codes.filter(F.col("vec_id").isin(vec_ids))
+        .select("list_id")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return []
+    from ai_powered_data_pipeline_assistant_spark.execution import materialize
+
+    # eager barrier: the rewrite READS the same partitions it overwrites —
+    # survivors are fully materialized (lineage cut) before the overwrite
+    # job starts, so the write never races its own input files. Bounded:
+    # |affected lists| × list size, not the index.
+    kept = codes.filter(
+        F.col("list_id").isin(affected) & ~F.col("vec_id").isin(vec_ids)
+    ).transform(lambda d: materialize(d, eager=True, require_barrier=True))
+    data_cols = [c for c in codes.columns if c != "list_id"]
+    (
+        kept.select(*data_cols, "list_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("list_id")
+        .parquet(codes_path)
+    )
+    return affected
 
 
 def ensure_ivfpq_layout(spark: SparkSession, sf_dir: str) -> str:

@@ -179,17 +179,19 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     # Fixed-work calibration row (host-noise normalizer): a constant
-    # table-independent aggregate — 64M xxhash64 rows through a two-phase
-    # sum — timed exactly like a query (best-of-N). Identical code every
-    # round, so a grader can divide any run's calibration_sec by the idle
-    # reference (TUNING.md "Bench calibration row") to detect and normalize
-    # global host slowdown without a worktree A/B.
+    # table-independent aggregate — 512M xxhash64 rows through a two-phase
+    # sum (~0.7 s idle on this box: large enough that scheduling jitter is
+    # a small fraction, small enough to be free) — timed exactly like a
+    # query (best-of-N). Identical code every round, so a grader can divide
+    # any run's calibration_sec by the idle reference (TUNING.md "Bench
+    # calibration row") to detect and normalize global host slowdown
+    # without a worktree A/B.
     cal_best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
         (
-            spark.range(0, 64_000_000, 1, 32)
-            # pmod keeps the 64M-term sum < 2^63 (ANSI mode: no overflow)
+            spark.range(0, 512_000_000, 1, 32)
+            # pmod keeps the 512M-term sum < 2^63 (ANSI mode: no overflow)
             .select(F.pmod(F.xxhash64("id"), F.lit(1_000_000_007)).alias("h"))
             .agg(F.sum("h"))
             .collect()

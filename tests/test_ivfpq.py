@@ -217,3 +217,34 @@ def test_routing_scans_only_probed_lists(spark, sf_dir):
     per_list = codes.groupBy("list_id").agg(F.count("*").alias("n")).collect()
     assert sum(r.n for r in per_list) == n_corpus
     assert len(per_list) <= IVFPQ_N_LISTS
+
+
+def test_incremental_append_parity(spark, sf_dir):
+    """FAISS-add() analogue on the lakehouse layout: appending arrivals
+    (stored-artifact routing + encoding) must equal a one-pass re-encode,
+    touch only the routed lists' partitions, and serve queries identically
+    — including self-hits for appended vectors (vec_ids 0 and 4 are in the
+    delta slice)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.ivfpq import (
+        ivfpq_incremental_parity,
+    )
+
+    row = ivfpq_incremental_parity(spark, sf_dir).collect()[0]
+    assert row.n_base > 0 and row.n_delta > 0
+    assert row.codes_match and row.codes_mismatches == 0
+    assert row.append_partition_local
+    assert row.query_match and row.query_mismatches == 0
+
+
+def test_delete_rewrites_only_affected_partitions(spark, sf_dir):
+    """Tombstone-free DELETE: victims gone, survivors byte-identical,
+    untouched partitions keep their exact files."""
+    from ai_powered_data_pipeline_assistant_spark.operators.ivfpq import (
+        ivfpq_delete_audit,
+    )
+
+    row = ivfpq_delete_audit(spark, sf_dir).collect()[0]
+    assert row.n_deleted > 0
+    assert row.n_after == row.n_before - row.n_deleted
+    assert row.victims_gone and row.survivors_intact
+    assert row.untouched_partitions_intact and row.delete_partition_local
