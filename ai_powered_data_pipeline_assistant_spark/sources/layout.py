@@ -265,6 +265,46 @@ def append_ivfpq_layout(
     )
 
 
+def compact_ivfpq_layout(spark: SparkSession, layout_path: str) -> int:
+    """Index maintenance, third leg (after append/delete): appends leave
+    one file set per batch per routed list — fold the codes layout back to
+    ONE file per partition. The batched flavor's history collapses into
+    ``batch_id=-1`` (safe offline: the ingest checkpoint is already past
+    the collapsed batches, the same argument as
+    `streaming/neardup.compact_neardup_state`). Rows are materialized
+    eagerly before the overwrite (the rewrite reads what it replaces);
+    a 100 TB deployment with a tight memory budget uses the
+    write-new-then-swap variant the near-dup compactor implements — this
+    in-place form trades that for zero path churn. Returns the parquet
+    file count after compaction."""
+    import os
+
+    from ai_powered_data_pipeline_assistant_spark.execution import materialize
+
+    codes_path = os.path.join(layout_path, "codes")
+    codes = spark.read.parquet(codes_path)
+    batched = "batch_id" in codes.columns
+    if batched:
+        codes = codes.drop("batch_id").withColumn(
+            "batch_id", F.lit(-1).cast("long")
+        )
+    part_cols = ["list_id", "batch_id"] if batched else ["list_id"]
+    data_cols = [c for c in codes.columns if c not in part_cols]
+    staged = materialize(
+        # hash-align tasks to partition values → one file per directory
+        codes.repartition(*[F.col(c) for c in part_cols]),
+        eager=True,
+        require_barrier=True,
+    )
+    staged.select(*data_cols, *part_cols).write.mode("overwrite").partitionBy(
+        *part_cols
+    ).parquet(codes_path)
+    return sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(codes_path)
+    )
+
+
 def delete_from_ivfpq_layout(
     spark: SparkSession, layout_path: str, vec_ids: list[int]
 ) -> list[int]:

@@ -5,9 +5,12 @@ STORED coarse centroids, residual-encoded with its STORED codebooks, and
 landed in the codes layout — so the similarity-search index keeps up with
 the crawl without rebuilds.
 
-Extension lineage: the reference inserts embeddings row-at-a-time into
-pgvector (reference backend/services/knowledge_service.py INSERT +
-ivfflat); this is the lakehouse maintenance discipline for the same index
+Extension lineage: the reference upserts embeddings into pgvector as they
+arrive (reference backend/services/vector_service.py:87 — embed + upsert
+to the knowledge base, indexed by the ivfflat DDL in reference
+Supabase/knowledge_base-RAG.sql:31-33, which Postgres maintains
+row-at-a-time); this is the lakehouse maintenance discipline for the same
+index
 at crawl scale — FAISS add() semantics (codebooks fixed after training,
 arrivals encoded against them; drift handled by periodic full rebuild via
 the write-once `ensure_ivfpq_layout` path).

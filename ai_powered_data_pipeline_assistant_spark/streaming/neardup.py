@@ -122,8 +122,12 @@ def _create_state(
     the catalog entry is gone but the state FILES survive (a stream
     restarted in a fresh session: the default catalog is in-memory),
     RE-REGISTER the existing files instead of overwriting them with empty
-    tables."""
+    tables. Idempotent PER TABLE: a crash between the three creations
+    leaves a partial catalog, and the replayed batch must create exactly
+    the missing ones (the handler gates on all three existing)."""
     for key, (schema, bucket_cols) in _STATE_SPECS.items():
+        if spark.catalog.tableExists(tables[key]):
+            continue
         path = _state_path(state_dir, key)
         if os.path.isdir(path) and any(
             f for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
@@ -226,7 +230,7 @@ def run_neardup_stream(
         bands_b = minhash_band_frame(sigs_b).transform(materialize)
         sizes_b = sigs_b.select("doc_id", "sz")
 
-        if not spark.catalog.tableExists(tables["bands"]):
+        if not all(spark.catalog.tableExists(t) for t in tables.values()):
             _create_state(spark, state_dir, tables)
         bands_s = spark.table(tables["bands"])
 

@@ -49,6 +49,10 @@ PROBES = [
     # late round-7 surfaces
     "perplexity_buckets",       # per-lang LM + two-phase rank cut
     "calibration_report",       # decile reliability groupBy
+    # round-8 index-maintenance surfaces (each builds its index in tmp —
+    # the ratio shows maintenance cost tracks corpus size sublinearly)
+    "ivfpq_incremental_parity",  # append: route+encode arrivals only
+    "ivfpq_delete_audit",        # delete: victim-list partition rewrite
 ]
 
 

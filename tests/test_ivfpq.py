@@ -248,3 +248,58 @@ def test_delete_rewrites_only_affected_partitions(spark, sf_dir):
     assert row.n_after == row.n_before - row.n_deleted
     assert row.victims_gone and row.survivors_intact
     assert row.untouched_partitions_intact and row.delete_partition_local
+
+
+def test_compaction_folds_appends_to_one_file_per_partition(spark, sf_dir):
+    """Maintenance third leg: after a base build + an append, compaction
+    must fold each list partition to a single file, preserve rows exactly,
+    and keep the probe's PartitionFilters pruning intact."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+    from ai_powered_data_pipeline_assistant_spark.sources.layout import (
+        append_ivfpq_layout,
+        compact_ivfpq_layout,
+        write_ivfpq_layout_for,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="ivfpq_compact_")
+    try:
+        write_ivfpq_layout_for(
+            spark, emb.filter(F2.col("vec_id") % 4 != 0), tmp
+        )
+        append_ivfpq_layout(spark, tmp, emb.filter(F2.col("vec_id") % 4 == 0))
+        codes_dir = os.path.join(tmp, "codes")
+        before_rows = sorted(
+            map(tuple, spark.read.parquet(codes_dir).collect())
+        )
+        files_before = sum(
+            len([f for f in fs if f.endswith(".parquet")])
+            for _, _, fs in os.walk(codes_dir)
+        )
+        n_files = compact_ivfpq_layout(spark, tmp)
+        assert n_files < files_before
+        part_dirs = [d for d in os.listdir(codes_dir) if d.startswith("list_id=")]
+        for d in part_dirs:
+            parts = [
+                f
+                for f in os.listdir(os.path.join(codes_dir, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(parts) == 1, (d, parts)
+        after_rows = sorted(map(tuple, spark.read.parquet(codes_dir).collect()))
+        assert after_rows == before_rows
+        pruned = spark.read.parquet(codes_dir).filter(
+            F2.col("list_id").isin([0, 1])
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
