@@ -197,14 +197,13 @@ def _partner_pruned(state_df: DataFrame, partner_ids: list[int]) -> DataFrame:
     return state_df
 
 
-def run_neardup_stream(
-    docs_stream: DataFrame,
-    state_dir: str,
-    pairs_dir: str,
-    checkpoint: str,
-):
-    """Wire the incremental near-dup stream over a (doc_id, text) source.
-    Returns the started StreamingQuery (availableNow)."""
+def process_neardup_batch(
+    docs: DataFrame, batch_id: int, state_dir: str, pairs_dir: str
+) -> None:
+    """One micro-batch of the incremental near-dup pipeline — module-level
+    so a test can REPLAY a completed batch directly and pin that the
+    replay reproduces identical pairs and state (the crash window between
+    the state commits and the checkpoint commit)."""
     from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         _shingles,
@@ -217,85 +216,105 @@ def run_neardup_stream(
     )
 
     tables = _state_tables(state_dir)
+    spark = docs.sparkSession
+    docs = docs.select("doc_id", "text")
+    # Shingle/sign ONCE per arriving doc; each frame feeds two
+    # consumers (candidate join/verify + state append).
+    postings_b = _shingles(docs).transform(materialize)
+    sigs_b = (
+        postings_b.groupBy("doc_id").agg(*minhash_sig_aggs())
+    ).transform(materialize)
+    bands_b = minhash_band_frame(sigs_b).transform(materialize)
+    sizes_b = sigs_b.select("doc_id", "sz")
+
+    if not all(spark.catalog.tableExists(t) for t in tables.values()):
+        _create_state(spark, state_dir, tables)
+    # Read STRICTLY PRE-BATCH state: on a replay, this batch's own rows
+    # are already in their state partitions (the crash happened after the
+    # state commits), and reading them back would emit self-pairs /
+    # both-orientation duplicates in the cross join and double-count
+    # batch docs' postings in the verify. The predicate is also a
+    # partition filter — replays prune the partitions they wrote.
+    pre = F.col("batch_id") < batch_id
+    bands_s = spark.table(tables["bands"]).filter(pre)
+
+    a = bands_b.select(F.col("doc_id").alias("a_id"), "band", "band_key")
+    # Cross-batch candidates: batch bands vs accumulated state bands.
+    # Only the batch side shuffles into the state's bucket layout; the
+    # state scan itself is Exchange-free (plan-asserted).
+    b_state = bands_s.select(F.col("doc_id").alias("b_id"), "band", "band_key")
+    cross = a.join(b_state, ["band", "band_key"]).select("a_id", "b_id")
+    # Within-batch candidates: the batch's own bands self-joined —
+    # batch-sized, so two near-dups arriving TOGETHER are still caught.
+    b_self = bands_b.select(F.col("doc_id").alias("b_id"), "band", "band_key")
+    within = (
+        a.join(b_self, ["band", "band_key"])
+        .filter(F.col("a_id") > F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    candidates = cross.unionByName(within).distinct().transform(materialize)
+
+    # Verification partners (the b side) can be state docs (cross) or
+    # batch docs (within): fetch state rows by literal candidate ids
+    # (bucket-pruned point reads, not a per-batch full postings scan)
+    # and union the batch's own in-memory frames.
+    partner_ids = sorted(
+        int(r["b_id"]) for r in candidates.select("b_id").distinct().collect()
+    )
+    postings_part = _partner_pruned(
+        spark.table(tables["postings"]).filter(pre).select("doc_id", "h"),
+        partner_ids,
+    ).unionByName(postings_b)
+    sizes_part = _partner_pruned(
+        spark.table(tables["sizes"]).filter(pre).select("doc_id", "sz"),
+        partner_ids,
+    ).unionByName(sizes_b)
+    pairs = minhash_verified_pairs(
+        candidates,
+        postings_b,
+        postings_part,
+        sizes_b,
+        sizes_part,
+        JACCARD_THRESHOLD,
+    )
+    out = pairs.select(
+        F.col("a_id").alias("later_id"),
+        F.col("b_id").alias("earlier_id"),
+        "jaccard",
+    )
+    # Exactly-once pair output: batch_id-partitioned dynamic overwrite.
+    idempotent_append(out, batch_id, pairs_dir)
+    # State appends: each table's batch partition is replaced on
+    # replay, so a crash between ANY two of the three commits leaves a
+    # state the replay repairs in place — no write-order sentinel
+    # needed (columns ordered to each table's schema; insertInto is
+    # position-based).
+    bid = F.lit(batch_id).cast("long")
+    _insert_dynamic(
+        bands_b.select("doc_id", "band", "band_key", bid.alias("batch_id")),
+        tables["bands"],
+    )
+    _insert_dynamic(
+        postings_b.select("doc_id", "h", bid.alias("batch_id")),
+        tables["postings"],
+    )
+    _insert_dynamic(
+        sizes_b.select("doc_id", "sz", bid.alias("batch_id")),
+        tables["sizes"],
+    )
+
+
+def run_neardup_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    pairs_dir: str,
+    checkpoint: str,
+):
+    """Wire the incremental near-dup stream over a (doc_id, text) source.
+    Returns the started StreamingQuery (availableNow)."""
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        docs = batch_df.select("doc_id", "text")
-        # Shingle/sign ONCE per arriving doc; each frame feeds two
-        # consumers (candidate join/verify + state append).
-        postings_b = _shingles(docs).transform(materialize)
-        sigs_b = (
-            postings_b.groupBy("doc_id").agg(*minhash_sig_aggs())
-        ).transform(materialize)
-        bands_b = minhash_band_frame(sigs_b).transform(materialize)
-        sizes_b = sigs_b.select("doc_id", "sz")
-
-        if not all(spark.catalog.tableExists(t) for t in tables.values()):
-            _create_state(spark, state_dir, tables)
-        bands_s = spark.table(tables["bands"])
-
-        a = bands_b.select(F.col("doc_id").alias("a_id"), "band", "band_key")
-        # Cross-batch candidates: batch bands vs accumulated state bands.
-        # Only the batch side shuffles into the state's bucket layout; the
-        # state scan itself is Exchange-free (plan-asserted).
-        b_state = bands_s.select(F.col("doc_id").alias("b_id"), "band", "band_key")
-        cross = a.join(b_state, ["band", "band_key"]).select("a_id", "b_id")
-        # Within-batch candidates: the batch's own bands self-joined —
-        # batch-sized, so two near-dups arriving TOGETHER are still caught.
-        b_self = bands_b.select(F.col("doc_id").alias("b_id"), "band", "band_key")
-        within = (
-            a.join(b_self, ["band", "band_key"])
-            .filter(F.col("a_id") > F.col("b_id"))
-            .select("a_id", "b_id")
-        )
-        candidates = cross.unionByName(within).distinct().transform(materialize)
-
-        # Verification partners (the b side) can be state docs (cross) or
-        # batch docs (within): fetch state rows by literal candidate ids
-        # (bucket-pruned point reads, not a per-batch full postings scan)
-        # and union the batch's own in-memory frames.
-        partner_ids = sorted(
-            int(r["b_id"]) for r in candidates.select("b_id").distinct().collect()
-        )
-        postings_part = _partner_pruned(
-            spark.table(tables["postings"]).select("doc_id", "h"), partner_ids
-        ).unionByName(postings_b)
-        sizes_part = _partner_pruned(
-            spark.table(tables["sizes"]).select("doc_id", "sz"), partner_ids
-        ).unionByName(sizes_b)
-        pairs = minhash_verified_pairs(
-            candidates,
-            postings_b,
-            postings_part,
-            sizes_b,
-            sizes_part,
-            JACCARD_THRESHOLD,
-        )
-        out = pairs.select(
-            F.col("a_id").alias("later_id"),
-            F.col("b_id").alias("earlier_id"),
-            "jaccard",
-        )
-        # Exactly-once pair output: batch_id-partitioned dynamic overwrite.
-        idempotent_append(out, batch_id, pairs_dir)
-        # State appends: each table's batch partition is replaced on
-        # replay, so a crash between ANY two of the three commits leaves a
-        # state the replay repairs in place — no write-order sentinel
-        # needed (columns ordered to each table's schema; insertInto is
-        # position-based).
-        bid = F.lit(batch_id).cast("long")
-        _insert_dynamic(
-            bands_b.select("doc_id", "band", "band_key", bid.alias("batch_id")),
-            tables["bands"],
-        )
-        _insert_dynamic(
-            postings_b.select("doc_id", "h", bid.alias("batch_id")),
-            tables["postings"],
-        )
-        _insert_dynamic(
-            sizes_b.select("doc_id", "sz", bid.alias("batch_id")),
-            tables["sizes"],
-        )
+        process_neardup_batch(batch_df, batch_id, state_dir, pairs_dir)
 
     return (
         docs_stream.writeStream.outputMode("append")

@@ -187,3 +187,48 @@ def test_state_layout_scale_properties(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
         drop_state(spark, f"{tmp}/state")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_batch_replay_reproduces_identical_pairs_and_state(spark, sf_dir):
+    """The crash window, executed: after the stream completes (state
+    already contains every batch), re-processing the LAST batch — exactly
+    what a checkpoint replay does — must leave pairs AND state
+    byte-identical. Pre-fix, the replay read its own rows back from state
+    and emitted self-pairs / both-orientation duplicates into its pairs
+    partition; the strictly-pre-batch state filter pins that closed."""
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+    from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+        _state_tables,
+        drop_state,
+        process_neardup_batch,
+    )
+
+    nb = NEARDUP_STREAM_BATCHES
+    tmp = tempfile.mkdtemp(prefix="neardup_replay_")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        _run_stream_once(spark, sf_dir, tmp)
+        pairs_dir = f"{tmp}/pairs"
+        state_dir = f"{tmp}/state"
+        tables = _state_tables(state_dir)
+        pairs_before = sorted(
+            map(tuple, spark.read.parquet(pairs_dir).collect())
+        )
+        state_before = {
+            k: sorted(map(tuple, spark.table(n).collect()))
+            for k, n in tables.items()
+        }
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        last = nb - 1
+        process_neardup_batch(
+            docs.filter(F.col("doc_id") % nb == last), last, state_dir, pairs_dir
+        )
+        pairs_after = sorted(map(tuple, spark.read.parquet(pairs_dir).collect()))
+        assert pairs_after == pairs_before
+        for k, n in tables.items():
+            assert sorted(map(tuple, spark.table(n).collect())) == state_before[k], k
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        drop_state(spark, f"{tmp}/state")
+        shutil.rmtree(tmp, ignore_errors=True)
