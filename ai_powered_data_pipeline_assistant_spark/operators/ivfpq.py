@@ -196,7 +196,9 @@ def _route_and_luts(
     logical path, the physical layout path, and the n_probe sweep so the
     probe stage cannot drift between them: route queries through the SAME
     `assign_lists` code as the data, then inline the per-(query, list)
-    lookup tables as a broadcast-sized frame."""
+    lookup tables as a broadcast-sized frame. The routed (query, list)
+    pairs are exposed on the frame as ``lut_df.probe_pairs`` so pruning
+    callers derive their literal probe set WITHOUT a second Spark job."""
     probed = assign_lists(queries, "query_vec", centroids, "probe_list", n_probe)
     probe_pairs = sorted(
         (int(r["query_id"]), int(r["probe_list"]))
@@ -209,9 +211,11 @@ def _route_and_luts(
     lut_rows = _adc_luts(
         probe_pairs, query_map, cent_map, pq_cents, m_count, subdim, k_codes
     )
-    return spark.createDataFrame(
+    lut_df = spark.createDataFrame(
         lut_rows, "query_id long, probe_list long, lut array<array<double>>"
     )
+    lut_df.probe_pairs = probe_pairs
+    return lut_df
 
 
 def _ivfpq_search(
@@ -366,6 +370,9 @@ def _exact_global_topk(
     return out
 
 
+_ARTIFACT_CACHE: dict[tuple, tuple] = {}
+
+
 def _read_ivfpq_artifacts(
     spark: SparkSession, layout: str
 ) -> tuple[DataFrame, dict[int, list[float]], list[list[list[float]]]]:
@@ -374,7 +381,25 @@ def _read_ivfpq_artifacts(
     its driver map, and the residual PQ codebooks. Parquet stores doubles
     bit-exact, so artifacts read back equal the training-time floats —
     which is what lets the incremental-maintenance parity compare an
-    appended index against a one-pass re-encode exactly."""
+    appended index against a one-pass re-encode exactly.
+
+    Process-cached per (layout path, sidecar mtimes): the sidecars are
+    write-once index headers (n_lists + M·K rows) that every query batch
+    needs — a deployment loads them once per session, like FAISS reading
+    an index header, not twice per query. A rebuilt layout (new sidecar
+    mtime) invalidates the entry."""
+    import os
+
+    def _mt(p: str) -> int:
+        try:
+            return os.stat(p).st_mtime_ns
+        except OSError:
+            return -1
+
+    key = (layout, _mt(f"{layout}/coarse"), _mt(f"{layout}/codebooks"))
+    hit = _ARTIFACT_CACHE.get(key)
+    if hit is not None:
+        return hit
     coarse = spark.read.parquet(f"{layout}/coarse")
     centroids = coarse.select("list_id", "centroid")
     cent_map = {
@@ -386,7 +411,9 @@ def _read_ivfpq_artifacts(
     ]
     for r in spark.read.parquet(f"{layout}/codebooks").collect():
         pq_cents[int(r["m"])][int(r["code"])] = [float(v) for v in r["centroid"]]
-    return centroids, cent_map, pq_cents
+    out = (centroids, cent_map, pq_cents)
+    _ARTIFACT_CACHE[key] = out
+    return out
 
 
 def ann_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,11 +446,9 @@ def ann_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         PQ_M, PQ_SUBDIM, PQ_K, IVFPQ_N_PROBE,
     )
     # Literal probe list → PartitionFilters: only the probed lists' files
-    # are ever opened (≤ |Q|·n_probe ints collected — the index lookup).
-    probe_lists = sorted(
-        int(r["probe_list"])
-        for r in lut_df.select("probe_list").distinct().collect()
-    )
+    # are ever opened. The ≤ |Q|·n_probe pairs were already collected by
+    # the routing step — no extra Spark job to re-derive them.
+    probe_lists = sorted({lid for _q, lid in lut_df.probe_pairs})
     coded = spark.read.parquet(f"{layout}/codes").filter(
         F.col("list_id").isin(probe_lists)
     )
@@ -610,10 +635,7 @@ def ivfpq_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, queries, centroids, cent_map, pq_cents,
             PQ_M, PQ_SUBDIM, PQ_K, IVFPQ_N_PROBE,
         )
-        probe_lists = sorted(
-            int(r["probe_list"])
-            for r in lut_df.select("probe_list").distinct().collect()
-        )
+        probe_lists = sorted({lid for _q, lid in lut_df.probe_pairs})
         raw_df = emb.select("vec_id", F.col("embedding").alias("raw"))
         phys = _read_codes(spark, codes_dir).filter(
             F.col("list_id").isin(probe_lists)

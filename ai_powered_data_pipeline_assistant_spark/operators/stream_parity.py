@@ -601,10 +601,7 @@ def ann_ingest_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, queries, centroids, cent_map, pq_cents,
             PQ_M, PQ_SUBDIM, PQ_K, IVFPQ_N_PROBE,
         )
-        probe_lists = sorted(
-            int(r["probe_list"])
-            for r in lut_df.select("probe_list").distinct().collect()
-        )
+        probe_lists = sorted({lid for _q, lid in lut_df.probe_pairs})
         raw_df = emb.select("vec_id", F.col("embedding").alias("raw"))
         final_p, _c1, _c2 = _score_and_rerank(
             replayed.filter(F.col("list_id").isin(probe_lists)),
