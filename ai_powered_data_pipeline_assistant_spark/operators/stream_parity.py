@@ -637,6 +637,162 @@ def ann_ingest_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CRAWL_BATCHES = 3
+
+
+def _crawl_splits(spark: SparkSession, sf_dir: str):
+    """Shared split for the composed crawl pipeline parity: arrivals =
+    documents with doc_id % 4 == 0 joined to their vectors (the slice the
+    crawler ingests, batched by (doc_id DIV 4) % CRAWL_BATCHES); base =
+    the other vectors, which bootstrap the index the stream maintains."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    arrivals = docs.filter(F.col("doc_id") % 4 == 0).join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    return arrivals, base
+
+
+def crawl_pipeline_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED crawl pipeline (streaming/crawl_pipeline.py: near-dup
+    gate → curate → ANN index maintenance) replayed as
+    ``CRAWL_BATCHES`` ordered micro-batches, pinned end to end:
+
+    - ``n_curated_stream`` = ``n_curated_batch``: the streamed keep-set
+      equals the batch arrival-rule computation — and the ORACLE
+      recomputes the batch count in SQL via the shared LSH CTE, so the
+      curation OUTCOME is oracle-exact, not a pinned literal;
+    - ``curated_mismatches`` = 0: set equality, not just counts;
+    - ``index_mismatches`` = 0: the maintained index equals a one-pass
+      encode of base ∪ curated arrivals against the stored artifacts
+      (dropped docs' vectors must NOT be in the index)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
+        minhash_lsh_pairs_for,
+    )
+    from ai_powered_data_pipeline_assistant_spark.operators.ivfpq import (
+        _read_ivfpq_artifacts,
+        _residual_frame,
+    )
+    from ai_powered_data_pipeline_assistant_spark.operators.pq import (
+        PQ_M,
+        PQ_SUBDIM,
+        _assign_codes,
+    )
+    from ai_powered_data_pipeline_assistant_spark.sources.layout import (
+        write_ivfpq_layout_for,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.crawl_pipeline import (
+        run_crawl_pipeline,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+        drop_state,
+    )
+
+    nb = CRAWL_BATCHES
+    arrivals, base = _crawl_splits(spark, sf_dir)
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"crawl_{run_id}_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        layout = f"{tmp}/index"
+        write_ivfpq_layout_for(spark, base, layout, batched=True)
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        bidx = (F.col("doc_id") / 4).cast("long") % nb
+        for i in range(nb):
+            part_dir = f"{tmp}/part{i}"
+            arrivals.filter(bidx == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part_dir)
+            part = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            dst = f"{src}/batch{i:03d}.parquet"
+            shutil.copyfile(f"{part_dir}/{part}", dst)
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema(arrivals.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_crawl_pipeline(
+            stream, f"{tmp}/state", layout, f"{tmp}/out", f"{tmp}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            q.awaitTermination(30)
+            raise TimeoutError("crawl pipeline did not finish within 300 s")
+
+        got_curated = spark.read.parquet(f"{tmp}/out/curated").select("doc_id")
+        # batch rule: keep arrivals that are not the LATER side of any
+        # verified pair under the arrival order (cross-batch, then doc_id)
+        a_b = lambda c: (c / 4).cast("long") % nb  # noqa: E731
+        later = minhash_lsh_pairs_for(
+            arrivals.select("doc_id", "text"),
+            pair_cond=lambda a, b: (a_b(a) > a_b(b))
+            | ((a_b(a) == a_b(b)) & (a > b)),
+        ).select(F.col("a_id").alias("doc_id")).distinct()
+        want_curated = materialize_barrier(
+            arrivals.select("doc_id").join(later, "doc_id", "left_anti")
+        )
+        cur_mm = (
+            got_curated.exceptAll(want_curated).count()
+            + want_curated.exceptAll(got_curated).count()
+        )
+        n_stream = got_curated.count()
+        n_batch = want_curated.count()
+
+        centroids, _cm, pq_cents = _read_ivfpq_artifacts(spark, layout)
+        kept_vecs = base.unionByName(
+            arrivals.join(want_curated, "doc_id").select(
+                F.col("doc_id").alias("vec_id"), "embedding"
+            )
+        )
+        ref = materialize_barrier(
+            _assign_codes(
+                _residual_frame(kept_vecs, centroids), pq_cents, PQ_SUBDIM
+            ).select(
+                "vec_id", "list_id", *[F.col(f"_c{m}") for m in range(PQ_M)]
+            )
+        )
+        streamed = materialize_barrier(
+            spark.read.parquet(f"{layout}/codes").select(
+                "vec_id",
+                F.col("list_id").cast("long").alias("list_id"),
+                *[F.col(f"_c{m}") for m in range(PQ_M)],
+            )
+        )
+        idx_mm = (
+            streamed.exceptAll(ref).count() + ref.exceptAll(streamed).count()
+        )
+        n_arrivals = arrivals.count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        drop_state(spark, f"{tmp}/state")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_arrivals,
+                nb,
+                n_stream,
+                n_batch,
+                cur_mm,
+                cur_mm == 0 and n_stream == n_batch,
+                idx_mm,
+                idx_mm == 0,
+            )
+        ],
+        "n_arrivals long, n_batches int, n_curated_stream long, "
+        "n_curated_batch long, curated_mismatches long, "
+        "curated_match boolean, index_mismatches long, index_match boolean",
+    )
+
+
 def trigger_cadence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 rerun throttle, driver-scorable (VERDICT r6 next-round #7): start
     the REAL `run_job_stream` (dedup → answer → idempotent batch-versioned
@@ -771,6 +927,7 @@ def _oracles() -> dict[str, str]:
             FROM events
         """,
         "neardup_stream_parity": _neardup_parity_sql(),
+        "crawl_pipeline_parity": _crawl_parity_sql(),
         # split sizes SQL-exact; mismatch counters pinned 0, invariants
         # literal true (the maintenance-audit pattern, ivfpq.py)
         "ann_ingest_stream_parity": f"""
@@ -818,6 +975,50 @@ def _neardup_parity_sql() -> str:
     """
 
 
+def _crawl_parity_sql() -> str:
+    """The curation OUTCOME recomputed in SQL: arrivals joined to their
+    vectors, the shared LSH CTE under the arrival pairing rule, curated =
+    arrivals minus distinct later-side ids. Index equality booleans are
+    literals (float-training-dependent), but the keep-COUNT the stream
+    must reproduce is oracle-exact."""
+    from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        minhash_lsh_cte,
+    )
+
+    nb = CRAWL_BATCHES
+    cond = (
+        f"(((a.doc_id // 4) % {nb}) > ((b.doc_id // 4) % {nb}) OR "
+        f"(((a.doc_id // 4) % {nb}) = ((b.doc_id // 4) % {nb}) "
+        f"AND a.doc_id > b.doc_id))"
+    )
+    cte = minhash_lsh_cte("src", cond)
+    return f"""
+        WITH src AS (
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            WHERE d.doc_id % 4 = 0),
+        {cte},
+        later AS (
+            SELECT DISTINCT c.a_id FROM candidates c JOIN pairs p
+              ON (c.a_id = p.a_id AND c.b_id = p.b_id)
+              OR (c.a_id = p.b_id AND c.b_id = p.a_id)
+            WHERE p.jaccard >= {JACCARD_THRESHOLD})
+        SELECT CAST((SELECT count(*) FROM src) AS BIGINT) AS n_arrivals,
+               CAST({nb} AS INT) AS n_batches,
+               CAST((SELECT count(*) FROM src)
+                    - (SELECT count(*) FROM later) AS BIGINT)
+                   AS n_curated_stream,
+               CAST((SELECT count(*) FROM src)
+                    - (SELECT count(*) FROM later) AS BIGINT)
+                   AS n_curated_batch,
+               CAST(0 AS BIGINT) AS curated_mismatches,
+               true AS curated_match,
+               CAST(0 AS BIGINT) AS index_mismatches,
+               true AS index_match
+    """
+
+
 ORACLES = _oracles()
 
 QUERIES = {
@@ -829,4 +1030,5 @@ QUERIES = {
     "trigger_cadence_audit": trigger_cadence_audit,
     "neardup_stream_parity": neardup_stream_parity,
     "ann_ingest_stream_parity": ann_ingest_stream_parity,
+    "crawl_pipeline_parity": crawl_pipeline_parity,
 }

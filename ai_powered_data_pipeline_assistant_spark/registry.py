@@ -130,6 +130,7 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "ivfpq_incremental_parity",
         "ivfpq_delete_audit",
         "ann_ingest_stream_parity",
+        "crawl_pipeline_parity",
     }
 )
 
@@ -146,11 +147,11 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # (toks now materialized — output-invisible, re-checked as insurance);
 # (c) the NEW round-8 index-maintenance audits, windowed on arrival;
 # (d) staleness re-checks, oldest green first per ROADMAP's rotation
-# priority: all 12 remaining r1-greens, then 31 of the 40 r2-greens
-# (the 9 deferred to r9 — tpch_q2/q4/q10/q16/q19/q21, below_nation_avg,
-# urgent_no_fail_customers, supplier_balance_rank — were value-verified by
-# the full driver_sim sf0.01 run this round, and their modules keep
-# windowed siblings).
+# priority: all 12 remaining r1-greens, then 30 of the 40 r2-greens
+# (the 10 deferred to r9 — tpch_q2/q4/q10/q14/q16/q19/q21,
+# below_nation_avg, urgent_no_fail_customers, supplier_balance_rank —
+# were value-verified by the full driver_sim sf0.01 run this round, and
+# their modules keep windowed siblings).
 # Every slot carries an oracle AND is driver-representable — both halves
 # enforced on every pytest by tests/test_driver_sim_hardening.py
 # (oracle presence + driver_representable over the built window frames).
@@ -172,6 +173,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ivfpq_incremental_parity",
     "ivfpq_delete_audit",
     "ann_ingest_stream_parity",
+    "crawl_pipeline_parity",
     # -- module changed in round 8 (materialize insurance) --
     "perplexity_buckets",
     # -- staleness re-checks: the 12 remaining r1-greens --
@@ -218,7 +220,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q5",
     "tpch_q6",
     "tpch_q18",
-    "tpch_q14",
 )
 
 
