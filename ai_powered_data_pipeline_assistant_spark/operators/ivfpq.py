@@ -191,14 +191,16 @@ def _route_and_luts(
     subdim: int,
     k_codes: int,
     n_probe: int,
-) -> DataFrame:
+) -> tuple[DataFrame, list[tuple[int, int]]]:
     """Query routing + ADC LUT construction, shared verbatim by the
     logical path, the physical layout path, and the n_probe sweep so the
     probe stage cannot drift between them: route queries through the SAME
     `assign_lists` code as the data, then inline the per-(query, list)
-    lookup tables as a broadcast-sized frame. The routed (query, list)
-    pairs are exposed on the frame as ``lut_df.probe_pairs`` so pruning
-    callers derive their literal probe set WITHOUT a second Spark job."""
+    lookup tables as a broadcast-sized frame. Returns ``(lut_df,
+    probe_pairs)`` — the routed (query, list) pairs ride along explicitly
+    so pruning callers derive their literal probe set WITHOUT a second
+    Spark job (they were previously smuggled as a dynamic attribute on the
+    frame, which silently vanished on any transformation — ADVICE r8)."""
     probed = assign_lists(queries, "query_vec", centroids, "probe_list", n_probe)
     probe_pairs = sorted(
         (int(r["query_id"]), int(r["probe_list"]))
@@ -214,8 +216,7 @@ def _route_and_luts(
     lut_df = spark.createDataFrame(
         lut_rows, "query_id long, probe_list long, lut array<array<double>>"
     )
-    lut_df.probe_pairs = probe_pairs
-    return lut_df
+    return lut_df, probe_pairs
 
 
 def _ivfpq_search(
@@ -240,7 +241,7 @@ def _ivfpq_search(
     codes, cent_map, pq_cents, centroids = _build_index(
         emb, n_lists, m_count, subdim, k_codes, iters
     )
-    lut_df = _route_and_luts(
+    lut_df, _probe_pairs = _route_and_luts(
         spark, queries, centroids, cent_map, pq_cents,
         m_count, subdim, k_codes, n_probe,
     )
@@ -383,11 +384,14 @@ def _read_ivfpq_artifacts(
     which is what lets the incremental-maintenance parity compare an
     appended index against a one-pass re-encode exactly.
 
-    Process-cached per (layout path, sidecar mtimes): the sidecars are
-    write-once index headers (n_lists + M·K rows) that every query batch
-    needs — a deployment loads them once per session, like FAISS reading
-    an index header, not twice per query. A rebuilt layout (new sidecar
-    mtime) invalidates the entry."""
+    Process-cached per (session, layout path, sidecar mtimes): the
+    sidecars are write-once index headers (n_lists + M·K rows) that every
+    query batch needs — a deployment loads them once per session, like
+    FAISS reading an index header, not twice per query. A rebuilt layout
+    (new sidecar mtime) invalidates the entry; the applicationId in the
+    key keeps a restarted session from being handed frames bound to a
+    dead session, and same-path eviction keeps the cache at one entry per
+    layout path (the maintenance audits churn tmp layouts — ADVICE r8)."""
     import os
 
     def _mt(p: str) -> int:
@@ -396,10 +400,17 @@ def _read_ivfpq_artifacts(
         except OSError:
             return -1
 
-    key = (layout, _mt(f"{layout}/coarse"), _mt(f"{layout}/codebooks"))
+    key = (
+        spark.sparkContext.applicationId,
+        layout,
+        _mt(f"{layout}/coarse"),
+        _mt(f"{layout}/codebooks"),
+    )
     hit = _ARTIFACT_CACHE.get(key)
     if hit is not None:
         return hit
+    for stale in [k for k in _ARTIFACT_CACHE if k[1] == layout]:
+        del _ARTIFACT_CACHE[stale]
     coarse = spark.read.parquet(f"{layout}/coarse")
     centroids = coarse.select("list_id", "centroid")
     cent_map = {
@@ -441,14 +452,14 @@ def ann_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout = ensure_ivfpq_layout(spark, sf_dir)
     centroids, cent_map, pq_cents = _read_ivfpq_artifacts(spark, layout)
     queries = _query_vectors(spark, sf_dir, IVFPQ_N_QUERIES)
-    lut_df = _route_and_luts(
+    lut_df, probe_pairs = _route_and_luts(
         spark, queries, centroids, cent_map, pq_cents,
         PQ_M, PQ_SUBDIM, PQ_K, IVFPQ_N_PROBE,
     )
     # Literal probe list → PartitionFilters: only the probed lists' files
     # are ever opened. The ≤ |Q|·n_probe pairs were already collected by
     # the routing step — no extra Spark job to re-derive them.
-    probe_lists = sorted({lid for _q, lid in lut_df.probe_pairs})
+    probe_lists = sorted({lid for _q, lid in probe_pairs})
     coded = spark.read.parquet(f"{layout}/codes").filter(
         F.col("list_id").isin(probe_lists)
     )
@@ -631,11 +642,11 @@ def ivfpq_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes_mm = inc.exceptAll(ref).count() + ref.exceptAll(inc).count()
 
         queries = _query_vectors(spark, sf_dir, IVFPQ_N_QUERIES)
-        lut_df = _route_and_luts(
+        lut_df, probe_pairs = _route_and_luts(
             spark, queries, centroids, cent_map, pq_cents,
             PQ_M, PQ_SUBDIM, PQ_K, IVFPQ_N_PROBE,
         )
-        probe_lists = sorted({lid for _q, lid in lut_df.probe_pairs})
+        probe_lists = sorted({lid for _q, lid in probe_pairs})
         raw_df = emb.select("vec_id", F.col("embedding").alias("raw"))
         phys = _read_codes(spark, codes_dir).filter(
             F.col("list_id").isin(probe_lists)
@@ -703,7 +714,14 @@ def ivfpq_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         write_ivfpq_layout_for(spark, emb, tmp)
         codes_dir = os.path.join(tmp, "codes")
-        pre = materialize(_read_codes(spark, codes_dir), eager=True)
+        # require_barrier: the snapshot is re-read AFTER the delete rewrites
+        # these same parquet files — lineage-keeping modes (persist/none)
+        # would recompute n_before post-delete and compare post-state to
+        # itself (silent false pass). Same flag delete_from_ivfpq_layout
+        # uses for its own read-then-overwrite (ADVICE r8).
+        pre = materialize(
+            _read_codes(spark, codes_dir), eager=True, require_barrier=True
+        )
         files_pre = _codes_partition_files(codes_dir)
         affected = set(delete_from_ivfpq_layout(spark, tmp, victims))
         post = _read_codes(spark, codes_dir)
@@ -764,7 +782,7 @@ def _nprobe_sweep(
     recalls: list[float] = []
     prev_probe_sets: dict[int, set[int]] | None = None
     for n_probe in IVFPQ_SWEEP_PROBES:
-        lut_df = _route_and_luts(
+        lut_df, _probe_pairs = _route_and_luts(
             spark, queries, centroids, cent_map, pq_cents,
             PQ_M, PQ_SUBDIM, PQ_K, n_probe,
         )

@@ -597,11 +597,11 @@ def ann_ingest_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             + streamed.exceptAll(replayed).count()
         )
         queries = _query_vectors(spark, sf_dir, IVFPQ_N_QUERIES)
-        lut_df = _route_and_luts(
+        lut_df, probe_pairs = _route_and_luts(
             spark, queries, centroids, cent_map, pq_cents,
             PQ_M, PQ_SUBDIM, PQ_K, IVFPQ_N_PROBE,
         )
-        probe_lists = sorted({lid for _q, lid in lut_df.probe_pairs})
+        probe_lists = sorted({lid for _q, lid in probe_pairs})
         raw_df = emb.select("vec_id", F.col("embedding").alias("raw"))
         final_p, _c1, _c2 = _score_and_rerank(
             replayed.filter(F.col("list_id").isin(probe_lists)),

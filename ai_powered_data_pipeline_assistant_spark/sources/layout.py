@@ -353,11 +353,16 @@ def ensure_ivfpq_layout(spark: SparkSession, sf_dir: str) -> str:
     """Idempotently materialize the IVF-PQ layout for one sf_dir (the
     ensure_ivf_layout convention: a write-once index build, cached on the
     codes _SUCCESS marker, keyed by the source fingerprint so a
-    regenerated base table invalidates the cached index)."""
+    regenerated base table invalidates the cached index). The effective
+    PQ training-sample fraction is folded into the key — codebook
+    training reads $PQ_TRAIN_SAMPLE inside _train_pq, so changing the
+    knob between runs must not silently serve an index trained at the
+    old fraction (ADVICE r8)."""
     import os
     import tempfile
 
-    tag = _source_fingerprint(sf_dir)
+    train_sample = float(os.environ.get("PQ_TRAIN_SAMPLE", "1.0"))
+    tag = f"{_source_fingerprint(sf_dir)}_ts{train_sample:g}"
     out = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}")
     if not os.path.isfile(os.path.join(out, "codes", "_SUCCESS")):
         write_ivfpq_layout(spark, sf_dir, out)
