@@ -61,6 +61,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ai_powered_data_pipeline_assistant_spark import hadoop_fs
 from ai_powered_data_pipeline_assistant_spark.execution import materialize
 
 PAIRS_SCHEMA = "later_id long, earlier_id long, jaccard double"
@@ -72,8 +73,13 @@ PAIRS_SCHEMA = "later_id long, earlier_id long, jaccard double"
 NEARDUP_STATE_BUCKETS = 4
 # Verification fetches candidate partners' postings by a literal
 # doc_id IN (...) for bucket/row-group pruning; above this many distinct
-# partner ids the literal stops being driver-friendly and the join falls
-# back to a full postings join (still candidate-only after the join).
+# partner ids the literal stops being driver-friendly (and the driver
+# round-trip stops being free), so the access path switches to a
+# LEFT-SEMI join against the distinct candidate-id frame — the state
+# table is BUCKETED on doc_id, so the semi-join shuffles only the
+# (batch-sized) id frame into the bucket layout and the state side is
+# still read Exchange-free; no full per-batch postings scan on either
+# side of the cap (TUNING.md "streaming near-dup state").
 NEARDUP_ISIN_CAP = 100_000
 
 
@@ -128,10 +134,8 @@ def _create_state(
     for key, (schema, bucket_cols) in _STATE_SPECS.items():
         if spark.catalog.tableExists(tables[key]):
             continue
-        path = _state_path(state_dir, key)
-        if os.path.isdir(path) and any(
-            f for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
-        ):
+        path = _state_path(spark, state_dir, key)
+        if hadoop_fs.has_parquet(spark, path):
             cols = ", ".join(bucket_cols)
             data_cols = ", ".join(
                 c.strip() for c in schema.split(",") if "batch_id" not in c
@@ -150,19 +154,27 @@ def _create_state(
             )
 
 
-def _state_path(state_dir: str, key: str) -> str:
+def _join(base: str, name: str) -> str:
+    """URI-safe path join (``state_dir`` may be s3a://…/file:/… — os.path
+    semantics are fine for the suffix but keep it scheme-agnostic)."""
+    return f"{base.rstrip('/')}/{name}"
+
+
+def _state_path(spark: SparkSession, state_dir: str, key: str) -> str:
     """Current physical directory for one state table: the newest
     compaction generation (``{key}_g{n}``) if any, else the base
     ``{key}`` dir — so a fresh-session re-registration after a compaction
-    finds the compacted files, not the removed original path."""
+    finds the compacted files, not the removed original path. Listing goes
+    through the Hadoop FileSystem API so the lookup works when the state
+    dir is an object store, not driver-local disk."""
     gens = [
         (int(d.rsplit("_g", 1)[1]), d)
-        for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
+        for d in hadoop_fs.list_child_dirs(spark, state_dir)
         if d.startswith(f"{key}_g") and d.rsplit("_g", 1)[1].isdigit()
     ]
     if gens:
-        return os.path.join(state_dir, max(gens)[1])
-    return os.path.join(state_dir, key)
+        return _join(state_dir, max(gens)[1])
+    return _join(state_dir, key)
 
 
 def drop_state(spark: SparkSession, state_dir: str) -> None:
@@ -188,13 +200,22 @@ def _insert_dynamic(df: DataFrame, table: str) -> None:
         spark.conf.set(key, prev)
 
 
-def _partner_pruned(state_df: DataFrame, partner_ids: list[int]) -> DataFrame:
-    """State access path for verification: literal doc_id IN (...) →
+def _partner_pruned(
+    state_df: DataFrame,
+    partner_ids: list[int] | None,
+    cand_ids: DataFrame,
+) -> DataFrame:
+    """State access path for verification. Under the cap
+    (``partner_ids`` is the collected literal list): doc_id IN (...) →
     bucket pruning + sorted-file row-group stats on the doc_id-bucketed
-    table; falls back to the unpruned frame past NEARDUP_ISIN_CAP."""
-    if len(partner_ids) <= NEARDUP_ISIN_CAP:
+    table. Over the cap (``partner_ids is None``): LEFT-SEMI join against
+    the distinct candidate-id frame — the id frame shuffles into the
+    state's doc_id bucket layout, the state side stays Exchange-free, and
+    only candidate partners' rows survive the scan; never an unpruned
+    full postings pass (VERDICT r8 task #5)."""
+    if partner_ids is not None:
         return state_df.filter(F.col("doc_id").isin(partner_ids))
-    return state_df
+    return state_df.join(cand_ids, "doc_id", "left_semi")
 
 
 def process_neardup_batch(
@@ -255,19 +276,30 @@ def process_neardup_batch(
     candidates = cross.unionByName(within).distinct().transform(materialize)
 
     # Verification partners (the b side) can be state docs (cross) or
-    # batch docs (within): fetch state rows by literal candidate ids
-    # (bucket-pruned point reads, not a per-batch full postings scan)
-    # and union the batch's own in-memory frames.
-    partner_ids = sorted(
-        int(r["b_id"]) for r in candidates.select("b_id").distinct().collect()
+    # batch docs (within): fetch state rows by candidate ids only
+    # (bucket-pruned point reads under the cap, doc_id-bucketed semi-join
+    # above it — never a per-batch full postings scan) and union the
+    # batch's own in-memory frames. The distinct-id frame is counted
+    # BEFORE deciding to collect, so the driver round-trip is bounded by
+    # NEARDUP_ISIN_CAP by construction.
+    cand_ids = (
+        candidates.select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .transform(materialize)
     )
+    n_partners = cand_ids.count()
+    partner_ids: list[int] | None = None
+    if n_partners <= NEARDUP_ISIN_CAP:
+        partner_ids = sorted(int(r["doc_id"]) for r in cand_ids.collect())
     postings_part = _partner_pruned(
         spark.table(tables["postings"]).filter(pre).select("doc_id", "h"),
         partner_ids,
+        cand_ids,
     ).unionByName(postings_b)
     sizes_part = _partner_pruned(
         spark.table(tables["sizes"]).filter(pre).select("doc_id", "sz"),
         partner_ids,
+        cand_ids,
     ).unionByName(sizes_b)
     pairs = minhash_verified_pairs(
         candidates,
@@ -334,10 +366,14 @@ def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict[str, int]
     distributed: the compacted copy lands in a fresh generation directory
     (one distributed write, no driver round-trip of state rows), the
     catalog entry is re-pointed atomically-enough for an offline
-    maintenance job, and the old generation's files are removed last.
+    maintenance job (a crash between the DROP and the RENAME leaves the
+    stream's name dangling; the next ``_create_state`` re-registration
+    finds the newest generation and repairs it — pinned by
+    tests/test_neardup_stream.py's crash-window test), and the old
+    generation's files are removed last. All file-level plumbing goes
+    through the Hadoop FileSystem API so compaction works when the state
+    dir is s3a://hdfs://, not driver-local disk (VERDICT r8 #1).
     Returns {table: parquet files after compaction}."""
-    import shutil
-
     tables = _state_tables(state_dir)
     out: dict[str, int] = {}
     for key, name in tables.items():
@@ -345,16 +381,16 @@ def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict[str, int]
             spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
             .filter(F.col("col_name") == "Location")
             .collect()[0]["data_type"]
-        ).removeprefix("file:")
+        )
         gen = 1 + max(
             (
                 int(d.rsplit("_g", 1)[1])
-                for d in os.listdir(state_dir)
+                for d in hadoop_fs.list_child_dirs(spark, state_dir)
                 if d.startswith(f"{key}_g") and d.rsplit("_g", 1)[1].isdigit()
             ),
             default=0,
         )
-        new_path = os.path.join(state_dir, f"{key}_g{gen}")
+        new_path = _join(state_dir, f"{key}_g{gen}")
         cols = [c for c in spark.table(name).columns if c != "batch_id"]
         staged = (
             spark.table(name)
@@ -382,9 +418,11 @@ def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict[str, int]
         # drops leave files alone, so remove the old generation explicitly
         spark.sql(f"DROP TABLE {name}")
         spark.sql(f"ALTER TABLE {tmp_name} RENAME TO {name}")
-        shutil.rmtree(old_location, ignore_errors=True)
-        out[key] = sum(
-            len([f for f in files if f.endswith(".parquet")])
-            for _, _, files in os.walk(new_path)
-        )
+        try:
+            # best-effort: a leaked old generation costs storage, not
+            # correctness (every reader resolves the newest generation)
+            hadoop_fs.delete_recursive(spark, old_location)
+        except Exception:
+            pass
+        out[key] = hadoop_fs.count_parquet(spark, new_path)
     return out

@@ -189,6 +189,234 @@ def test_state_layout_scale_properties(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_state_lifecycle_on_scheme_qualified_paths(spark, sf_dir):
+    """Object-store readiness (VERDICT r8 #1): drive the full state
+    lifecycle — create, append, fresh-session re-registration, compaction,
+    post-compaction append — through a ``file:``-scheme state dir. Every
+    ``os.path``/``os.walk``/``shutil`` call sees NOTHING behind a scheme-
+    qualified path (``os.path.isdir("file:/tmp/x")`` is False), so this
+    passes only if the lifecycle plumbing goes through the Hadoop
+    FileSystem API — the same code path an s3a:// or hdfs:// state dir
+    takes on a cluster."""
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+    from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+        _create_state,
+        _state_tables,
+        compact_neardup_state,
+        drop_state,
+        process_neardup_batch,
+    )
+
+    nb = 3
+    tmp = tempfile.mkdtemp(prefix="neardup_uri_")
+    state_dir = f"file:{tmp}/state"
+    pairs_dir = f"{tmp}/pairs"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 300)
+        )
+        for i in range(2):
+            process_neardup_batch(
+                docs.filter(F.col("doc_id") % nb == i), i, state_dir, pairs_dir
+            )
+        tables = _state_tables(state_dir)
+        before = {k: spark.table(n).count() for k, n in tables.items()}
+        assert before["bands"] > 0 and before["postings"] > 0
+
+        # fresh-session re-registration must FIND the scheme-qualified
+        # files (the pre-fix os.path.isdir check silently created empty
+        # tables here, wiping state)
+        for name in tables.values():
+            spark.sql(f"DROP TABLE {name}")
+        _create_state(spark, state_dir, tables)
+        assert {k: spark.table(n).count() for k, n in tables.items()} == before
+
+        # compaction: generation listing, old-gen delete, and the file
+        # count all go through Hadoop FS against the file: URI
+        rows_before = sorted(
+            map(tuple, spark.table(tables["bands"]).drop("batch_id").collect())
+        )
+        files_map = compact_neardup_state(spark, state_dir)
+        assert all(n > 0 for n in files_map.values())
+        rows_after = sorted(
+            map(tuple, spark.table(tables["bands"]).drop("batch_id").collect())
+        )
+        assert rows_after == rows_before
+        # the old generation was actually deleted through the URI
+        assert not os.path.isdir(f"{tmp}/state/bands")
+
+        # the stream keeps running against the compacted generation
+        process_neardup_batch(
+            docs.filter(F.col("doc_id") % nb == 2), 2, state_dir, pairs_dir
+        )
+        assert spark.table(tables["bands"]).count() > before["bands"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        drop_state(spark, state_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compaction_crash_window_repairs_on_next_batch(spark, sf_dir):
+    """VERDICT r8 task #4: kill compaction between ``DROP TABLE`` and
+    ``RENAME`` (the two-statement swap window). The stream's table name is
+    left dangling; the next micro-batch's ``_create_state`` must
+    re-register the NEWEST generation (the compacted copy was fully
+    written before the swap began) and the stream must keep catching
+    near-dups of pre-crash documents."""
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+    from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+        _state_tables,
+        compact_neardup_state,
+        drop_state,
+        process_neardup_batch,
+    )
+
+    nb = 3
+    tmp = tempfile.mkdtemp(prefix="neardup_crash_")
+    state_dir = f"{tmp}/state"
+    pairs_dir = f"{tmp}/pairs"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    real_sql = spark.sql
+    try:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 300)
+        )
+        for i in range(2):
+            process_neardup_batch(
+                docs.filter(F.col("doc_id") % nb == i), i, state_dir, pairs_dir
+            )
+        tables = _state_tables(state_dir)
+        bands_rows = sorted(
+            map(tuple, spark.table(tables["bands"]).drop("batch_id").collect())
+        )
+
+        def boom(q, *a, **k):
+            if "RENAME TO" in q:
+                raise RuntimeError("injected crash between DROP and RENAME")
+            return real_sql(q, *a, **k)
+
+        spark.sql = boom
+        try:
+            import pytest
+
+            with pytest.raises(RuntimeError, match="injected crash"):
+                compact_neardup_state(spark, state_dir)
+        finally:
+            del spark.sql  # restore the class method
+        # the window: bands' name is gone from the catalog, its compacted
+        # generation is fully on disk, the tmp table dangles
+        assert not spark.catalog.tableExists(tables["bands"])
+
+        # repair: the next batch re-registers the newest generation and a
+        # near-copy of a PRE-CRASH doc is still caught
+        seed = docs.filter(F.col("doc_id") % nb == 0).limit(1).collect()[0]
+        copy_id = 1_000_002  # % 3 == 0-free: just a fresh id in batch 2
+        batch2 = docs.filter(F.col("doc_id") % nb == 2).unionByName(
+            spark.createDataFrame([(copy_id, seed["text"])], "doc_id long, text string")
+        )
+        process_neardup_batch(batch2, 2, state_dir, pairs_dir)
+        assert spark.catalog.tableExists(tables["bands"])
+        # state rows survived the crash (batch 2's own rows are extra)
+        after = sorted(
+            map(
+                tuple,
+                spark.table(tables["bands"])
+                .filter(F.col("batch_id") < 2)
+                .drop("batch_id")
+                .collect(),
+            )
+        )
+        assert after == bands_rows
+        pairs = spark.read.parquet(pairs_dir)
+        hit = pairs.filter(
+            (F.col("later_id") == copy_id)
+            & (F.col("earlier_id") == seed["doc_id"])
+        ).count()
+        assert hit == 1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        drop_state(spark, state_dir)
+        spark.sql(f"DROP TABLE IF EXISTS {_state_tables(state_dir)['bands']}_compact")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_overcap_partner_fetch_uses_bucketed_semi_join(spark, sf_dir, monkeypatch):
+    """VERDICT r8 task #5: above NEARDUP_ISIN_CAP the partner fetch must
+    fall back to a LEFT-SEMI join against the candidate-id frame — NOT an
+    unpruned full postings scan. Pins (a) plan shape: semi join with the
+    bucketed state scan Exchange-free, and (b) parity: pairs under cap=0
+    (every batch takes the fallback) equal pairs under the default cap."""
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+    from ai_powered_data_pipeline_assistant_spark.streaming import neardup
+    from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+        _partner_pruned,
+        _state_tables,
+        drop_state,
+        process_neardup_batch,
+    )
+
+    nb = 3
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    tmp_a = tempfile.mkdtemp(prefix="neardup_cap_a_")
+    tmp_b = tempfile.mkdtemp(prefix="neardup_cap_b_")
+    try:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 300)
+        )
+
+        seed = docs.limit(1).collect()[0]
+        copy = spark.createDataFrame(
+            [(1_000_007, seed["text"])], "doc_id long, text string"
+        )
+
+        def run(tmp):
+            for i in range(nb):
+                batch = docs.filter(F.col("doc_id") % nb == i)
+                if i == nb - 1:  # guarantee ≥1 cross-batch pair
+                    batch = batch.unionByName(copy)
+                process_neardup_batch(
+                    batch, i, f"{tmp}/state", f"{tmp}/pairs"
+                )
+            return sorted(map(tuple, spark.read.parquet(f"{tmp}/pairs").collect()))
+
+        pairs_default = run(tmp_a)
+        monkeypatch.setattr(neardup, "NEARDUP_ISIN_CAP", 0)
+        pairs_fallback = run(tmp_b)
+        assert pairs_fallback == pairs_default and len(pairs_default) > 0
+
+        # plan shape of the fallback access path against the real bucketed
+        # state table: semi join, state side scanned in its bucket layout
+        # (Bucketed: true), the only Exchange is the id frame's
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        tables = _state_tables(f"{tmp_b}/state")
+        state_df = spark.table(tables["postings"]).select("doc_id", "h")
+        cand_ids = (
+            spark.table(tables["postings"]).select("doc_id").distinct().limit(20)
+        )
+        pruned = _partner_pruned(state_df, None, cand_ids)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        drop_state(spark, f"{tmp_a}/state")
+        drop_state(spark, f"{tmp_b}/state")
+        shutil.rmtree(tmp_a, ignore_errors=True)
+        shutil.rmtree(tmp_b, ignore_errors=True)
+
+
 def test_batch_replay_reproduces_identical_pairs_and_state(spark, sf_dir):
     """The crash window, executed: after the stream completes (state
     already contains every batch), re-processing the LAST batch — exactly
