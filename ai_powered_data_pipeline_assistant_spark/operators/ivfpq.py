@@ -758,6 +758,150 @@ def ivfpq_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Drift audit: appended near-copies per heavy-list member, the synthetic
+# skew that models a crawl whose new content clusters (pgvector's "ivfflat
+# lists=100 going stale as the KB grows" — reference
+# Supabase/knowledge_base-RAG.sql:31-33; FAISS re-trains on drift).
+IVFPQ_DRIFT_COPIES = 3
+IVFPQ_DRIFT_ID_OFFSET = 10_000_000  # appended ids = vec_id + k·offset
+# Rebuild when the list-imbalance factor (max list / mean list) grows to
+# ≥ 1.5× its at-train value — compared in exact integer cross-multiplied
+# form (×10) so Spark and the SQL oracle decide identically (TUNING.md
+# "IVF-PQ drift / rebuild decision").
+IVFPQ_REBUILD_RATIO_X10 = 15
+
+
+def ivfpq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE decision: WHEN to retrain. Appends (without
+    retraining — the FAISS add() discipline) eventually skew the coarse
+    lists and stale the codebooks; this audit executes the drift scenario
+    and the rebuild decision end to end, one row:
+
+    1. build the physical layout on the full corpus; record per-list
+       sizes (max_before, n_base);
+    2. append ``IVFPQ_DRIFT_COPIES`` id-shifted copies of every member of
+       the HEAVIEST list — a crawl whose arrivals cluster onto one region
+       routes exactly like this, and duplicates make the routing
+       deterministic (same vector → same stored-centroid argmax);
+    3. re-measure: ``append_routed_heavy`` pins that ONLY the heavy list
+       grew and by exactly copies×max_before (the append encoded against
+       STORED artifacts, no rerouting drift); ``dup_codes_match`` pins
+       that appended duplicates carry byte-identical codes to their
+       originals (stale codebooks reused exactly);
+    4. decide: ``rebuild_recommended`` is the imbalance-drift rule —
+       imbalance_after ≥ (IVFPQ_REBUILD_RATIO_X10/10) × imbalance_before,
+       evaluated in exact integer cross-multiplication so the DuckDB
+       oracle recomputes the same decision from the same routing CTE (not
+       a pinned literal). The empirical quantization-error tier (stale vs
+       freshly-retrained codebooks) lives in tests/test_ivfpq.py — float
+       k-means outcomes are not oracle territory.
+
+    Scale: the audit is index-build-dominated (the harness), but the
+    decision inputs it models are O(n_lists) catalog statistics a
+    deployment reads from list sizes alone — no corpus scan to decide."""
+    import os
+    import shutil
+    import tempfile
+
+    from ai_powered_data_pipeline_assistant_spark.sources.layout import (
+        append_ivfpq_layout,
+        write_ivfpq_layout_for,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    code_cols = [f"_c{m}" for m in range(PQ_M)]
+    tmp = tempfile.mkdtemp(prefix="ivfpq_drift_")
+    try:
+        write_ivfpq_layout_for(spark, emb, tmp)
+        codes_dir = os.path.join(tmp, "codes")
+        # barrier: re-read after the append adds files to the same dirs
+        pre = materialize(
+            _read_codes(spark, codes_dir), eager=True, require_barrier=True
+        )
+        sizes = {
+            int(r["list_id"]): int(r["n"])
+            for r in pre.groupBy("list_id").agg(F.count("*").alias("n")).collect()
+        }  # ≤ n_lists rows
+        n_base = sum(sizes.values())
+        max_before = max(sizes.values())
+        heavy = min(lid for lid, n in sizes.items() if n == max_before)
+
+        members = emb.join(
+            pre.filter(F.col("list_id") == heavy).select("vec_id"),
+            "vec_id",
+            "left_semi",
+        )
+        delta = None
+        for c in range(1, IVFPQ_DRIFT_COPIES + 1):
+            shifted = members.select(
+                (F.col("vec_id") + c * IVFPQ_DRIFT_ID_OFFSET).alias("vec_id"),
+                "embedding",
+            )
+            delta = shifted if delta is None else delta.unionByName(shifted)
+        append_ivfpq_layout(spark, tmp, delta)
+
+        post = _read_codes(spark, codes_dir)
+        post_sizes = {
+            int(r["list_id"]): int(r["n"])
+            for r in post.groupBy("list_id").agg(F.count("*").alias("n")).collect()
+        }
+        n_after = sum(post_sizes.values())
+        n_appended = n_after - n_base
+        max_after = max(post_sizes.values())
+        routed_heavy = (
+            post_sizes[heavy] == (1 + IVFPQ_DRIFT_COPIES) * max_before
+            and all(
+                post_sizes.get(lid) == n
+                for lid, n in sizes.items()
+                if lid != heavy
+            )
+            and n_appended == IVFPQ_DRIFT_COPIES * max_before
+        )
+        orig = pre.filter(F.col("list_id") == heavy).select(
+            "vec_id", "list_id", *code_cols
+        )
+        dup = post.filter(
+            F.col("vec_id") >= IVFPQ_DRIFT_ID_OFFSET
+        ).select(
+            (F.col("vec_id") % IVFPQ_DRIFT_ID_OFFSET).alias("vec_id"),
+            "list_id",
+            *code_cols,
+        )
+        dup_d = dup.distinct()
+        dup_match = (
+            dup.count() == IVFPQ_DRIFT_COPIES * max_before
+            and dup_d.exceptAll(orig).count() + orig.exceptAll(dup_d).count()
+            == 0
+        )
+        # imbalance drift in exact integers: max_after/n_after ≥
+        # ratio × max_before/n_base  ⇔  10·max_after·n_base ≥
+        # ratio_x10·max_before·n_after (n_lists cancels)
+        rebuild = (
+            10 * max_after * n_base
+            >= IVFPQ_REBUILD_RATIO_X10 * max_before * n_after
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_base,
+                n_appended,
+                max_before,
+                max_after,
+                routed_heavy,
+                dup_match,
+                rebuild,
+            )
+        ],
+        "n_base long, n_appended long, max_before long, max_after long, "
+        "append_routed_heavy boolean, dup_codes_match boolean, "
+        "rebuild_recommended boolean",
+    )
+
+
 IVFPQ_SWEEP_PROBES = (1, 2, 4, 8)
 
 
@@ -1106,6 +1250,47 @@ def _ivfpq_sweep_oracle() -> str:
     """
 
 
+def _ivfpq_drift_oracle() -> str:
+    """The rebuild decision, recomputed independently: routing is
+    fixed-point deterministic (the `_ivfpq_sweep_oracle` CTE shapes), so
+    DuckDB derives the same per-list sizes, the same appended counts
+    (copies × heaviest list), and — in exact integer cross-multiplied
+    arithmetic — the same imbalance-drift verdict. Only the two
+    encode-path invariants are literals (bounds pattern)."""
+    from ai_powered_data_pipeline_assistant_spark.functions.vector_math import (
+        cosine_similarity_sql,
+    )
+
+    cos_ec = cosine_similarity_sql("e.embedding", "c.centroid")
+    c = IVFPQ_DRIFT_COPIES
+    r = IVFPQ_REBUILD_RATIO_X10
+    return f"""
+        WITH centroids AS (
+            SELECT vec_id AS list_id, embedding AS centroid
+            FROM embeddings WHERE vec_id < {IVFPQ_N_LISTS}),
+        assigned AS (
+            SELECT vec_id, list_id FROM (
+                SELECT e.vec_id, c.list_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cos_ec} DESC, c.list_id)
+                           AS crk
+                FROM embeddings e CROSS JOIN centroids c)
+            WHERE crk = 1),
+        sizes AS (SELECT list_id, count(*) AS n FROM assigned GROUP BY 1),
+        agg AS (SELECT max(n) AS max_n, sum(n) AS total FROM sizes)
+        SELECT CAST(total AS BIGINT) AS n_base,
+               CAST({c} * max_n AS BIGINT) AS n_appended,
+               CAST(max_n AS BIGINT) AS max_before,
+               CAST({1 + c} * max_n AS BIGINT) AS max_after,
+               true AS append_routed_heavy,
+               true AS dup_codes_match,
+               (10 * ({1 + c} * max_n) * total
+                >= {r} * max_n * (total + {c} * max_n))
+                   AS rebuild_recommended
+        FROM agg
+    """
+
+
 QUERIES = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_pruned": ann_ivfpq_pruned,
@@ -1114,11 +1299,13 @@ QUERIES = {
     "ivfpq_probe_audit": ivfpq_probe_audit,
     "ivfpq_incremental_parity": ivfpq_incremental_parity,
     "ivfpq_delete_audit": ivfpq_delete_audit,
+    "ivfpq_drift_audit": ivfpq_drift_audit,
 }
 
 ORACLES: dict[str, str] = {
     "ivfpq_probe_audit": _ivfpq_probe_oracle(),
     "ivfpq_nprobe_recall_audit": _ivfpq_sweep_oracle(),
+    "ivfpq_drift_audit": _ivfpq_drift_oracle(),
     "ivfpq_recall_audit": """
         SELECT CAST(5 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
                true AS recall_ok, true AS rerank_ok,
