@@ -793,6 +793,146 @@ def crawl_pipeline_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_crawl_state(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently materialize the crawl pipeline's ACCUMULATED state for
+    one sf_dir (the `ensure_ivfpq_layout` convention: fingerprint-keyed
+    temp root, `_SUCCESS`-markered, write-once): the batched IVF-PQ index
+    built on the base corpus plus batches 0..CRAWL_BATCHES-2 already
+    ingested through the real per-batch handler. What remains — the FINAL
+    batch — is exactly the steady-state unit of work `crawl_steady_batch`
+    times. Safe to reuse across sessions (near-dup state re-registers
+    surviving files) and across runs (the final batch's writes are
+    batch-partitioned dynamic overwrites: replays converge)."""
+    from ai_powered_data_pipeline_assistant_spark.sources.layout import (
+        _source_fingerprint,
+        write_ivfpq_layout_for,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.crawl_pipeline import (
+        process_crawl_batch,
+    )
+
+    nb = CRAWL_BATCHES
+    tag = (
+        f"{_source_fingerprint(sf_dir)}_"
+        f"{_source_fingerprint(sf_dir, 'documents').rsplit('_', 1)[1]}"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_crawl_{tag}")
+    marker = os.path.join(root, "_SUCCESS")
+    if os.path.isfile(marker):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    arrivals, base = _crawl_splits(spark, sf_dir)
+    write_ivfpq_layout_for(spark, base, f"{root}/index", batched=True)
+    bidx = (F.col("doc_id") / 4).cast("long") % nb
+    for i in range(nb - 1):
+        process_crawl_batch(
+            arrivals.filter(bidx == i),
+            i,
+            f"{root}/state",
+            f"{root}/index",
+            f"{root}/out",
+        )
+    with open(marker, "w") as fh:
+        fh.write("")
+    return root
+
+
+def crawl_steady_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl operator's PROVISIONING number (VERDICT r8 task #6): the
+    composed per-batch latency — near-dup gate + curation + ANN index
+    append — for ONE micro-batch arriving against an already-accumulated
+    state. `ensure_crawl_state` pre-builds the index and ingests batches
+    0..N-2 (write-once, outside the bench timers, like the
+    `ann_ivfpq_pruned` warm-up); the timed path here is exactly what a
+    deployment pays per crawl slice at steady state: shingle/sign the
+    arrivals, bucket-join them against the band state (state side
+    Exchange-free), verify candidates via doc_id-pruned point reads,
+    route + encode the curated vectors through the stored index
+    artifacts, and land three dynamic-overwrite state appends + two
+    batch-partitioned outputs. Replays are idempotent, so best-of-N
+    timing loops re-run the identical unit of work.
+
+    The summary row is oracle-exact: the DuckDB twin recomputes the final
+    batch's drop set via the shared LSH CTE under the arrival rule
+    (earlier-batch partners OR within-batch lower ids) — and
+    ``n_indexed`` pins that the index append added exactly the curated
+    vectors."""
+    nb = CRAWL_BATCHES
+    root = ensure_crawl_state(spark, sf_dir)
+    arrivals, _base = _crawl_splits(spark, sf_dir)
+    bidx = (F.col("doc_id") / 4).cast("long") % nb
+    final = arrivals.filter(bidx == nb - 1)
+
+    from ai_powered_data_pipeline_assistant_spark.streaming.crawl_pipeline import (
+        process_crawl_batch,
+    )
+
+    process_crawl_batch(
+        final, nb - 1, f"{root}/state", f"{root}/index", f"{root}/out"
+    )
+
+    last = F.col("batch_id") == nb - 1
+    n_arrivals = final.count()
+    n_dropped = (
+        spark.read.parquet(f"{root}/out/pairs")
+        .filter(last)
+        .select("later_id")
+        .distinct()
+        .count()
+    )
+    n_curated = spark.read.parquet(f"{root}/out/curated").filter(last).count()
+    n_indexed = (
+        spark.read.parquet(f"{root}/index/codes").filter(last).count()
+    )
+    return spark.createDataFrame(
+        [(n_arrivals, n_dropped, n_curated, n_indexed)],
+        "n_batch_arrivals long, n_dropped long, n_curated long, "
+        "n_indexed long",
+    )
+
+
+def _crawl_steady_sql() -> str:
+    """The final batch's drop set recomputed in SQL: the shared LSH CTE
+    restricted to pairs whose LATER side is in the final batch (earlier
+    partner = earlier batch, or same batch with lower doc_id). Curated and
+    indexed counts both derive from it — the n_indexed = n_curated
+    equality is the index-maintenance pin."""
+    from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        minhash_lsh_cte,
+    )
+
+    nb = CRAWL_BATCHES
+    fb = nb - 1
+    b = lambda side: f"(({side}.doc_id // 4) % {nb})"  # noqa: E731
+    cond = (
+        f"({b('a')} = {fb} AND ({b('b')} < {fb} "
+        f"OR ({b('b')} = {fb} AND a.doc_id > b.doc_id)))"
+    )
+    cte = minhash_lsh_cte("src", cond)
+    return f"""
+        WITH src AS (
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            WHERE d.doc_id % 4 = 0),
+        {cte},
+        later AS (
+            SELECT DISTINCT c.a_id FROM candidates c JOIN pairs p
+              ON (c.a_id = p.a_id AND c.b_id = p.b_id)
+              OR (c.a_id = p.b_id AND c.b_id = p.a_id)
+            WHERE p.jaccard >= {JACCARD_THRESHOLD}),
+        arr AS (SELECT count(*) AS n FROM src
+                WHERE (doc_id // 4) % {nb} = {fb})
+        SELECT CAST(arr.n AS BIGINT) AS n_batch_arrivals,
+               CAST((SELECT count(*) FROM later) AS BIGINT) AS n_dropped,
+               CAST(arr.n - (SELECT count(*) FROM later) AS BIGINT)
+                   AS n_curated,
+               CAST(arr.n - (SELECT count(*) FROM later) AS BIGINT)
+                   AS n_indexed
+        FROM arr
+    """
+
+
 def trigger_cadence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 rerun throttle, driver-scorable (VERDICT r6 next-round #7): start
     the REAL `run_job_stream` (dedup → answer → idempotent batch-versioned
@@ -928,6 +1068,7 @@ def _oracles() -> dict[str, str]:
         """,
         "neardup_stream_parity": _neardup_parity_sql(),
         "crawl_pipeline_parity": _crawl_parity_sql(),
+        "crawl_steady_batch": _crawl_steady_sql(),
         # split sizes SQL-exact; mismatch counters pinned 0, invariants
         # literal true (the maintenance-audit pattern, ivfpq.py)
         "ann_ingest_stream_parity": f"""
@@ -1031,4 +1172,5 @@ QUERIES = {
     "neardup_stream_parity": neardup_stream_parity,
     "ann_ingest_stream_parity": ann_ingest_stream_parity,
     "crawl_pipeline_parity": crawl_pipeline_parity,
+    "crawl_steady_batch": crawl_steady_batch,
 }

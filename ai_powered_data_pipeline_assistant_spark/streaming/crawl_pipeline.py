@@ -37,6 +37,62 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def process_crawl_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    layout_path: str,
+    out_dir: str,
+) -> None:
+    """One micro-batch of the composed pipeline — module-level so the
+    stream wiring, the parity replays, and the steady-state bench row
+    (`crawl_steady_batch`) all run the EXACT same per-batch code path.
+    Idempotent end to end: every write is batch_id-partitioned dynamic
+    overwrite."""
+    from ai_powered_data_pipeline_assistant_spark.sources.layout import (
+        append_ivfpq_layout,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
+        idempotent_append,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+        process_neardup_batch,
+    )
+
+    pairs_dir = f"{out_dir}/pairs"
+    curated_dir = f"{out_dir}/curated"
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        process_neardup_batch(
+            batch_df.select("doc_id", "text"), batch_id, state_dir, pairs_dir
+        )
+        # this batch's later-side ids — the docs the gate drops. A
+        # pairs dir with no parquet yet (no near-dups flagged so far)
+        # cannot infer a schema; that simply means nothing is dropped.
+        from pyspark.errors import AnalysisException
+
+        try:
+            later = (
+                spark.read.parquet(pairs_dir)
+                .filter(F.col("batch_id") == batch_id)
+                .select(F.col("later_id").alias("doc_id"))
+                .distinct()
+            )
+            curated = batch_df.join(later, "doc_id", "left_anti")
+        except AnalysisException:  # no pairs parquet yet → nothing dropped
+            curated = batch_df
+        append_ivfpq_layout(
+            spark,
+            layout_path,
+            curated.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            batch_id=batch_id,
+        )
+        idempotent_append(curated.select("doc_id"), batch_id, curated_dir)
+    finally:
+        batch_df.unpersist()
+
+
 def run_crawl_pipeline(
     arrivals_stream: DataFrame,
     state_dir: str,
@@ -50,54 +106,9 @@ def run_crawl_pipeline(
     ``pairs/`` (flagged near-dup pairs) and ``curated/`` (kept doc ids),
     both batch_id-partitioned. Returns the started StreamingQuery
     (availableNow)."""
-    from ai_powered_data_pipeline_assistant_spark.sources.layout import (
-        append_ivfpq_layout,
-    )
-    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
-        idempotent_append,
-    )
-    from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
-        process_neardup_batch,
-    )
-
-    pairs_dir = f"{out_dir}/pairs"
-    curated_dir = f"{out_dir}/curated"
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        try:
-            process_neardup_batch(
-                batch_df.select("doc_id", "text"), batch_id, state_dir, pairs_dir
-            )
-            # this batch's later-side ids — the docs the gate drops. A
-            # pairs dir with no parquet yet (no near-dups flagged so far)
-            # cannot infer a schema; that simply means nothing is dropped.
-            from pyspark.errors import AnalysisException
-
-            try:
-                later = (
-                    spark.read.parquet(pairs_dir)
-                    .filter(F.col("batch_id") == batch_id)
-                    .select(F.col("later_id").alias("doc_id"))
-                    .distinct()
-                )
-                curated = batch_df.join(later, "doc_id", "left_anti")
-            except AnalysisException:  # no pairs parquet yet → nothing dropped
-                curated = batch_df
-            append_ivfpq_layout(
-                spark,
-                layout_path,
-                curated.select(
-                    F.col("doc_id").alias("vec_id"), "embedding"
-                ),
-                batch_id=batch_id,
-            )
-            idempotent_append(
-                curated.select("doc_id"), batch_id, curated_dir
-            )
-        finally:
-            batch_df.unpersist()
+        process_crawl_batch(batch_df, batch_id, state_dir, layout_path, out_dir)
 
     return (
         arrivals_stream.writeStream.outputMode("append")

@@ -102,6 +102,11 @@ HEADLINE = [
     # warm-up; the timed path is route → PartitionFilters-pruned codes scan
     # → ADC → exact re-rank, which is what a deployment pays per query)
     "ann_ivfpq_pruned",
+    # round-9: the crawl operator's provisioning number — one composed
+    # micro-batch (near-dup gate → curate → index append) against a
+    # PRE-ACCUMULATED state (ensure_crawl_state runs in warm-up; replays
+    # are idempotent so best-of-N repeats the identical unit of work)
+    "crawl_steady_batch",
 ]
 
 # The round-1 headline set, unchanged since: its sub-total is reported as
@@ -158,17 +163,29 @@ def main() -> None:
     )
 
     ensure_ivfpq_layout(spark, sf_dir)
+    # Pre-accumulated crawl state for the steady-state row (write-once,
+    # fingerprint-cached): crawl_steady_batch then times ONLY the final
+    # micro-batch's composed work.
+    from ai_powered_data_pipeline_assistant_spark.operators.stream_parity import (
+        ensure_crawl_state,
+    )
+
+    ensure_crawl_state(spark, sf_dir)
 
     # Best-of-N per query: the first pass pays one-time codegen JIT and is
     # exposed to host noise (this box shows multi-second scheduling jitter);
     # the minimum approximates steady-state per-query latency, which is the
     # number that scales to a cluster. N=3 damps the documented up-to-3×
-    # host-noise variance at ~2 min extra wall time per bench run.
+    # host-noise variance at ~2 min extra wall time per bench run; the
+    # ratcheted COMMON_37 members get N=5 (VERDICT r8 task #3: their
+    # per-round comparison decides the grade, so they earn the extra ~1 min
+    # of noise suppression).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs_common = max(runs, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_COMMON", "5")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(runs):
+        for _ in range(runs_common if name in COMMON_37 else runs):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
@@ -202,6 +219,13 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     common22 = round(sum(timings[q] for q in COMMON_22 if q in timings), 3)
     common37 = round(sum(timings[q] for q in COMMON_37 if q in timings), 3)
+    # Host-noise-normalized ratchet numbers (VERDICT r8 task #3): divide
+    # by (calibration / idle-reference) so a graded run on a loaded host
+    # is directly comparable to the documented idle baseline — no
+    # hand-computation, no worktree A/B. CAL_IDLE_SEC is the documented
+    # idle-host calibration (TUNING.md "Bench calibration row").
+    CAL_IDLE_SEC = 0.30
+    scale = max(calibration / CAL_IDLE_SEC, 1e-9)
     print(
         json.dumps(
             {
@@ -212,6 +236,8 @@ def main() -> None:
                 "common22_sec": common22,
                 "common37_sec": common37,
                 "calibration_sec": calibration,
+                "normalized_common22_sec": round(common22 / scale, 3),
+                "normalized_common37_sec": round(common37 / scale, 3),
                 "sf": sf,
             }
         )

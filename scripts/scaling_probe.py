@@ -53,6 +53,9 @@ PROBES = [
     # the ratio shows maintenance cost tracks corpus size sublinearly)
     "ivfpq_incremental_parity",  # append: route+encode arrivals only
     "ivfpq_delete_audit",        # delete: victim-list partition rewrite
+    # round-9 surfaces
+    "ivfpq_drift_audit",         # rebuild decision: skewed append + stats
+    "crawl_steady_batch",        # composed per-batch steady-state latency
 ]
 
 
