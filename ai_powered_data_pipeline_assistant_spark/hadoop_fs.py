@@ -71,6 +71,15 @@ def list_child_dirs(spark: SparkSession, path: str) -> list[str]:
     ]
 
 
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Same-filesystem rename (the directory-level swap primitive). Hadoop
+    semantics: False when the source is missing or the destination exists
+    — callers treat False as a failed swap, not a crash."""
+    fs, src_p = _fs_path(spark, src)
+    dst_p = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    return bool(fs.rename(src_p, dst_p))
+
+
 def delete_recursive(spark: SparkSession, path: str) -> bool:
     """Recursive delete; False when the path did not exist. Errors from
     the store (permissions, transient) propagate — callers that tolerate

@@ -299,10 +299,11 @@ def compact_ivfpq_layout(spark: SparkSession, layout_path: str) -> int:
     staged.select(*data_cols, *part_cols).write.mode("overwrite").partitionBy(
         *part_cols
     ).parquet(codes_path)
-    return sum(
-        len([f for f in fs if f.endswith(".parquet")])
-        for _, _, fs in os.walk(codes_path)
-    )
+    # Hadoop FS, not os.walk: the codes layout lives on the object store
+    # in a deployment, where a local walk would count nothing.
+    from ai_powered_data_pipeline_assistant_spark import hadoop_fs
+
+    return hadoop_fs.count_parquet(spark, codes_path)
 
 
 def delete_from_ivfpq_layout(

@@ -21,13 +21,12 @@ isolation and file-level pruning of untouched data.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark import hadoop_fs
 
 
 class ParquetTable:
@@ -43,9 +42,7 @@ class ParquetTable:
         self.path = path
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        )
+        return hadoop_fs.has_parquet(self.spark, self.path)
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
@@ -58,14 +55,20 @@ class ParquetTable:
         df.write.mode("append").parquet(self.path)
 
     def _rewrite(self, df: DataFrame) -> None:
-        tmp = os.path.join(
-            tempfile.gettempdir(), f"pq_swap_{uuid.uuid4().hex}"
-        )
+        """Write-new-then-swap through the Hadoop FileSystem API: the
+        staging dir lives NEXT TO the table (same filesystem — a /tmp
+        staging dir could not be renamed onto an s3a:// table), the two
+        renames are the swap, and the old generation is removed last
+        (best-effort: a leaked .old dir costs storage, not correctness)."""
+        tmp = f"{self.path}.tmp_{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(tmp)
-        old = self.path + f".old_{uuid.uuid4().hex}"
-        os.rename(self.path, old)
-        shutil.move(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        old = f"{self.path}.old_{uuid.uuid4().hex}"
+        hadoop_fs.rename(self.spark, self.path, old)
+        hadoop_fs.rename(self.spark, tmp, self.path)
+        try:
+            hadoop_fs.delete_recursive(self.spark, old)
+        except Exception:
+            pass
 
     def merge(self, source: DataFrame, key: str) -> dict[str, int]:
         """S11: MERGE — matched rows replaced by source, unmatched inserted.
