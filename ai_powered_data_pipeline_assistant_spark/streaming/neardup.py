@@ -86,8 +86,15 @@ NEARDUP_ISIN_CAP = 100_000
 def _state_tables(state_dir: str) -> dict[str, str]:
     """Catalog table names for one stream instance, keyed by the state
     directory (unique per stream; stable across restarts of the same
-    stream)."""
-    tag = hashlib.md5(os.path.abspath(state_dir).encode()).hexdigest()[:12]
+    stream). Scheme-qualified dirs (s3a://…, file:/…) are already
+    absolute and must NOT go through os.path.abspath — it would prefix
+    the CWD, so a stream restarted from a different working directory
+    would compute different table names and orphan its state."""
+    if ":" in state_dir.split("/", 1)[0]:  # scheme-qualified → absolute
+        key = state_dir.rstrip("/")
+    else:
+        key = os.path.abspath(state_dir)
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
     return {
         "bands": f"neardup_bands_{tag}",
         "postings": f"neardup_postings_{tag}",
