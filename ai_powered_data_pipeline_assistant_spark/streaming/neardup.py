@@ -286,18 +286,19 @@ def process_neardup_batch(
     # batch docs (within): fetch state rows by candidate ids only
     # (bucket-pruned point reads under the cap, doc_id-bucketed semi-join
     # above it — never a per-batch full postings scan) and union the
-    # batch's own in-memory frames. The distinct-id frame is counted
-    # BEFORE deciding to collect, so the driver round-trip is bounded by
-    # NEARDUP_ISIN_CAP by construction.
+    # batch's own in-memory frames. ONE bounded driver round-trip decides
+    # the path: take(cap+1) returns every id when there are ≤ cap of them
+    # (use them as the IN literal) and cap+1 rows when there are more
+    # (switch to the semi-join without ever collecting the full set).
     cand_ids = (
         candidates.select(F.col("b_id").alias("doc_id"))
         .distinct()
         .transform(materialize)
     )
-    n_partners = cand_ids.count()
+    head = cand_ids.take(NEARDUP_ISIN_CAP + 1)
     partner_ids: list[int] | None = None
-    if n_partners <= NEARDUP_ISIN_CAP:
-        partner_ids = sorted(int(r["doc_id"]) for r in cand_ids.collect())
+    if len(head) <= NEARDUP_ISIN_CAP:
+        partner_ids = sorted(int(r["doc_id"]) for r in head)
     postings_part = _partner_pruned(
         spark.table(tables["postings"]).filter(pre).select("doc_id", "h"),
         partner_ids,
