@@ -79,7 +79,15 @@ def process_crawl_batch(
                 .select(F.col("later_id").alias("doc_id"))
                 .distinct()
             )
-            curated = batch_df.join(later, "doc_id", "left_anti")
+            # two consumers below (index append + curated sink):
+            # materialize so the pairs read + anti-join run once
+            from ai_powered_data_pipeline_assistant_spark.execution import (
+                materialize,
+            )
+
+            curated = batch_df.join(later, "doc_id", "left_anti").transform(
+                materialize
+            )
         except AnalysisException:  # no pairs parquet yet → nothing dropped
             curated = batch_df
         append_ivfpq_layout(
