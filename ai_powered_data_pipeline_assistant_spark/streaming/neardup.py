@@ -114,13 +114,16 @@ _STATE_SPECS: dict[str, tuple[str, list[str]]] = {
 }
 
 
-def _write_bucketed(df: DataFrame, key: str, name: str, path: str) -> None:
+def _write_bucketed(
+    df: DataFrame, key: str, name: str, path: str,
+    n_buckets: int = NEARDUP_STATE_BUCKETS,
+) -> None:
     """(Re)create one state table at ``path`` with its bucket layout."""
     bucket_cols = _STATE_SPECS[key][1]
     (
         df.write.mode("overwrite")
         .partitionBy("batch_id")
-        .bucketBy(NEARDUP_STATE_BUCKETS, *bucket_cols)
+        .bucketBy(n_buckets, *bucket_cols)
         .sortBy(*bucket_cols)
         .option("path", path)
         .format("parquet")
@@ -141,23 +144,27 @@ def _create_state(
     for key, (schema, bucket_cols) in _STATE_SPECS.items():
         if spark.catalog.tableExists(tables[key]):
             continue
-        path = _state_path(spark, state_dir, key)
+        path, n_buckets = _state_layout(spark, state_dir, key)
         if hadoop_fs.has_parquet(spark, path):
             cols = ", ".join(bucket_cols)
             data_cols = ", ".join(
                 c.strip() for c in schema.split(",") if "batch_id" not in c
             )
+            # bucket count comes from the generation dir name, NOT the
+            # module constant: registering re-bucketed files under the
+            # wrong count would silently mis-prune the bucketed joins
             spark.sql(
                 f"CREATE TABLE {tables[key]} ({data_cols}, batch_id long) "
                 f"USING PARQUET PARTITIONED BY (batch_id) "
                 f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
-                f"INTO {NEARDUP_STATE_BUCKETS} BUCKETS "
+                f"INTO {n_buckets} BUCKETS "
                 f"LOCATION '{path}'"
             )
             spark.sql(f"ALTER TABLE {tables[key]} RECOVER PARTITIONS")
         else:
             _write_bucketed(
-                spark.createDataFrame([], schema), key, tables[key], path
+                spark.createDataFrame([], schema), key, tables[key], path,
+                n_buckets,
             )
 
 
@@ -167,21 +174,50 @@ def _join(base: str, name: str) -> str:
     return f"{base.rstrip('/')}/{name}"
 
 
-def _state_path(spark: SparkSession, state_dir: str, key: str) -> str:
-    """Current physical directory for one state table: the newest
-    compaction generation (``{key}_g{n}``) if any, else the base
-    ``{key}`` dir — so a fresh-session re-registration after a compaction
-    finds the compacted files, not the removed original path. Listing goes
-    through the Hadoop FileSystem API so the lookup works when the state
-    dir is an object store, not driver-local disk."""
-    gens = [
-        (int(d.rsplit("_g", 1)[1]), d)
-        for d in hadoop_fs.list_child_dirs(spark, state_dir)
-        if d.startswith(f"{key}_g") and d.rsplit("_g", 1)[1].isdigit()
-    ]
+_GEN_RE_TMPL = r"^{key}_g(\d+)(?:_b(\d+))?$"
+
+
+def _state_generations(
+    spark: SparkSession, state_dir: str, key: str
+) -> list[tuple[int, int, str]]:
+    """Compaction generations for one state table, sorted ascending:
+    ``(gen, n_buckets, dirname)``. Generation dirs are ``{key}_g{n}``
+    (created at NEARDUP_STATE_BUCKETS) or ``{key}_g{n}_b{m}`` (re-bucketed
+    to m by `compact_neardup_state(n_buckets=m)`) — the bucket count is
+    ENCODED IN THE DIR NAME so a fresh-session re-registration can never
+    register re-bucketed files under the wrong count (which would
+    silently break the Exchange-free join and the doc_id point reads)."""
+    import re
+
+    pat = re.compile(_GEN_RE_TMPL.format(key=re.escape(key)))
+    out = []
+    for d in hadoop_fs.list_child_dirs(spark, state_dir):
+        m = pat.match(d)
+        if m:
+            out.append(
+                (
+                    int(m.group(1)),
+                    int(m.group(2)) if m.group(2) else NEARDUP_STATE_BUCKETS,
+                    d,
+                )
+            )
+    return sorted(out)
+
+
+def _state_layout(
+    spark: SparkSession, state_dir: str, key: str
+) -> tuple[str, int]:
+    """Current (physical directory, bucket count) for one state table: the
+    newest compaction generation if any, else the base ``{key}`` dir at
+    the default bucket count — so a fresh-session re-registration after a
+    compaction finds the compacted files (and their layout), not the
+    removed original path. Listing goes through the Hadoop FileSystem API
+    so the lookup works when the state dir is an object store."""
+    gens = _state_generations(spark, state_dir, key)
     if gens:
-        return _join(state_dir, max(gens)[1])
-    return _join(state_dir, key)
+        _gen, n_buckets, dirname = gens[-1]
+        return _join(state_dir, dirname), n_buckets
+    return _join(state_dir, key), NEARDUP_STATE_BUCKETS
 
 
 def drop_state(spark: SparkSession, state_dir: str) -> None:
@@ -365,12 +401,20 @@ def run_neardup_stream(
     )
 
 
-def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict[str, int]:
+def compact_neardup_state(
+    spark: SparkSession, state_dir: str, n_buckets: int | None = None
+) -> dict[str, int]:
     """Offline state compaction (run with the stream stopped): per-batch
     appends leave one file set per batch per table; rewrite each state
-    table into a single ``batch_id = -1`` partition with the SAME bucket
-    layout, so the band join's Exchange-free property and the doc_id
-    pruning path survive compaction. Write-new-then-swap, fully
+    table into a single ``batch_id = -1`` partition with the same bucket
+    layout — or, with ``n_buckets``, RE-BUCKET while compacting: the
+    bucket count is fixed at table creation, so a corpus that outgrows
+    its provisioning (TUNING.md sizing rule: one bucket's bands ≈
+    128 MB–1 GB) migrates here, in the same write-new-then-swap pass it
+    already pays for compaction. The new count is encoded in the
+    generation dir name (``{key}_g{n}_b{m}``) so restarts re-register the
+    correct layout, and the band join's Exchange-free property and the
+    doc_id pruning path hold at the new width. Write-new-then-swap, fully
     distributed: the compacted copy lands in a fresh generation directory
     (one distributed write, no driver round-trip of state rows), the
     catalog entry is re-pointed atomically-enough for an offline
@@ -390,22 +434,18 @@ def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict[str, int]
             .filter(F.col("col_name") == "Location")
             .collect()[0]["data_type"]
         )
-        gen = 1 + max(
-            (
-                int(d.rsplit("_g", 1)[1])
-                for d in hadoop_fs.list_child_dirs(spark, state_dir)
-                if d.startswith(f"{key}_g") and d.rsplit("_g", 1)[1].isdigit()
-            ),
-            default=0,
-        )
-        new_path = _join(state_dir, f"{key}_g{gen}")
+        gens = _state_generations(spark, state_dir, key)
+        gen = 1 + (gens[-1][0] if gens else 0)
+        # None → keep the current width (newest generation's, else the
+        # creation default); an explicit count re-buckets in this pass
+        cur_buckets = gens[-1][1] if gens else NEARDUP_STATE_BUCKETS
+        nb = n_buckets if n_buckets is not None else cur_buckets
+        new_path = _join(state_dir, f"{key}_g{gen}_b{nb}")
         cols = [c for c in spark.table(name).columns if c != "batch_id"]
         staged = (
             spark.table(name)
             .select(*cols, F.lit(-1).cast("long").alias("batch_id"))
-            .repartition(
-                NEARDUP_STATE_BUCKETS, *[F.col(c) for c in _STATE_SPECS[key][1]]
-            )
+            .repartition(nb, *[F.col(c) for c in _STATE_SPECS[key][1]])
         )
         tmp_name = f"{name}_compact"
         spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
@@ -419,7 +459,7 @@ def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict[str, int]
         prev_bucketing = spark.conf.get(bkey)
         spark.conf.set(bkey, "false")
         try:
-            _write_bucketed(staged, key, tmp_name, new_path)
+            _write_bucketed(staged, key, tmp_name, new_path, nb)
         finally:
             spark.conf.set(bkey, prev_bucketing)
         # swap: the compacted table takes the stream's name; external-table

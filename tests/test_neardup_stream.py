@@ -260,6 +260,106 @@ def test_state_lifecycle_on_scheme_qualified_paths(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_compaction_rebuckets_state(spark, sf_dir):
+    """Bucket-count migration: the count is fixed at table creation, so a
+    corpus that outgrows its provisioning re-buckets in the compaction
+    pass. Pins: rows preserved; the new width is encoded in the
+    generation dir and a fresh-session re-registration picks it up (the
+    catalog claiming the WRONG count would silently mis-prune the
+    bucketed join); appends and the Exchange-free band join keep working
+    at the new width; a later compaction WITHOUT n_buckets inherits it."""
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+    from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+        _create_state,
+        _state_layout,
+        _state_tables,
+        compact_neardup_state,
+        drop_state,
+        process_neardup_batch,
+    )
+
+    nb = 3
+    new_width = 8
+    tmp = tempfile.mkdtemp(prefix="neardup_rebucket_")
+    state_dir = f"{tmp}/state"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 300)
+        )
+        for i in range(2):
+            process_neardup_batch(
+                docs.filter(F.col("doc_id") % nb == i), i, state_dir,
+                f"{tmp}/pairs",
+            )
+        tables = _state_tables(state_dir)
+        bands_t = tables["bands"]
+        rows_before = sorted(
+            map(tuple, spark.table(bands_t).drop("batch_id").collect())
+        )
+
+        files_map = compact_neardup_state(spark, state_dir, n_buckets=new_width)
+        assert 1 <= files_map["bands"] <= new_width
+        rows_after = sorted(
+            map(tuple, spark.table(bands_t).drop("batch_id").collect())
+        )
+        assert rows_after == rows_before
+
+        # fresh-session re-registration resolves the re-bucketed layout
+        for name in tables.values():
+            spark.sql(f"DROP TABLE {name}")
+        _create_state(spark, state_dir, tables)
+        path, n_buckets = _state_layout(spark, state_dir, "bands")
+        assert n_buckets == new_width and path.endswith(f"_b{new_width}")
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {bands_t}").collect()
+        n_desc = next(
+            r["data_type"] for r in desc if r["col_name"] == "Num Buckets"
+        )
+        assert int(n_desc) == new_width
+        assert (
+            sorted(map(tuple, spark.table(bands_t).drop("batch_id").collect()))
+            == rows_before
+        )
+
+        # the stream keeps appending, and the band join is still
+        # Exchange-free on the (re-bucketed) state side
+        process_neardup_batch(
+            docs.filter(F.col("doc_id") % nb == 2), 2, state_dir, f"{tmp}/pairs"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe_rows = [
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in spark.table(bands_t).limit(20).collect()
+        ]
+        probe = spark.createDataFrame(
+            probe_rows, "a_id long, band int, band_key string"
+        )
+        j = probe.join(
+            spark.table(bands_t).select(
+                F.col("doc_id").alias("b_id"), "band", "band_key"
+            ),
+            ["band", "band_key"],
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+        # a later compaction without n_buckets INHERITS the new width
+        files_map2 = compact_neardup_state(spark, state_dir)
+        assert 1 <= files_map2["bands"] <= new_width
+        path2, width2 = _state_layout(spark, state_dir, "bands")
+        assert width2 == new_width and path2.endswith(f"_b{new_width}")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        drop_state(spark, state_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_compaction_crash_window_repairs_on_next_batch(spark, sf_dir):
     """VERDICT r8 task #4: kill compaction between ``DROP TABLE`` and
     ``RENAME`` (the two-statement swap window). The stream's table name is
