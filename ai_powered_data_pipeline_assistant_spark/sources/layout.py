@@ -350,6 +350,41 @@ def delete_from_ivfpq_layout(
     return affected
 
 
+def rebuild_ivfpq_layout(
+    spark: SparkSession, layout_path: str, emb: DataFrame,
+    batched: bool = False,
+) -> None:
+    """Drift remediation — the full retrain `ivfpq_drift_audit` recommends
+    (the FAISS re-train-on-drift discipline: appends never retrain, so
+    once the imbalance/staleness rule trips, the codebooks and routing are
+    rebuilt from the CURRENT corpus). Write-new-then-swap through the
+    Hadoop FileSystem API: the fresh index (coarse routing + codebooks +
+    codes) is fully written NEXT TO the live one, two renames are the
+    swap, and the old generation is removed last — queries against the
+    path see either the old index or the new one, never a half-built mix,
+    and the artifact cache self-invalidates (sidecar mtimes + session in
+    the key). After the rebuild the drift rule's at-train baseline resets
+    by construction (imbalance ratio = 1). Cost: one full index build —
+    which is why the DECISION (O(n_lists) statistics, `ivfpq_drift_audit`)
+    is a separate, cheap step a deployment runs per maintenance window."""
+    import uuid
+
+    from ai_powered_data_pipeline_assistant_spark import hadoop_fs
+
+    token = uuid.uuid4().hex
+    tmp = f"{layout_path.rstrip('/')}.rebuild_{token}"
+    write_ivfpq_layout_for(spark, emb, tmp, batched=batched)
+    old = f"{layout_path.rstrip('/')}.old_{token}"
+    hadoop_fs.rename(spark, layout_path, old)
+    hadoop_fs.rename(spark, tmp, layout_path)
+    try:
+        # best-effort: a leaked .old generation costs storage, not
+        # correctness (the live path already points at the new index)
+        hadoop_fs.delete_recursive(spark, old)
+    except Exception:
+        pass
+
+
 def ensure_ivfpq_layout(spark: SparkSession, sf_dir: str) -> str:
     """Idempotently materialize the IVF-PQ layout for one sf_dir (the
     ensure_ivf_layout convention: a write-once index build, cached on the
