@@ -891,6 +891,91 @@ def crawl_steady_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_state_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops accounting for the streaming near-dup state — the numbers a
+    deployment monitors to schedule compaction and re-bucketing
+    (TUNING.md "streaming near-dup state" sizing rules): ingest the
+    corpus as ``NEARDUP_STREAM_BATCHES`` arrival batches through the real
+    per-batch handler, COMPACT, and report the state's row accounting.
+    Driver-pins two claims at once: the state tables hold exactly their
+    derivation — bands = docs × N_BANDS (band keys computed once per
+    arrival), postings = Σ per-doc distinct shingle hashes (the SQL twin
+    recomputes it via the shared shingle CTE), sizes = docs — and
+    compaction preserves every row (all counts are taken AFTER
+    `compact_neardup_state`, so a row lost or duplicated in the
+    fold-to-one-generation rewrite flips the driver hash)."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+        _state_generations,
+        _state_tables,
+        compact_neardup_state,
+        drop_state,
+        process_neardup_batch,
+    )
+
+    nb = NEARDUP_STREAM_BATCHES
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="neardup_report_")
+    state_dir = f"{tmp}/state"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for i in range(nb):
+            process_neardup_batch(
+                docs.filter(F.col("doc_id") % nb == i),
+                i,
+                state_dir,
+                f"{tmp}/pairs",
+            )
+        tables = _state_tables(state_dir)
+        pre = {k: spark.table(n).count() for k, n in tables.items()}
+        compact_neardup_state(spark, state_dir)
+        post = {k: spark.table(n).count() for k, n in tables.items()}
+        generations = len(_state_generations(spark, state_dir, "bands"))
+        n_docs = docs.count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        drop_state(spark, state_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                nb,
+                post["bands"],
+                post["postings"],
+                post["sizes"],
+                generations,
+                pre == post,
+            )
+        ],
+        "n_docs long, n_batches int, bands_rows long, postings_rows long, "
+        "sizes_rows long, generations int, rows_preserved boolean",
+    )
+
+
+def _neardup_report_sql() -> str:
+    """The state accounting recomputed independently: bands/sizes from the
+    doc count, postings from the shared shingle CTE (distinct (doc, hash)
+    — the same dedup the arrival-time build applies)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
+        N_BANDS,
+        _shingle_sql,
+    )
+
+    return f"""
+        WITH postings AS ({_shingle_sql("documents")})
+        SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+               CAST({NEARDUP_STREAM_BATCHES} AS INT) AS n_batches,
+               CAST((SELECT count(*) FROM documents) * {N_BANDS} AS BIGINT)
+                   AS bands_rows,
+               CAST((SELECT count(*) FROM postings) AS BIGINT)
+                   AS postings_rows,
+               CAST((SELECT count(*) FROM documents) AS BIGINT) AS sizes_rows,
+               CAST(1 AS INT) AS generations,
+               true AS rows_preserved
+    """
+
+
 def _crawl_steady_sql() -> str:
     """The final batch's drop set recomputed in SQL: the shared LSH CTE
     restricted to pairs whose LATER side is in the final batch (earlier
@@ -1069,6 +1154,7 @@ def _oracles() -> dict[str, str]:
         "neardup_stream_parity": _neardup_parity_sql(),
         "crawl_pipeline_parity": _crawl_parity_sql(),
         "crawl_steady_batch": _crawl_steady_sql(),
+        "neardup_state_report": _neardup_report_sql(),
         # split sizes SQL-exact; mismatch counters pinned 0, invariants
         # literal true (the maintenance-audit pattern, ivfpq.py)
         "ann_ingest_stream_parity": f"""
@@ -1173,4 +1259,5 @@ QUERIES = {
     "ann_ingest_stream_parity": ann_ingest_stream_parity,
     "crawl_pipeline_parity": crawl_pipeline_parity,
     "crawl_steady_batch": crawl_steady_batch,
+    "neardup_state_report": neardup_state_report,
 }

@@ -133,6 +133,7 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "ann_ingest_stream_parity",
         "crawl_pipeline_parity",
         "crawl_steady_batch",
+        "neardup_state_report",
     }
 )
 
@@ -147,10 +148,10 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # parity, but the driver is the arbiter); (c) ALL 10 remaining r2-greens
 # (tpch_q2/q4/q10/q14/q16/q19/q21, below_nation_avg,
 # supplier_balance_rank, urgent_no_fail_customers); (d) 37 of the 45
-# r3-greens. The 9 deferred r3 names (tpch_q7/q8/q11/q12/q13/q15/q17/q20/
-# q22) are all in untouched tpch.py, keep 6 windowed module siblings
-# (q2/q4/q9/q10/...), and were value-verified by this session's targeted
-# driver_sim runs; they rotate in next round. Names touched by this
+# r3-greens. The 10 deferred r3 names (tpch_q7/q8/q9/q11/q12/q13/q15/q17/
+# q20/q22) are all in untouched tpch.py, keep 7 windowed module siblings
+# (q2/q4/q10/q14/q16/q19/q21), and were value-verified by this session's
+# targeted driver_sim runs; they rotate in next round. Names touched by this
 # round's ivfpq refactor (ann_ivfpq_pruned, ivfpq_delete_audit,
 # ivfpq_incremental_parity, ivfpq_nprobe_recall_audit,
 # ann_ingest_stream_parity) were value-verified green by driver_sim at
@@ -165,6 +166,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # -- NEW round-9 operators, windowed on arrival --
     "ivfpq_drift_audit",
     "crawl_steady_batch",
+    "neardup_state_report",
     # -- module changed in round 9 (streaming/neardup.py): insurance --
     "neardup_stream_parity",
     "crawl_pipeline_parity",
@@ -210,7 +212,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "token_budget",
     "tool_registry_audit",
     "top_users_collected",
-    "tpch_q9",
     "update_by_id",
     "validation_rules",
     "value_percentiles",
