@@ -34,16 +34,22 @@ def exists(spark: SparkSession, path: str) -> bool:
 
 
 def has_parquet(spark: SparkSession, path: str) -> bool:
-    """True when any ``*.parquet`` file exists under ``path`` (recursive).
-    Short-circuits on the first hit — on an object store this is one LIST
-    page in the common case."""
+    """True when any COMMITTED ``*.parquet`` file exists under ``path``
+    (recursive). Task files still under a committer's ``_temporary``
+    staging tree do not count — a crashed job's partial output must not
+    look like live data. Short-circuits on the first hit — on an object
+    store this is one LIST page in the common case."""
     fs, p = _fs_path(spark, path)
     if not fs.exists(p):
         return False
     it = fs.listFiles(p, True)
     while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            return True
+        fp = it.next().getPath()
+        if not fp.getName().endswith(".parquet"):
+            continue
+        if "/_temporary/" in fp.toString():
+            continue
+        return True
     return False
 
 
@@ -69,6 +75,17 @@ def list_child_dirs(spark: SparkSession, path: str) -> list[str]:
     return [
         st.getPath().getName() for st in fs.listStatus(p) if st.isDirectory()
     ]
+
+
+def mtime(spark: SparkSession, path: str) -> int:
+    """Modification time (epoch millis) of ``path``, or -1 when missing —
+    the cache-invalidation stamp that, unlike ``os.stat``, also resolves
+    object-store paths (os.stat on s3a://… always fails, so a local-only
+    stamp would silently freeze caches keyed on it)."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return -1
+    return int(fs.getFileStatus(p).getModificationTime())
 
 
 def rename(spark: SparkSession, src: str, dst: str) -> bool:

@@ -372,6 +372,10 @@ def _exact_global_topk(
 
 
 _ARTIFACT_CACHE: dict[tuple, tuple] = {}
+# FIFO cap: the maintenance audits churn one-shot mkdtemp layouts whose
+# keys never recur, so same-path eviction alone cannot bound the cache; a
+# deployment serves a handful of long-lived indexes, far under this.
+_ARTIFACT_CACHE_MAX = 8
 
 
 def _read_ivfpq_artifacts(
@@ -390,27 +394,27 @@ def _read_ivfpq_artifacts(
     FAISS reading an index header, not twice per query. A rebuilt layout
     (new sidecar mtime) invalidates the entry; the applicationId in the
     key keeps a restarted session from being handed frames bound to a
-    dead session, and same-path eviction keeps the cache at one entry per
-    layout path (the maintenance audits churn tmp layouts — ADVICE r8)."""
-    import os
-
-    def _mt(p: str) -> int:
-        try:
-            return os.stat(p).st_mtime_ns
-        except OSError:
-            return -1
+    dead session; same-path eviction keeps one entry per layout path and
+    a FIFO cap bounds the churned one-shot audit layouts (ADVICE r8 +
+    round-9 review). Sidecar mtimes come from the Hadoop FileSystem API —
+    an os.stat stamp reads -1 forever on s3a://hdfs:// paths, which would
+    freeze the cache across `rebuild_ivfpq_layout` swaps and serve stale
+    centroids/codebooks against retrained codes."""
+    from ai_powered_data_pipeline_assistant_spark import hadoop_fs
 
     key = (
         spark.sparkContext.applicationId,
         layout,
-        _mt(f"{layout}/coarse"),
-        _mt(f"{layout}/codebooks"),
+        hadoop_fs.mtime(spark, f"{layout}/coarse"),
+        hadoop_fs.mtime(spark, f"{layout}/codebooks"),
     )
     hit = _ARTIFACT_CACHE.get(key)
     if hit is not None:
         return hit
     for stale in [k for k in _ARTIFACT_CACHE if k[1] == layout]:
         del _ARTIFACT_CACHE[stale]
+    while len(_ARTIFACT_CACHE) >= _ARTIFACT_CACHE_MAX:
+        del _ARTIFACT_CACHE[next(iter(_ARTIFACT_CACHE))]
     coarse = spark.read.parquet(f"{layout}/coarse")
     centroids = coarse.select("list_id", "centroid")
     cent_map = {

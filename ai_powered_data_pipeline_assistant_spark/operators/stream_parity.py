@@ -873,13 +873,20 @@ def crawl_steady_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     last = F.col("batch_id") == nb - 1
     n_arrivals = final.count()
-    n_dropped = (
-        spark.read.parquet(f"{root}/out/pairs")
-        .filter(last)
-        .select("later_id")
-        .distinct()
-        .count()
-    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        n_dropped = (
+            spark.read.parquet(f"{root}/out/pairs")
+            .filter(last)
+            .select("later_id")
+            .distinct()
+            .count()
+        )
+    except AnalysisException:
+        # no pair was ever flagged across ANY batch → no parquet to infer
+        # a schema from (process_crawl_batch guards the same case)
+        n_dropped = 0
     n_curated = spark.read.parquet(f"{root}/out/curated").filter(last).count()
     n_indexed = (
         spark.read.parquet(f"{root}/index/codes").filter(last).count()

@@ -147,7 +147,7 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # partner fetch — output-identical by design, pinned by the new pytest
 # parity, but the driver is the arbiter); (c) ALL 10 remaining r2-greens
 # (tpch_q2/q4/q10/q14/q16/q19/q21, below_nation_avg,
-# supplier_balance_rank, urgent_no_fail_customers); (d) 37 of the 45
+# supplier_balance_rank, urgent_no_fail_customers); (d) 35 of the 45
 # r3-greens. The 10 deferred r3 names (tpch_q7/q8/q9/q11/q12/q13/q15/q17/
 # q20/q22) are all in untouched tpch.py, keep 7 windowed module siblings
 # (q2/q4/q10/q14/q16/q19/q21), and were value-verified by this session's

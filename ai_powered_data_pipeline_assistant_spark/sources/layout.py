@@ -375,11 +375,20 @@ def rebuild_ivfpq_layout(
     tmp = f"{layout_path.rstrip('/')}.rebuild_{token}"
     write_ivfpq_layout_for(spark, emb, tmp, batched=batched)
     old = f"{layout_path.rstrip('/')}.old_{token}"
-    hadoop_fs.rename(spark, layout_path, old)
-    hadoop_fs.rename(spark, tmp, layout_path)
+    # Hadoop rename reports failure as False, not an exception — check
+    # each step and roll back a half-done swap so the path is never left
+    # with no live index (the maintenance window is single-writer).
+    if not hadoop_fs.rename(spark, layout_path, old):
+        raise IOError(f"rebuild swap: cannot move {layout_path} aside")
+    if not hadoop_fs.rename(spark, tmp, layout_path):
+        hadoop_fs.rename(spark, old, layout_path)  # roll back
+        raise IOError(
+            f"rebuild swap: cannot move retrained index into "
+            f"{layout_path}; previous index restored, rebuild left at {tmp}"
+        )
     try:
-        # best-effort: a leaked .old generation costs storage, not
-        # correctness (the live path already points at the new index)
+        # only now is the old generation redundant; a leaked .old dir
+        # costs storage, not correctness
         hadoop_fs.delete_recursive(spark, old)
     except Exception:
         pass

@@ -180,20 +180,24 @@ _GEN_RE_TMPL = r"^{key}_g(\d+)(?:_b(\d+))?$"
 def _state_generations(
     spark: SparkSession, state_dir: str, key: str
 ) -> list[tuple[int, int, str]]:
-    """Compaction generations for one state table, sorted ascending:
-    ``(gen, n_buckets, dirname)``. Generation dirs are ``{key}_g{n}``
-    (created at NEARDUP_STATE_BUCKETS) or ``{key}_g{n}_b{m}`` (re-bucketed
-    to m by `compact_neardup_state(n_buckets=m)`) — the bucket count is
-    ENCODED IN THE DIR NAME so a fresh-session re-registration can never
-    register re-bucketed files under the wrong count (which would
-    silently break the Exchange-free join and the doc_id point reads)."""
+    """COMMITTED compaction generations for one state table, sorted
+    ascending: ``(gen, n_buckets, dirname)``. Generation dirs are
+    ``{key}_g{n}`` (created at NEARDUP_STATE_BUCKETS) or
+    ``{key}_g{n}_b{m}`` (re-bucketed to m by
+    `compact_neardup_state(n_buckets=m)`) — the bucket count is ENCODED
+    IN THE DIR NAME so a fresh-session re-registration can never register
+    re-bucketed files under the wrong count (which would silently break
+    the Exchange-free join and the doc_id point reads). A generation
+    counts only once its ``_SUCCESS`` marker exists: a compaction that
+    died mid-write leaves a partial dir that must NOT shadow the intact
+    previous generation (round-9 review)."""
     import re
 
     pat = re.compile(_GEN_RE_TMPL.format(key=re.escape(key)))
     out = []
     for d in hadoop_fs.list_child_dirs(spark, state_dir):
         m = pat.match(d)
-        if m:
+        if m and hadoop_fs.exists(spark, _join(_join(state_dir, d), "_SUCCESS")):
             out.append(
                 (
                     int(m.group(1)),

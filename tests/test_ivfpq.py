@@ -448,7 +448,10 @@ def test_drift_rebuild_resets_baseline_and_matches_fresh_build(spark, sf_dir):
         append_ivfpq_layout(spark, live, delta)
 
         rebuild_ivfpq_layout(spark, live, post)
-        assert not os.path.isdir(f"{live}.old"), "swap dirs leaked"
+        import glob
+
+        leaked = glob.glob(f"{live}.old_*") + glob.glob(f"{live}.rebuild_*")
+        assert not leaked, f"swap dirs leaked: {leaked}"
 
         # post-rebuild index ≡ one-pass fresh build on the drifted corpus
         write_ivfpq_layout_for(spark, post, ref)
@@ -458,8 +461,7 @@ def test_drift_rebuild_resets_baseline_and_matches_fresh_build(spark, sf_dir):
         assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
 
         # artifacts re-read from the swapped path (cache invalidated by
-        # the new sidecar mtimes), and the at-train baseline is reset:
-        # post-rebuild imbalance ratio vs itself is 1 < 1.5 → no rebuild
+        # the new sidecar mtimes)
         _centroids, cent_map, _pq = _read_ivfpq_artifacts(spark, live)
         assert len(cent_map) > 0
         new_sizes = {
@@ -471,11 +473,21 @@ def test_drift_rebuild_resets_baseline_and_matches_fresh_build(spark, sf_dir):
         }
         n_total = sum(new_sizes.values())
         assert n_total == post.count()
-        # decision inputs immediately after retrain: max/mean ratio vs the
-        # (identical) at-train snapshot — exactly 1, under the 1.5 rule
-        assert 10 * max(new_sizes.values()) * n_total < 15 * max(
-            new_sizes.values()
-        ) * n_total
+
+        # The baseline reset is what turns the decision OFF: evaluated
+        # against the ORIGINAL (pre-drift) at-train snapshot the drifted
+        # stats still trip the rule; evaluated against the post-rebuild
+        # snapshot (the new at-train baseline) the same stats do not.
+        def rule(at_max, at_total, cur_max, cur_total):
+            return 10 * cur_max * at_total >= 15 * at_max * cur_total
+
+        n_base = sum(sizes.values())
+        assert rule(max_n, n_base, max(new_sizes.values()), n_total), (
+            "drifted stats should trip the rule vs the pre-drift baseline"
+        )
+        assert not rule(
+            max(new_sizes.values()), n_total, max(new_sizes.values()), n_total
+        ), "post-rebuild stats must not trip the rule vs the NEW baseline"
     finally:
         members.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
