@@ -54,16 +54,71 @@ def has_parquet(spark: SparkSession, path: str) -> bool:
 
 
 def count_parquet(spark: SparkSession, path: str) -> int:
-    """Number of ``*.parquet`` files under ``path`` (recursive)."""
+    """Number of COMMITTED ``*.parquet`` files under ``path`` (recursive);
+    ``_temporary`` staging files are excluded, matching ``has_parquet`` —
+    fragmentation accounting must not count a crashed job's leftovers."""
     fs, p = _fs_path(spark, path)
     if not fs.exists(p):
         return 0
     n = 0
     it = fs.listFiles(p, True)
     while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
+        fp = it.next().getPath()
+        if fp.getName().endswith(".parquet") and "/_temporary/" not in fp.toString():
             n += 1
     return n
+
+
+def latest_mtime(spark: SparkSession, path: str) -> int:
+    """Max modification time (epoch millis) over the FILES under ``path``
+    (recursive, ``_temporary`` excluded), or -1 when none. The
+    cache-invalidation stamp for directory contents: directory
+    FileStatus mtimes are synthetic 0 on S3A, so a dir-level stamp would
+    freeze caches across rewrites exactly where it matters."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return -1
+    best = -1
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        if "/_temporary/" in st.getPath().toString():
+            continue
+        best = max(best, int(st.getModificationTime()))
+    return best
+
+
+def swap_dirs(spark: SparkSession, live: str, staged: str) -> None:
+    """Directory-level write-new-then-swap: move ``live`` aside, move
+    ``staged`` in, delete the old copy ONLY after the swap fully
+    succeeded. Hadoop rename reports failure by returning False, not
+    raising — each step is checked, a failed second rename is rolled
+    back, and every error names where the surviving data lives so an
+    operator repairs the right thing. Single-writer discipline assumed
+    (an offline maintenance window — nothing else races the rollback)."""
+    import uuid as _uuid
+
+    old = f"{live.rstrip('/')}.old_{_uuid.uuid4().hex}"
+    if not rename(spark, live, old):
+        raise IOError(
+            f"swap: cannot move {live} aside; staged data left at {staged}"
+        )
+    if not rename(spark, staged, live):
+        restored = rename(spark, old, live)
+        where = (
+            "previous data restored"
+            if restored
+            else f"NOTHING LIVE at {live} — previous data is at {old}"
+        )
+        raise IOError(
+            f"swap: cannot move staged {staged} into {live}; {where}"
+        )
+    try:
+        # only now is the old copy redundant; a leaked .old dir costs
+        # storage, not correctness
+        delete_recursive(spark, old)
+    except Exception:
+        pass
 
 
 def list_child_dirs(spark: SparkSession, path: str) -> list[str]:
@@ -75,17 +130,6 @@ def list_child_dirs(spark: SparkSession, path: str) -> list[str]:
     return [
         st.getPath().getName() for st in fs.listStatus(p) if st.isDirectory()
     ]
-
-
-def mtime(spark: SparkSession, path: str) -> int:
-    """Modification time (epoch millis) of ``path``, or -1 when missing —
-    the cache-invalidation stamp that, unlike ``os.stat``, also resolves
-    object-store paths (os.stat on s3a://… always fails, so a local-only
-    stamp would silently freeze caches keyed on it)."""
-    fs, p = _fs_path(spark, path)
-    if not fs.exists(p):
-        return -1
-    return int(fs.getFileStatus(p).getModificationTime())
 
 
 def rename(spark: SparkSession, src: str, dst: str) -> bool:

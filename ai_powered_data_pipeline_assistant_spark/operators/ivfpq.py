@@ -396,17 +396,20 @@ def _read_ivfpq_artifacts(
     key keeps a restarted session from being handed frames bound to a
     dead session; same-path eviction keeps one entry per layout path and
     a FIFO cap bounds the churned one-shot audit layouts (ADVICE r8 +
-    round-9 review). Sidecar mtimes come from the Hadoop FileSystem API —
-    an os.stat stamp reads -1 forever on s3a://hdfs:// paths, which would
-    freeze the cache across `rebuild_ivfpq_layout` swaps and serve stale
-    centroids/codebooks against retrained codes."""
+    round-9 review). Sidecar stamps are the max FILE mtime under each
+    sidecar dir via the Hadoop FileSystem API — an os.stat stamp reads -1
+    forever on s3a://hdfs:// paths, and a DIRECTORY FileStatus mtime is
+    synthetic 0 on S3A — either would freeze the cache across
+    `rebuild_ivfpq_layout` swaps and serve stale centroids/codebooks
+    against retrained codes. Cheap: the sidecars hold a handful of files
+    (n_lists rows + M·K rows)."""
     from ai_powered_data_pipeline_assistant_spark import hadoop_fs
 
     key = (
         spark.sparkContext.applicationId,
         layout,
-        hadoop_fs.mtime(spark, f"{layout}/coarse"),
-        hadoop_fs.mtime(spark, f"{layout}/codebooks"),
+        hadoop_fs.latest_mtime(spark, f"{layout}/coarse"),
+        hadoop_fs.latest_mtime(spark, f"{layout}/codebooks"),
     )
     hit = _ARTIFACT_CACHE.get(key)
     if hit is not None:

@@ -873,9 +873,13 @@ def crawl_steady_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     last = F.col("batch_id") == nb - 1
     n_arrivals = final.count()
-    from pyspark.errors import AnalysisException
+    from ai_powered_data_pipeline_assistant_spark import hadoop_fs
 
-    try:
+    # explicit no-files check, not a broad AnalysisException catch: only
+    # "no pair was ever flagged across ANY batch" (nothing to infer a
+    # schema from) maps to zero drops — a malformed pairs layout should
+    # still error loudly, not report n_dropped = 0
+    if hadoop_fs.has_parquet(spark, f"{root}/out/pairs"):
         n_dropped = (
             spark.read.parquet(f"{root}/out/pairs")
             .filter(last)
@@ -883,9 +887,7 @@ def crawl_steady_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .count()
         )
-    except AnalysisException:
-        # no pair was ever flagged across ANY batch → no parquet to infer
-        # a schema from (process_crawl_batch guards the same case)
+    else:
         n_dropped = 0
     n_curated = spark.read.parquet(f"{root}/out/curated").filter(last).count()
     n_indexed = (

@@ -374,24 +374,10 @@ def rebuild_ivfpq_layout(
     token = uuid.uuid4().hex
     tmp = f"{layout_path.rstrip('/')}.rebuild_{token}"
     write_ivfpq_layout_for(spark, emb, tmp, batched=batched)
-    old = f"{layout_path.rstrip('/')}.old_{token}"
-    # Hadoop rename reports failure as False, not an exception — check
-    # each step and roll back a half-done swap so the path is never left
-    # with no live index (the maintenance window is single-writer).
-    if not hadoop_fs.rename(spark, layout_path, old):
-        raise IOError(f"rebuild swap: cannot move {layout_path} aside")
-    if not hadoop_fs.rename(spark, tmp, layout_path):
-        hadoop_fs.rename(spark, old, layout_path)  # roll back
-        raise IOError(
-            f"rebuild swap: cannot move retrained index into "
-            f"{layout_path}; previous index restored, rebuild left at {tmp}"
-        )
-    try:
-        # only now is the old generation redundant; a leaked .old dir
-        # costs storage, not correctness
-        hadoop_fs.delete_recursive(spark, old)
-    except Exception:
-        pass
+    # checked two-rename swap with rollback; errors name where the
+    # surviving data lives (shared with ParquetTable._rewrite so the two
+    # swap paths cannot drift)
+    hadoop_fs.swap_dirs(spark, layout_path, tmp)
 
 
 def ensure_ivfpq_layout(spark: SparkSession, sf_dir: str) -> str:

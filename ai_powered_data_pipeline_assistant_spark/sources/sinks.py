@@ -55,32 +55,14 @@ class ParquetTable:
         df.write.mode("append").parquet(self.path)
 
     def _rewrite(self, df: DataFrame) -> None:
-        """Write-new-then-swap through the Hadoop FileSystem API: the
-        staging dir lives NEXT TO the table (same filesystem — a /tmp
-        staging dir could not be renamed onto an s3a:// table), the two
-        renames are the swap, and the old generation is removed ONLY
-        after the swap fully succeeded. Hadoop rename reports failure by
-        returning False, not raising — each step is checked, and a failed
-        second rename rolls the first back so the table is never left
-        with nothing live at its path (single-writer: no one else races
-        the rollback)."""
+        """Write-new-then-swap via ``hadoop_fs.swap_dirs``: the staging
+        dir lives NEXT TO the table (same filesystem — a /tmp staging dir
+        could not be renamed onto an s3a:// table); the helper checks
+        both renames, rolls back a half-done swap, and deletes the old
+        copy only after the swap fully succeeded."""
         tmp = f"{self.path}.tmp_{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}.old_{uuid.uuid4().hex}"
-        if not hadoop_fs.rename(self.spark, self.path, old):
-            raise IOError(f"rewrite swap: cannot move {self.path} aside")
-        if not hadoop_fs.rename(self.spark, tmp, self.path):
-            hadoop_fs.rename(self.spark, old, self.path)  # roll back
-            raise IOError(
-                f"rewrite swap: cannot move staged data into {self.path}; "
-                f"previous table restored, staging left at {tmp}"
-            )
-        try:
-            # only now is the old copy redundant; a leaked .old dir costs
-            # storage, not correctness
-            hadoop_fs.delete_recursive(self.spark, old)
-        except Exception:
-            pass
+        hadoop_fs.swap_dirs(self.spark, self.path, tmp)
 
     def merge(self, source: DataFrame, key: str) -> dict[str, int]:
         """S11: MERGE — matched rows replaced by source, unmatched inserted.

@@ -67,12 +67,14 @@ def process_crawl_batch(
         process_neardup_batch(
             batch_df.select("doc_id", "text"), batch_id, state_dir, pairs_dir
         )
-        # this batch's later-side ids — the docs the gate drops. A
-        # pairs dir with no parquet yet (no near-dups flagged so far)
-        # cannot infer a schema; that simply means nothing is dropped.
-        from pyspark.errors import AnalysisException
+        # this batch's later-side ids — the docs the gate drops. An
+        # explicit no-files check (not a broad AnalysisException catch):
+        # only "no pair flagged so far" (no parquet to infer a schema
+        # from) means nothing is dropped; a malformed pairs layout still
+        # errors loudly.
+        from ai_powered_data_pipeline_assistant_spark import hadoop_fs
 
-        try:
+        if hadoop_fs.has_parquet(spark, pairs_dir):
             later = (
                 spark.read.parquet(pairs_dir)
                 .filter(F.col("batch_id") == batch_id)
@@ -88,7 +90,7 @@ def process_crawl_batch(
             curated = batch_df.join(later, "doc_id", "left_anti").transform(
                 materialize
             )
-        except AnalysisException:  # no pairs parquet yet → nothing dropped
+        else:  # no pairs parquet yet → nothing dropped
             curated = batch_df
         append_ivfpq_layout(
             spark,

@@ -178,33 +178,42 @@ _GEN_RE_TMPL = r"^{key}_g(\d+)(?:_b(\d+))?$"
 
 
 def _state_generations(
-    spark: SparkSession, state_dir: str, key: str
+    spark: SparkSession, state_dir: str, key: str, committed_only: bool = True
 ) -> list[tuple[int, int, str]]:
-    """COMMITTED compaction generations for one state table, sorted
-    ascending: ``(gen, n_buckets, dirname)``. Generation dirs are
-    ``{key}_g{n}`` (created at NEARDUP_STATE_BUCKETS) or
-    ``{key}_g{n}_b{m}`` (re-bucketed to m by
-    `compact_neardup_state(n_buckets=m)`) — the bucket count is ENCODED
-    IN THE DIR NAME so a fresh-session re-registration can never register
-    re-bucketed files under the wrong count (which would silently break
-    the Exchange-free join and the doc_id point reads). A generation
-    counts only once its ``_SUCCESS`` marker exists: a compaction that
-    died mid-write leaves a partial dir that must NOT shadow the intact
-    previous generation (round-9 review)."""
+    """Compaction generations for one state table, sorted ascending:
+    ``(gen, n_buckets, dirname)``. Generation dirs are ``{key}_g{n}``
+    (created at NEARDUP_STATE_BUCKETS) or ``{key}_g{n}_b{m}`` (re-bucketed
+    to m by `compact_neardup_state(n_buckets=m)`) — the bucket count is
+    ENCODED IN THE DIR NAME so a fresh-session re-registration can never
+    register re-bucketed files under the wrong count (which would
+    silently break the Exchange-free join and the doc_id point reads).
+
+    With ``committed_only`` (the read path) a generation counts only once
+    its ``_SUCCESS`` marker exists: a compaction that died mid-write
+    leaves a partial dir that must NOT shadow the intact previous
+    generation. ``committed_only=False`` (the write path's generation
+    NUMBERING) also sees partial dirs, so a compaction retry allocates a
+    fresh number instead of writing into the crash's leftovers
+    (round-9 review)."""
     import re
 
     pat = re.compile(_GEN_RE_TMPL.format(key=re.escape(key)))
     out = []
     for d in hadoop_fs.list_child_dirs(spark, state_dir):
         m = pat.match(d)
-        if m and hadoop_fs.exists(spark, _join(_join(state_dir, d), "_SUCCESS")):
-            out.append(
-                (
-                    int(m.group(1)),
-                    int(m.group(2)) if m.group(2) else NEARDUP_STATE_BUCKETS,
-                    d,
-                )
+        if not m:
+            continue
+        if committed_only and not hadoop_fs.exists(
+            spark, _join(_join(state_dir, d), "_SUCCESS")
+        ):
+            continue
+        out.append(
+            (
+                int(m.group(1)),
+                int(m.group(2)) if m.group(2) else NEARDUP_STATE_BUCKETS,
+                d,
             )
+        )
     return sorted(out)
 
 
@@ -221,7 +230,27 @@ def _state_layout(
     if gens:
         _gen, n_buckets, dirname = gens[-1]
         return _join(state_dir, dirname), n_buckets
-    return _join(state_dir, key), NEARDUP_STATE_BUCKETS
+    # Generation dirs exist by NAME but none is committed: either every
+    # compaction crashed (the base dir below still holds the data) or the
+    # cluster disabled _SUCCESS markers
+    # (mapreduce.fileoutputcommitter.marksuccessfuljobs=false), in which
+    # case falling back to the base dir — which compaction DELETED —
+    # would silently re-create EMPTY state and forget the whole corpus.
+    # Fail loudly instead of admitting every future near-dup.
+    all_gens = _state_generations(spark, state_dir, key, committed_only=False)
+    base = _join(state_dir, key)
+    if all_gens and not hadoop_fs.has_parquet(spark, base):
+        raise RuntimeError(
+            f"near-dup state for {key!r} has generation dirs "
+            f"({[d for _g, _b, d in all_gens]}) but none carries a "
+            f"_SUCCESS marker and the base dir {base} holds no data. "
+            "If this cluster disables committer success markers "
+            "(mapreduce.fileoutputcommitter.marksuccessfuljobs=false), "
+            "re-enable them for the state dir or touch _SUCCESS in the "
+            "newest intact generation; refusing to silently register "
+            "empty state."
+        )
+    return base, NEARDUP_STATE_BUCKETS
 
 
 def drop_state(spark: SparkSession, state_dir: str) -> None:
@@ -438,11 +467,17 @@ def compact_neardup_state(
             .filter(F.col("col_name") == "Location")
             .collect()[0]["data_type"]
         )
-        gens = _state_generations(spark, state_dir, key)
-        gen = 1 + (gens[-1][0] if gens else 0)
-        # None → keep the current width (newest generation's, else the
-        # creation default); an explicit count re-buckets in this pass
-        cur_buckets = gens[-1][1] if gens else NEARDUP_STATE_BUCKETS
+        committed = _state_generations(spark, state_dir, key)
+        # numbering looks at ALL generation dirs (committed or not) so a
+        # retry after a mid-write crash allocates a FRESH number instead
+        # of CTAS-ing into the crash's non-empty leftovers
+        all_gens = _state_generations(
+            spark, state_dir, key, committed_only=False
+        )
+        gen = 1 + (all_gens[-1][0] if all_gens else 0)
+        # None → keep the current width (newest COMMITTED generation's,
+        # else the creation default); an explicit count re-buckets here
+        cur_buckets = committed[-1][1] if committed else NEARDUP_STATE_BUCKETS
         nb = n_buckets if n_buckets is not None else cur_buckets
         new_path = _join(state_dir, f"{key}_g{gen}_b{nb}")
         cols = [c for c in spark.table(name).columns if c != "batch_id"]

@@ -446,6 +446,15 @@ def test_drift_rebuild_resets_baseline_and_matches_fresh_build(spark, sf_dir):
             post = post.unionByName(shifted)
             delta = shifted if delta is None else delta.unionByName(shifted)
         append_ivfpq_layout(spark, live, delta)
+        # the genuinely drifted (pre-rebuild) per-list sizes — what the
+        # production rule is evaluated on
+        drifted_sizes = {
+            int(r["list_id"]): int(r["n"])
+            for r in _read_codes(spark, codes_dir)
+            .groupBy("list_id")
+            .agg(F2.count("*").alias("n"))
+            .collect()
+        }
 
         rebuild_ivfpq_layout(spark, live, post)
         import glob
@@ -475,16 +484,20 @@ def test_drift_rebuild_resets_baseline_and_matches_fresh_build(spark, sf_dir):
         assert n_total == post.count()
 
         # The baseline reset is what turns the decision OFF: evaluated
-        # against the ORIGINAL (pre-drift) at-train snapshot the drifted
-        # stats still trip the rule; evaluated against the post-rebuild
-        # snapshot (the new at-train baseline) the same stats do not.
+        # against the ORIGINAL (pre-drift) at-train snapshot, the
+        # PRE-REBUILD drifted index trips the rule; evaluated against the
+        # post-rebuild snapshot (the new at-train baseline), the current
+        # stats do not.
         def rule(at_max, at_total, cur_max, cur_total):
             return 10 * cur_max * at_total >= 15 * at_max * cur_total
 
         n_base = sum(sizes.values())
-        assert rule(max_n, n_base, max(new_sizes.values()), n_total), (
-            "drifted stats should trip the rule vs the pre-drift baseline"
-        )
+        assert rule(
+            max_n,
+            n_base,
+            max(drifted_sizes.values()),
+            sum(drifted_sizes.values()),
+        ), "pre-rebuild drifted stats should trip the rule vs the pre-drift baseline"
         assert not rule(
             max(new_sizes.values()), n_total, max(new_sizes.values()), n_total
         ), "post-rebuild stats must not trip the rule vs the NEW baseline"
