@@ -1,0 +1,265 @@
+"""Exact-substring deduplication (Lee et al. 2022, "Deduplicating Training
+Data Makes Language Models Better") — remove every repeated token span from
+the corpus, keeping only its first occurrence.
+
+No reference parity row (the reference dedups whole documents by content
+hash, backend/services/vector_service.py:105) — this is the north-star
+training-data extension family: whole-document and near-dup passes miss the
+boilerplate/quote/license spans that repeat INSIDE otherwise-unique
+documents, and Lee et al. show those intra-document repeats measurably hurt
+the trained model. Their tool builds a monolithic suffix array; at 100 TB a
+single suffix array is not buildable, so the standard distributed
+re-expression is DENSE K-token window fingerprints (every position, not the
+sampled winnowing of `winnow_fingerprints`): a span of length >= K repeats
+somewhere iff every one of its K-windows repeats, so dropping all non-first
+duplicate K-windows and merging the surviving drop intervals per document
+removes exactly the repeated spans at K-token resolution.
+
+Semantics (shared verbatim by the SQL oracle):
+
+1. Tokenize ``trim(lower(text))`` on whitespace (repo convention).
+2. Every K-token sliding window (stride 1) at positions ``0..n-K``.
+3. A window occurrence is DROPPED iff an occurrence of the same window
+   text exists at a strictly smaller ``(doc_id, pos)`` — global
+   first-wins, same-document repeats included.
+4. Per document, dropped windows cover token interval
+   ``[pos, pos+K-1]``; overlapping/adjacent-by-overlap intervals merge
+   (gaps-and-islands), and the merged spans are the removed text.
+
+Scale design: one explode to ``(window, doc, pos)`` — rows = corpus
+tokens; ONE shuffle keyed by the window content (uniform by construction —
+a key is hot only if the span really repeats, and those rows are exactly
+the duplicates being counted); first-occurrence via ``row_number`` inside
+the key partition; the interval merge is two window functions over
+``doc_id`` partitions. Nothing quadratic, no driver round-trips. At 100 TB
+you would key the shuffle by a 128-bit content hash of the window instead
+of the string (same plan shape, 16-byte shuffle rows; collision odds
+~1e-18); the test-scale build keys by the window text itself so the DuckDB
+oracle is exact rather than hash-trusting.
+
+``substring_dedup`` returns the per-document accounting (driver-hashable
+scalars, oracle-exact); ``substring_dedup_spans`` returns the merged spans
+themselves (span text reassembled from the token array) for the removal
+pass that would rewrite the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+
+# Lee et al. remove spans of >= 50 BPE tokens; the synthetic corpus tops
+# out at 99 whitespace tokens per document, so the fixture resolution is 8.
+SUBSTR_K = 8
+
+
+def _dropped_intervals(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(per-doc token counts, dropped-window intervals): the shared front
+    half of both queries. One explode + one content-keyed shuffle."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sized = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id", "t", F.size("t").alias("n")
+    )
+    wins = F.expr(
+        "transform(sequence(0, size(t) - {k}), "
+        "i -> struct(i AS pos, concat_ws(' ', slice(t, i + 1, {k})) AS win))".format(
+            k=SUBSTR_K
+        )
+    )
+    occ = (
+        sized.filter(F.col("n") >= SUBSTR_K)
+        .select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+    )
+    # First-wins inside the content-key partition; everything else drops.
+    w = Window.partitionBy("win").orderBy("doc_id", "pos")
+    dropped = (
+        occ.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos", (F.col("pos") + SUBSTR_K - 1).alias("e"))
+    )
+    return sized, dropped
+
+
+def _merged_spans(dropped: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of dropped intervals per document:
+    (doc_id, s, e, n_windows) with overlapping intervals folded."""
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max("e").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+    ).otherwise(0)
+    islands = dropped.withColumn("isl", F.sum(new_island).over(wd))
+    return islands.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("s"),
+        F.max("e").alias("e"),
+        F.count("*").cast("long").alias("n_windows"),
+    )
+
+
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-substring dedup accounting: token count, merged
+    duplicate spans, dropped-window occurrences, tokens removed/kept."""
+    sized, dropped = _dropped_intervals(spark, sf_dir)
+    spans = _merged_spans(dropped)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum("n_windows").cast("long").alias("dup_windows"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("tokens_removed"),
+    )
+    return (
+        sized.select("doc_id", F.col("n").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.coalesce("tokens_removed", F.lit(0)).cast("long").alias("tokens_removed"),
+            (F.col("n_tokens") - F.coalesce("tokens_removed", F.lit(0)))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged duplicate spans themselves: (doc_id, span_start,
+    span_end, n_windows, span_text) — the rewrite list a removal pass
+    would apply. Span text is re-sliced from the token array (join back on
+    doc_id, slice(s+1, len))."""
+    sized, dropped = _dropped_intervals(spark, sf_dir)
+    spans = _merged_spans(dropped)
+    return (
+        spans.join(sized.select("doc_id", "t"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("span_start"),
+            F.col("e").cast("long").alias("span_end"),
+            "n_windows",
+            F.concat_ws(
+                " ",
+                F.slice(F.col("t"), F.col("s") + 1, F.col("e") - F.col("s") + 1),
+            ).alias("span_text"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def _substring_dedup_oracle() -> str:
+    k = SUBSTR_K
+    return f"""
+        WITH sized AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t,
+                   length(string_split_regex(trim(lower(text)), '\\s+')) AS n
+            FROM documents),
+        occ AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(t[i + 1 : i + {k}], ' ') AS win
+            FROM sized, LATERAL (SELECT unnest(range(0, n - {k} + 1)) AS i)
+            WHERE n >= {k}),
+        dropped AS (
+            SELECT doc_id, pos, pos + {k} - 1 AS e
+            FROM (SELECT doc_id, pos,
+                         row_number() OVER (PARTITION BY win
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM occ)
+            WHERE rn > 1),
+        marked AS (
+            SELECT doc_id, pos, e,
+                   CASE WHEN pos > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            -1)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM dropped),
+        spans AS (
+            SELECT doc_id, isl, min(pos) AS s, max(e) AS e,
+                   count(*) AS n_windows
+            FROM (SELECT doc_id, pos, e,
+                         sum(new_island) OVER (PARTITION BY doc_id
+                                               ORDER BY pos
+                                               ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM marked)
+            GROUP BY 1, 2),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_dup_spans,
+                   CAST(sum(n_windows) AS BIGINT) AS dup_windows,
+                   CAST(sum(e - s + 1) AS BIGINT) AS tokens_removed
+            FROM spans GROUP BY 1)
+        SELECT b.doc_id,
+               CAST(b.n AS BIGINT) AS n_tokens,
+               coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+               coalesce(p.dup_windows, 0) AS dup_windows,
+               coalesce(p.tokens_removed, 0) AS tokens_removed,
+               CAST(b.n - coalesce(p.tokens_removed, 0) AS BIGINT)
+                   AS tokens_kept
+        FROM sized b LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
+def _substring_spans_oracle() -> str:
+    k = SUBSTR_K
+    return f"""
+        WITH sized AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t,
+                   length(string_split_regex(trim(lower(text)), '\\s+')) AS n
+            FROM documents),
+        occ AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(t[i + 1 : i + {k}], ' ') AS win
+            FROM sized, LATERAL (SELECT unnest(range(0, n - {k} + 1)) AS i)
+            WHERE n >= {k}),
+        dropped AS (
+            SELECT doc_id, pos, pos + {k} - 1 AS e
+            FROM (SELECT doc_id, pos,
+                         row_number() OVER (PARTITION BY win
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM occ)
+            WHERE rn > 1),
+        marked AS (
+            SELECT doc_id, pos, e,
+                   CASE WHEN pos > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            -1)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM dropped),
+        spans AS (
+            SELECT doc_id, isl, min(pos) AS s, max(e) AS e,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM (SELECT doc_id, pos, e,
+                         sum(new_island) OVER (PARTITION BY doc_id
+                                               ORDER BY pos
+                                               ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM marked)
+            GROUP BY 1, 2)
+        SELECT s.doc_id,
+               CAST(s.s AS BIGINT) AS span_start,
+               CAST(s.e AS BIGINT) AS span_end,
+               s.n_windows,
+               array_to_string(b.t[s.s + 1 : s.e + 1], ' ') AS span_text
+        FROM spans s JOIN sized b USING (doc_id)
+        ORDER BY doc_id, span_start
+    """
+
+
+ORACLES: dict[str, str] = {
+    "substring_dedup": _substring_dedup_oracle(),
+    "substring_dedup_spans": _substring_spans_oracle(),
+}
+
+QUERIES = {
+    "substring_dedup": substring_dedup,
+    "substring_dedup_spans": substring_dedup_spans,
+}

@@ -44,6 +44,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     scoring,
     sharding,
     stream_parity,
+    substring,
     surface_audits,
     text_analysis,
     tpch,
@@ -72,6 +73,7 @@ _MODULES = [
     pipeline,
     repetition,
     neardup_cluster,
+    substring,
     diagnostics,
     corpus,
     webcorpus,
