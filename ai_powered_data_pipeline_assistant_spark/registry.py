@@ -48,6 +48,7 @@ from ai_powered_data_pipeline_assistant_spark.operators import (
     surface_audits,
     text_analysis,
     tpch,
+    unigram,
     vector,
     webcorpus,
     windows,
@@ -61,6 +62,7 @@ _MODULES = [
     batching,
     behavior,
     bpe,
+    unigram,
     joins,
     vector,
     pq,
@@ -117,6 +119,10 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "bpe_token_counts",
         "bpe_probe_audit",
         "bpe_encode_probe_audit",
+        "unigram_vocab_table",
+        "unigram_token_counts",
+        "unigram_probe_audit",
+        "unigram_encode_probe_audit",
         "quality_trainer_report",
         "logreg_probe_audit",
         "ann_ivf_autotuned",
@@ -158,17 +164,29 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # ivfpq_incremental_parity, ivfpq_nprobe_recall_audit,
 # ann_ingest_stream_parity) were value-verified green by driver_sim at
 # sf0.01 this session and keep their r8 rows.
+# Late round-9 additions (exact-substring dedup, unigram tokenizer): their
+# 5 oracle-backed names are windowed on arrival, displacing the 5 youngest
+# r3 re-checks (update_by_id, validation_rules, value_percentiles,
+# value_percentiles_approx_audit, winnow_fingerprints) — all 5 were
+# value-verified MATCH by this session's full 50-slot driver_sim run at
+# sf0.01 before displacement; they rotate back in round 10.
 # Every slot carries an oracle AND is driver-representable — both halves
 # enforced on every pytest by tests/test_driver_sim_hardening.py
 # (oracle presence + driver_representable over the built window frames).
 # Rows-only entries (bpe_merge_table, kmeans_embeddings, compression_ratio,
-# embed_*, quality_trainer_report, bpe_token_counts, scan_file_stats) are
-# NEVER windowed — their currency is their scalarized audit twins.
+# embed_*, quality_trainer_report, bpe_token_counts, scan_file_stats,
+# unigram_vocab_table, unigram_token_counts) are NEVER windowed — their
+# currency is their scalarized audit twins.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- NEW round-9 operators, windowed on arrival --
     "ivfpq_drift_audit",
     "crawl_steady_batch",
     "neardup_state_report",
+    "substring_dedup",
+    "substring_dedup_spans",
+    "unigram_seed_counts",
+    "unigram_probe_audit",
+    "unigram_encode_probe_audit",
     # -- module changed in round 9 (streaming/neardup.py): insurance --
     "neardup_stream_parity",
     "crawl_pipeline_parity",
@@ -214,11 +232,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "token_budget",
     "tool_registry_audit",
     "top_users_collected",
-    "update_by_id",
-    "validation_rules",
-    "value_percentiles",
-    "value_percentiles_approx_audit",
-    "winnow_fingerprints",
 )
 
 

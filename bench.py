@@ -107,6 +107,10 @@ HEADLINE = [
     # PRE-ACCUMULATED state (ensure_crawl_state runs in warm-up; replays
     # are idempotent so best-of-N repeats the identical unit of work)
     "crawl_steady_batch",
+    # late round-9: exact-substring dedup (Lee et al. 2022 — dense K-gram
+    # first-wins drop + per-doc interval merge; the corpus-pass cost a
+    # repeated-span removal deployment pays)
+    "substring_dedup",
 ]
 
 # The round-1 headline set, unchanged since: its sub-total is reported as

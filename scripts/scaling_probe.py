@@ -56,6 +56,9 @@ PROBES = [
     # round-9 surfaces
     "ivfpq_drift_audit",         # rebuild decision: skewed append + stats
     "crawl_steady_batch",        # composed per-batch steady-state latency
+    # late round-9 surfaces
+    "substring_dedup",           # dense K-gram explode + content-key shuffle
+    "unigram_seed_counts",       # bounded-substring explode + groupBy
 ]
 
 

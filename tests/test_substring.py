@@ -1,0 +1,96 @@
+"""Exact-substring dedup: first-wins window drop, interval merge, and the
+accounting identities that make the removal pass trustworthy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark.operators.substring import (
+    SUBSTR_K,
+    substring_dedup,
+    substring_dedup_spans,
+)
+
+
+@pytest.fixture(scope="module")
+def acct(spark, sf_dir):
+    return substring_dedup(spark, sf_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def spans(spark, sf_dir):
+    return substring_dedup_spans(spark, sf_dir).collect()
+
+
+def test_accounting_identities(acct):
+    for r in acct:
+        assert r["tokens_kept"] == r["n_tokens"] - r["tokens_removed"]
+        assert 0 <= r["tokens_removed"] <= r["n_tokens"]
+        # a merged span covers at least K tokens; spans never overlap, so
+        # removal is bounded below by spans * K
+        assert r["tokens_removed"] >= r["n_dup_spans"] * SUBSTR_K
+        # each dropped window adds at most K tokens to the removal
+        assert r["tokens_removed"] <= r["dup_windows"] * SUBSTR_K + (
+            0 if r["dup_windows"] else 0
+        )
+        if r["n_dup_spans"] == 0:
+            assert r["dup_windows"] == 0 and r["tokens_removed"] == 0
+
+
+def test_spans_are_disjoint_and_sized(spans):
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["span_start"])
+        for r in rows:
+            assert r["span_end"] - r["span_start"] + 1 >= SUBSTR_K
+            assert len(r["span_text"].split(" ")) == (
+                r["span_end"] - r["span_start"] + 1
+            )
+        for a, b in zip(rows, rows[1:]):
+            assert b["span_start"] > a["span_end"]  # merged → disjoint
+
+
+def test_spans_reconcile_with_accounting(acct, spans):
+    removed: dict[int, int] = {}
+    windows: dict[int, int] = {}
+    n_spans: dict[int, int] = {}
+    for r in spans:
+        removed[r["doc_id"]] = removed.get(r["doc_id"], 0) + (
+            r["span_end"] - r["span_start"] + 1
+        )
+        windows[r["doc_id"]] = windows.get(r["doc_id"], 0) + r["n_windows"]
+        n_spans[r["doc_id"]] = n_spans.get(r["doc_id"], 0) + 1
+    for r in acct:
+        d = r["doc_id"]
+        assert r["tokens_removed"] == removed.get(d, 0)
+        assert r["dup_windows"] == windows.get(d, 0)
+        assert r["n_dup_spans"] == n_spans.get(d, 0)
+
+
+def test_first_occurrence_always_survives(spark, sf_dir, spans):
+    """Every removed span's text still exists somewhere in the kept corpus:
+    the span repeats, and first-wins retains the earliest occurrence's
+    windows, so at least one copy of each K-window inside the span is NOT
+    removed anywhere."""
+    from ai_powered_data_pipeline_assistant_spark.operators.substring import (
+        _dropped_intervals,
+    )
+
+    sized, dropped = _dropped_intervals(spark, sf_dir)
+    n_occ = (
+        sized.filter(F.col("n") >= SUBSTR_K)
+        .select((F.col("n") - SUBSTR_K + 1).alias("w"))
+        .agg(F.sum("w"))
+        .first()[0]
+    )
+    n_dropped = dropped.count()
+    # the kept set is non-empty and strictly smaller than all occurrences
+    assert 0 < n_dropped < n_occ
+
+
+def test_corpus_has_duplicate_spans(acct):
+    # the synthetic corpus repeats phrases — the operator must find some
+    assert sum(r["n_dup_spans"] for r in acct) > 0
