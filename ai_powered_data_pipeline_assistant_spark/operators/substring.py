@@ -27,11 +27,13 @@ Semantics (shared verbatim by the SQL oracle):
    (gaps-and-islands), and the merged spans are the removed text.
 
 Scale design: one explode to ``(window, doc, pos)`` — rows = corpus
-tokens; ONE shuffle keyed by the window content (uniform by construction —
-a key is hot only if the span really repeats, and those rows are exactly
-the duplicates being counted); first-occurrence via ``row_number`` inside
-the key partition; the interval merge is two window functions over
-``doc_id`` partitions. Nothing quadratic, no driver round-trips. At 100 TB
+tokens; first-occurrence via a map-side-combined ``min(struct(doc_id,
+pos))`` per window content plus a join back (NOT a row_number window — a
+template-spam window repeated millions of times would serialize into one
+unsplittable window partition, while the aggregate combines before the
+shuffle and AQE's skew-join splitting handles the join side); the interval
+merge is two window functions over ``doc_id`` partitions, bounded by the
+DROPPED windows only. Nothing quadratic, no driver round-trips. At 100 TB
 you would key the shuffle by a 128-bit content hash of the window instead
 of the string (same plan shape, 16-byte shuffle rows; collision odds
 ~1e-18); the test-scale build keys by the window text itself so the DuckDB
@@ -74,11 +76,21 @@ def _dropped_intervals(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
         .select("doc_id", F.explode(wins).alias("w"))
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
     )
-    # First-wins inside the content-key partition; everything else drops.
-    w = Window.partitionBy("win").orderBy("doc_id", "pos")
+    # First-wins via a map-side-combined min(struct) + join, NOT a
+    # row_number window: a template-spam window repeated millions of times
+    # would land every occurrence in ONE unsplittable window partition,
+    # while the aggregate combines partials before the shuffle and AQE can
+    # split the skewed join partition (struct comparison is lexicographic,
+    # so min(struct(doc_id, pos)) IS "ORDER BY doc_id, pos LIMIT 1").
+    firsts = occ.groupBy("win").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
     dropped = (
-        occ.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") > 1)
+        occ.join(firsts, "win")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
         .select("doc_id", "pos", (F.col("pos") + SUBSTR_K - 1).alias("e"))
     )
     return sized, dropped
@@ -152,62 +164,44 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _substring_dedup_oracle() -> str:
-    k = SUBSTR_K
-    return f"""
-        WITH sized AS (
-            SELECT doc_id,
-                   string_split_regex(trim(lower(text)), '\\s+') AS t,
-                   length(string_split_regex(trim(lower(text)), '\\s+')) AS n
-            FROM documents),
-        occ AS (
-            SELECT doc_id, i AS pos,
-                   array_to_string(t[i + 1 : i + {k}], ' ') AS win
-            FROM sized, LATERAL (SELECT unnest(range(0, n - {k} + 1)) AS i)
-            WHERE n >= {k}),
-        dropped AS (
-            SELECT doc_id, pos, pos + {k} - 1 AS e
-            FROM (SELECT doc_id, pos,
-                         row_number() OVER (PARTITION BY win
-                                            ORDER BY doc_id, pos) AS rn
-                  FROM occ)
-            WHERE rn > 1),
-        marked AS (
-            SELECT doc_id, pos, e,
-                   CASE WHEN pos > coalesce(max(e) OVER (
-                            PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                            -1)
-                        THEN 1 ELSE 0 END AS new_island
-            FROM dropped),
-        spans AS (
-            SELECT doc_id, isl, min(pos) AS s, max(e) AS e,
-                   count(*) AS n_windows
-            FROM (SELECT doc_id, pos, e,
-                         sum(new_island) OVER (PARTITION BY doc_id
-                                               ORDER BY pos
-                                               ROWS UNBOUNDED PRECEDING) AS isl
-                  FROM marked)
-            GROUP BY 1, 2),
-        per_doc AS (
-            SELECT doc_id,
-                   CAST(count(*) AS BIGINT) AS n_dup_spans,
-                   CAST(sum(n_windows) AS BIGINT) AS dup_windows,
-                   CAST(sum(e - s + 1) AS BIGINT) AS tokens_removed
-            FROM spans GROUP BY 1)
-        SELECT b.doc_id,
-               CAST(b.n AS BIGINT) AS n_tokens,
-               coalesce(p.n_dup_spans, 0) AS n_dup_spans,
-               coalesce(p.dup_windows, 0) AS dup_windows,
-               coalesce(p.tokens_removed, 0) AS tokens_removed,
-               CAST(b.n - coalesce(p.tokens_removed, 0) AS BIGINT)
-                   AS tokens_kept
-        FROM sized b LEFT JOIN per_doc p USING (doc_id)
-        ORDER BY doc_id
-    """
+def substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal pass itself: per document the text with every duplicate
+    span excised (first occurrences survive corpus-wide). Token positions
+    covered by a merged span are dropped in-row (indexed ``transform`` +
+    ``exists`` over the doc's span array — no per-token explode), the rest
+    reassemble in order."""
+    sized, dropped = _dropped_intervals(spark, sf_dir)
+    spans = (
+        _merged_spans(dropped)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("s").cast("int").alias("s"), F.col("e").cast("int").alias("e"))
+            ).alias("spans")
+        )
+    )
+    joined = sized.join(spans, "doc_id", "left").withColumn(
+        "spans",
+        F.coalesce(F.col("spans"), F.expr("CAST(array() AS array<struct<s:int,e:int>>)")),
+    )
+    kept = F.expr(
+        "filter(transform(t, (tok, p) -> struct(p AS p, tok AS tok)), "
+        "x -> NOT exists(spans, sp -> x.p >= sp.s AND x.p <= sp.e))"
+    )
+    return (
+        joined.withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.size("kept").cast("long").alias("tokens_kept"),
+            F.concat_ws(" ", F.expr("transform(kept, x -> x.tok)")).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
 
 
-def _substring_spans_oracle() -> str:
+def _spans_cte() -> str:
+    """Shared oracle prefix: sized → occ → dropped → marked → spans — the
+    same first-wins + interval-merge semantics as the Spark build."""
     k = SUBSTR_K
     return f"""
         WITH sized AS (
@@ -243,7 +237,53 @@ def _substring_spans_oracle() -> str:
                                                ORDER BY pos
                                                ROWS UNBOUNDED PRECEDING) AS isl
                   FROM marked)
-            GROUP BY 1, 2)
+            GROUP BY 1, 2)"""
+
+
+def _substring_rewrite_oracle() -> str:
+    return f"""{_spans_cte()},
+        toks AS (
+            SELECT doc_id, p, t[p + 1] AS tok
+            FROM sized, LATERAL (SELECT unnest(range(0, n)) AS p)),
+        kept AS (
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS tokens_kept,
+                   string_agg(b.tok, ' ' ORDER BY b.p) AS kept_text
+            FROM toks b
+            WHERE NOT EXISTS (SELECT 1 FROM spans s
+                              WHERE s.doc_id = b.doc_id
+                                AND b.p BETWEEN s.s AND s.e)
+            GROUP BY 1)
+        SELECT z.doc_id,
+               coalesce(k.tokens_kept, 0) AS tokens_kept,
+               coalesce(k.kept_text, '') AS kept_text
+        FROM sized z LEFT JOIN kept k USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
+def _substring_dedup_oracle() -> str:
+    return f"""{_spans_cte()},
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_dup_spans,
+                   CAST(sum(n_windows) AS BIGINT) AS dup_windows,
+                   CAST(sum(e - s + 1) AS BIGINT) AS tokens_removed
+            FROM spans GROUP BY 1)
+        SELECT b.doc_id,
+               CAST(b.n AS BIGINT) AS n_tokens,
+               coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+               coalesce(p.dup_windows, 0) AS dup_windows,
+               coalesce(p.tokens_removed, 0) AS tokens_removed,
+               CAST(b.n - coalesce(p.tokens_removed, 0) AS BIGINT)
+                   AS tokens_kept
+        FROM sized b LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
+def _substring_spans_oracle() -> str:
+    return f"""{_spans_cte()}
         SELECT s.doc_id,
                CAST(s.s AS BIGINT) AS span_start,
                CAST(s.e AS BIGINT) AS span_end,
@@ -257,9 +297,11 @@ def _substring_spans_oracle() -> str:
 ORACLES: dict[str, str] = {
     "substring_dedup": _substring_dedup_oracle(),
     "substring_dedup_spans": _substring_spans_oracle(),
+    "substring_rewrite": _substring_rewrite_oracle(),
 }
 
 QUERIES = {
     "substring_dedup": substring_dedup,
     "substring_dedup_spans": substring_dedup_spans,
+    "substring_rewrite": substring_rewrite,
 }

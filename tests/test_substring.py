@@ -10,6 +10,7 @@ from ai_powered_data_pipeline_assistant_spark.operators.substring import (
     SUBSTR_K,
     substring_dedup,
     substring_dedup_spans,
+    substring_rewrite,
 )
 
 
@@ -94,3 +95,16 @@ def test_first_occurrence_always_survives(spark, sf_dir, spans):
 def test_corpus_has_duplicate_spans(acct):
     # the synthetic corpus repeats phrases — the operator must find some
     assert sum(r["n_dup_spans"] for r in acct) > 0
+
+
+def test_rewrite_reconciles_with_accounting(spark, sf_dir, acct):
+    rw = {r["doc_id"]: r for r in substring_rewrite(spark, sf_dir).collect()}
+    assert len(rw) == len(acct)
+    for r in acct:
+        out = rw[r["doc_id"]]
+        assert out["tokens_kept"] == r["tokens_kept"]
+        n_text_tokens = len(out["kept_text"].split(" ")) if out["kept_text"] else 0
+        assert n_text_tokens == out["tokens_kept"]
+        # untouched docs round-trip their text verbatim (modulo normalize)
+        if r["tokens_removed"] == 0:
+            assert out["tokens_kept"] == r["n_tokens"]
