@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
 
 # Lee et al. remove spans of >= 50 BPE tokens; the synthetic corpus tops
 # out at 99 whitespace tokens per document, so the fixture resolution is 8.
@@ -71,7 +72,9 @@ def _dropped_intervals(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
             k=SUBSTR_K
         )
     )
-    occ = (
+    # occ feeds BOTH the first-occurrence aggregate and the join probe
+    # side — materialize per session policy so the explode runs once.
+    occ = materialize(
         sized.filter(F.col("n") >= SUBSTR_K)
         .select("doc_id", F.explode(wins).alias("w"))
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))

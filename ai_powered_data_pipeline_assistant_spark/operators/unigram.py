@@ -60,6 +60,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
 from ai_powered_data_pipeline_assistant_spark.operators.bpe import (
     BPE_VOCAB_CAP,
     _word_freqs,
@@ -164,12 +165,19 @@ def _seed_vocab(words: DataFrame) -> dict[str, int]:
 
 def _train(
     words: DataFrame, rounds: int
-) -> tuple[dict[str, int], dict[str, int]]:
+) -> tuple[DataFrame, dict[str, int], dict[str, int]]:
     """Hard-EM driver loop: per round one vocabulary-scale segmentation +
     one distributed piece recount (collected — piece table rows, not
-    corpus rows). Returns (final counts, final costs)."""
-    spark_words = words.select("word", "freq")
-    counts = _seed_vocab(words)
+    corpus rows). Returns (materialized vocabulary frame, final counts,
+    final costs) — callers encode against the returned frame so the
+    corpus is never rescanned.
+
+    The vocabulary frame is materialized ONCE at entry — without the
+    barrier every round's recount action would re-run the corpus-scale
+    word-frequency groupBy behind `_word_freqs` (R+1 corpus passes instead
+    of the module contract's one)."""
+    spark_words = materialize(words.select("word", "freq"))
+    counts = _seed_vocab(spark_words)
     for _ in range(rounds):
         costs = _costs(counts)
         seg = spark_words.withColumn("pieces", _segment_udf(costs)("word"))
@@ -188,7 +196,7 @@ def _train(
             elif u >= UNI_MIN_COUNT:
                 pruned[p] = u
         counts = pruned
-    return counts, _costs(counts)
+    return spark_words, counts, _costs(counts)
 
 
 def _vocab_frame(
@@ -228,7 +236,7 @@ def unigram_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Viterbi-EM is not DuckDB-expressible); trainer exactness is pinned by
     `unigram_probe_audit`'s golden replica and the seed oracle above."""
     words = _word_freqs(spark, sf_dir)
-    counts, costs = _train(words, UNI_ROUNDS)
+    _words, counts, costs = _train(words, UNI_ROUNDS)
     return _vocab_frame(spark, counts, costs)
 
 
@@ -241,8 +249,8 @@ def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (trained-table dep); encode exactness is pinned by
     `unigram_encode_probe_audit`."""
     words = _word_freqs(spark, sf_dir)
-    _counts, costs = _train(words, UNI_ROUNDS)
-    encoded = words.select(
+    head, _counts, costs = _train(words, UNI_ROUNDS)
+    encoded = head.select(
         "word", F.size(_segment_udf(costs)("word")).alias("n_pieces")
     )
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
@@ -289,7 +297,7 @@ def unigram_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift in seeding, cost quantization, tie-breaking, or pruning changes
     a row."""
     words = spark.createDataFrame(UNI_PROBES, "word string, freq long").repartition(3)
-    counts, costs = _train(words, UNI_PROBE_ROUNDS)
+    _words, counts, costs = _train(words, UNI_PROBE_ROUNDS)
     return _vocab_frame(spark, counts, costs)
 
 
@@ -358,8 +366,8 @@ def unigram_encode_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     values from the pure-Python replica — catches any train-time vs
     encode-time segmentation divergence."""
     words = spark.createDataFrame(UNI_PROBES, "word string, freq long").repartition(3)
-    _counts, costs = _train(words, UNI_PROBE_ROUNDS)
-    seg = words.withColumn("pieces", _segment_udf(costs)("word"))
+    head, _counts, costs = _train(words, UNI_PROBE_ROUNDS)
+    seg = head.withColumn("pieces", _segment_udf(costs)("word"))
     return seg.select(
         "word",
         F.size("pieces").alias("n_pieces"),
