@@ -270,6 +270,49 @@ def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer bake-off: per source, token fertility (tokens per
+    whitespace word) under the trained BPE and unigram tokenizers — the
+    standard number for choosing a tokenizer before a pretraining run
+    (lower fertility = more text per context window). Integer token sums
+    are primary; the ratios are display-rounded. Rows-only (depends on
+    both trained tables; each trainer's exactness is pinned by its own
+    probe audits)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    bpe_counts = bpe_token_counts(spark, sf_dir)
+    uni_counts = unigram_token_counts(spark, sf_dir).drop("n_words")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "source"
+    )
+    joined = docs.join(bpe_counts, "doc_id").join(uni_counts, "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+            F.sum("unigram_tokens").cast("long").alias("unigram_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "bpe_tokens",
+            "unigram_tokens",
+            F.round(F.col("bpe_tokens") / F.col("n_words"), 4).alias(
+                "bpe_fertility"
+            ),
+            F.round(F.col("unigram_tokens") / F.col("n_words"), 4).alias(
+                "unigram_fertility"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # Fixed probe vocabulary: shared stems/suffixes so seeding, pruning and
 # tie-breaking all exercise non-trivial paths (the BPE probe family plus
 # two words that only unigram segments well).
@@ -429,4 +472,5 @@ QUERIES = {
     "unigram_probe_audit": unigram_probe_audit,
     "unigram_token_counts": unigram_token_counts,  # rows-only (trained dep)
     "unigram_encode_probe_audit": unigram_encode_probe_audit,
+    "tokenizer_fertility_report": tokenizer_fertility_report,  # rows-only
 }

@@ -123,6 +123,7 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "unigram_token_counts",
         "unigram_probe_audit",
         "unigram_encode_probe_audit",
+        "tokenizer_fertility_report",
         "quality_trainer_report",
         "logreg_probe_audit",
         "ann_ivf_autotuned",

@@ -106,6 +106,22 @@ def test_token_counts_bounded_by_chars_and_words(spark, sf_dir):
     assert bad == 0
 
 
+def test_fertility_report_ratios_and_sums(spark, sf_dir):
+    from ai_powered_data_pipeline_assistant_spark.operators.unigram import (
+        tokenizer_fertility_report,
+    )
+
+    rows = tokenizer_fertility_report(spark, sf_dir).collect()
+    assert rows, "expected at least one source"
+    for r in rows:
+        # every word is at least one token under any subword tokenizer
+        assert r["bpe_tokens"] >= r["n_words"]
+        assert r["unigram_tokens"] >= r["n_words"]
+        assert r["bpe_fertility"] >= 1.0
+        assert r["unigram_fertility"] >= 1.0
+        assert r["n_docs"] > 0
+
+
 def test_costs_quantization_is_integer_micronats():
     c = _costs({"a": 3, "b": 1})
     assert all(isinstance(v, int) for v in c.values())
