@@ -21,7 +21,11 @@ Semantics (shared verbatim by the SQL oracle):
 2. Every K-token sliding window (stride 1) at positions ``0..n-K``.
 3. A window occurrence is DROPPED iff an occurrence of the same window
    text exists at a strictly smaller ``(doc_id, pos)`` — global
-   first-wins, same-document repeats included.
+   first-wins, same-document repeats included. (First-wins is at WINDOW
+   granularity: when a repeat overlaps itself — e.g. a run of one token
+   longer than K — the dropped window's interval can excise tokens of the
+   kept first window, so a self-overlapping span may lose all its copies.
+   Lee et al.'s suffix-array tool shares this edge case.)
 4. Per document, dropped windows cover token interval
    ``[pos, pos+K-1]``; overlapping/adjacent-by-overlap intervals merge
    (gaps-and-islands), and the merged spans are the removed text.

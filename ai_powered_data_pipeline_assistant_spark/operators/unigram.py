@@ -277,24 +277,50 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lower fertility = more text per context window). Integer token sums
     are primary; the ratios are display-rounded. Rows-only (depends on
     both trained tables; each trainer's exactness is pinned by its own
-    probe audits)."""
+    probe audits).
+
+    Cost shape: BOTH tokenizers train and encode on the SAME materialized
+    vocabulary head (one corpus word-frequency pass total), and the corpus
+    is exploded to (doc, source, word) exactly ONCE — the per-word piece
+    counts of both tokenizers broadcast-join onto that single explode.
+    Calling bpe_token_counts + unigram_token_counts separately would pay
+    the corpus scan three times over."""
     from ai_powered_data_pipeline_assistant_spark.operators.bpe import (
-        bpe_token_counts,
+        BPE_MIN_COUNT,
+        BPE_ROUNDS,
+        _apply_merges,
+        _chars_expr,
+    )
+    from ai_powered_data_pipeline_assistant_spark.operators.bpe import (
+        _train as _bpe_train,
     )
 
-    bpe_counts = bpe_token_counts(spark, sf_dir)
-    uni_counts = unigram_token_counts(spark, sf_dir).drop("n_words")
-    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
-        "doc_id", "source"
+    words = _word_freqs(spark, sf_dir)
+    head, _counts, costs = _train(words, UNI_ROUNDS)
+    uni_enc = head.select(
+        "word", F.size(_segment_udf(costs)("word")).alias("uni_pieces")
     )
-    joined = docs.join(bpe_counts, "doc_id").join(uni_counts, "doc_id")
+    bwords = head.withColumn("syms", _chars_expr())
+    merges = _bpe_train(bwords, BPE_ROUNDS, BPE_MIN_COUNT)
+    bpe_enc = _apply_merges(bwords, merges).select(
+        "word", F.size("syms").alias("bpe_pieces")
+    )
+    enc = uni_enc.join(bpe_enc, "word")  # head-scale
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    doc_words = docs.select(
+        "doc_id", "source", F.explode(toks).alias("word")
+    ).filter(F.length("word") > 0)
+    joined = doc_words.join(F.broadcast(enc), "word", "left")
+    bpe_tok = F.coalesce(F.col("bpe_pieces"), F.length("word")).cast("long")
+    uni_tok = F.coalesce(F.col("uni_pieces"), F.length("word")).cast("long")
     return (
         joined.groupBy("source")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_words").cast("long").alias("n_words"),
-            F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
-            F.sum("unigram_tokens").cast("long").alias("unigram_tokens"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(bpe_tok).alias("bpe_tokens"),
+            F.sum(uni_tok).alias("unigram_tokens"),
         )
         .select(
             "source",

@@ -58,6 +58,7 @@ PROBES = [
     "crawl_steady_batch",        # composed per-batch steady-state latency
     # late round-9 surfaces
     "substring_dedup",           # dense K-gram explode + content-key shuffle
+    "substring_rewrite",         # same front half + in-row span excision
     "unigram_seed_counts",       # bounded-substring explode + groupBy
 ]
 
