@@ -484,6 +484,127 @@ def neardup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_STREAM_BATCHES = 3
+
+
+def substring_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming exact-substring dedup ≡ its batch twin:
+    partition the corpus into ``SUBSTR_STREAM_BATCHES`` arrival batches
+    (batch index = doc_id % NB), replay them as ORDERED micro-batches
+    through the REAL `streaming/substring_stream.run_substring_stream`
+    (hash-keyed window membership against accumulated bucketed state),
+    then exceptAll-diff the accumulated per-document accounting against
+    `substring.accounting_for` under the ARRIVAL first-wins order
+    (batch index, doc_id, pos). The batch twin keys first-wins by window
+    TEXT while the stream keys by the 60-bit hash, so a hash collision
+    would surface here as a mismatch. One row: doc counts both sides,
+    dropped-window and removed-token totals, mismatch count, equality.
+    The oracle recomputes the batch side via the shared `_spans_cte` with
+    the arrival ordering and pins mismatches = 0."""
+    from ai_powered_data_pipeline_assistant_spark.operators.substring import (
+        accounting_for,
+        dropped_intervals_for,
+        sized_docs,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.substring_stream import (
+        drop_state,
+        run_substring_stream,
+    )
+
+    nb = SUBSTR_STREAM_BATCHES
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"substr_stream_{run_id}_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        for i in range(nb):
+            part_dir = f"{tmp}/part{i}"
+            docs.filter(F.col("doc_id") % nb == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part_dir)
+            part = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            dst = f"{src}/batch{i:03d}.parquet"
+            shutil.copyfile(f"{part_dir}/{part}", dst)
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_substring_stream(
+            stream, f"{tmp}/state", f"{tmp}/acct", f"{tmp}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            q.awaitTermination(30)
+            raise TimeoutError(
+                "substring stream did not finish within 300 s — parity "
+                "cannot be assessed on a partial accounting table"
+            )
+        got = spark.read.parquet(f"{tmp}/acct").select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_spans",
+            "dup_windows",
+            "tokens_removed",
+            "tokens_kept",
+        )
+        sized = sized_docs(docs)
+        want = accounting_for(
+            sized, dropped_intervals_for(sized, batch_expr=lambda d: d % nb)
+        ).transform(materialize_barrier)
+        n_stream = got.count()
+        n_batch = want.count()
+        missing = want.exceptAll(got).count()
+        extra = got.exceptAll(want).count()
+        dropped_total = got.agg(
+            F.sum("dup_windows").cast("long")
+        ).first()[0]
+        removed_total = got.agg(
+            F.sum("tokens_removed").cast("long")
+        ).first()[0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        drop_state(spark, f"{tmp}/state")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(n_stream).cast("long").alias("n_docs_stream"),
+        F.lit(n_batch).cast("long").alias("n_docs_batch"),
+        F.lit(int(dropped_total)).cast("long").alias("dropped_windows"),
+        F.lit(int(removed_total)).cast("long").alias("tokens_removed"),
+        F.lit(nb).cast("int").alias("n_batches"),
+        F.lit(missing + extra).cast("long").alias("n_mismatches"),
+        F.lit(missing + extra == 0).alias("stream_equals_batch"),
+    )
+
+
+def _substring_parity_sql() -> str:
+    """Batch side recomputed via substring's shared spans CTE under the
+    arrival first-wins order; totals SQL-exact, mismatches pinned 0."""
+    from ai_powered_data_pipeline_assistant_spark.operators.substring import (
+        _spans_cte,
+    )
+
+    nb = SUBSTR_STREAM_BATCHES
+    cte = _spans_cte(order_sql=f"doc_id % {nb}, doc_id, pos")
+    return f"""{cte}
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM sized) AS n_docs_stream,
+               (SELECT CAST(count(*) AS BIGINT) FROM sized) AS n_docs_batch,
+               (SELECT CAST(count(*) AS BIGINT) FROM dropped)
+                   AS dropped_windows,
+               (SELECT CAST(coalesce(sum(e - s + 1), 0) AS BIGINT)
+                FROM spans) AS tokens_removed,
+               CAST({nb} AS INT) AS n_batches,
+               CAST(0 AS BIGINT) AS n_mismatches,
+               true AS stream_equals_batch
+    """
+
+
 ANN_INGEST_BATCHES = 2
 
 
@@ -1161,6 +1282,7 @@ def _oracles() -> dict[str, str]:
             FROM events
         """,
         "neardup_stream_parity": _neardup_parity_sql(),
+        "substring_stream_parity": _substring_parity_sql(),
         "crawl_pipeline_parity": _crawl_parity_sql(),
         "crawl_steady_batch": _crawl_steady_sql(),
         "neardup_state_report": _neardup_report_sql(),
@@ -1265,6 +1387,7 @@ QUERIES = {
     "channel_fanout_parity": channel_fanout_parity,
     "trigger_cadence_audit": trigger_cadence_audit,
     "neardup_stream_parity": neardup_stream_parity,
+    "substring_stream_parity": substring_stream_parity,
     "ann_ingest_stream_parity": ann_ingest_stream_parity,
     "crawl_pipeline_parity": crawl_pipeline_parity,
     "crawl_steady_batch": crawl_steady_batch,

@@ -62,14 +62,22 @@ from ai_powered_data_pipeline_assistant_spark.execution import materialize
 SUBSTR_K = 8
 
 
-def _dropped_intervals(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(per-doc token counts, dropped-window intervals): the shared front
-    half of both queries. One explode + one content-keyed shuffle."""
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+def sized_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, t, n): the tokenized view every stage shares."""
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    sized = docs.select("doc_id", toks.alias("t")).select(
+    return docs.select("doc_id", toks.alias("t")).select(
         "doc_id", "t", F.size("t").alias("n")
     )
+
+
+def dropped_intervals_for(
+    sized: DataFrame, batch_expr=None
+) -> DataFrame:
+    """Dropped-window intervals (doc_id, pos, e) for an already-tokenized
+    corpus. ``batch_expr`` (a Column over doc_id) prepends an ARRIVAL
+    batch index to the first-wins order — the streaming twin's semantics,
+    where "earlier" means an earlier micro-batch first, (doc_id, pos)
+    within one; None is the batch operator's plain (doc_id, pos) order."""
     wins = F.expr(
         "transform(sequence(0, size(t) - {k}), "
         "i -> struct(i AS pos, concat_ws(' ', slice(t, i + 1, {k})) AS win))".format(
@@ -89,10 +97,11 @@ def _dropped_intervals(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     # while the aggregate combines partials before the shuffle and AQE can
     # split the skewed join partition (struct comparison is lexicographic,
     # so min(struct(doc_id, pos)) IS "ORDER BY doc_id, pos LIMIT 1").
-    firsts = occ.groupBy("win").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first")
-    )
-    dropped = (
+    order_fields = (
+        [batch_expr(F.col("doc_id")).alias("b")] if batch_expr else []
+    ) + [F.col("doc_id"), F.col("pos")]
+    firsts = occ.groupBy("win").agg(F.min(F.struct(*order_fields)).alias("first"))
+    return (
         occ.join(firsts, "win")
         .filter(
             (F.col("doc_id") != F.col("first.doc_id"))
@@ -100,7 +109,14 @@ def _dropped_intervals(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
         )
         .select("doc_id", "pos", (F.col("pos") + SUBSTR_K - 1).alias("e"))
     )
-    return sized, dropped
+
+
+def _dropped_intervals(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(per-doc token counts, dropped-window intervals): the shared front
+    half of the registry queries. One explode + one content-keyed shuffle."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    sized = sized_docs(docs)
+    return sized, dropped_intervals_for(sized)
 
 
 def _merged_spans(dropped: DataFrame) -> DataFrame:
@@ -121,10 +137,9 @@ def _merged_spans(dropped: DataFrame) -> DataFrame:
     )
 
 
-def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document exact-substring dedup accounting: token count, merged
-    duplicate spans, dropped-window occurrences, tokens removed/kept."""
-    sized, dropped = _dropped_intervals(spark, sf_dir)
+def accounting_for(sized: DataFrame, dropped: DataFrame) -> DataFrame:
+    """Per-document accounting frame from (sized, dropped intervals) —
+    shared by the batch query and the streaming parity twin."""
     spans = _merged_spans(dropped)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_dup_spans"),
@@ -146,6 +161,12 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-substring dedup accounting: token count, merged
+    duplicate spans, dropped-window occurrences, tokens removed/kept."""
+    return accounting_for(*_dropped_intervals(spark, sf_dir))
 
 
 def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,16 +227,18 @@ def substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spans_cte() -> str:
+def _spans_cte(order_sql: str = "doc_id, pos", table: str = "documents") -> str:
     """Shared oracle prefix: sized → occ → dropped → marked → spans — the
-    same first-wins + interval-merge semantics as the Spark build."""
+    same first-wins + interval-merge semantics as the Spark build.
+    ``order_sql`` sets the first-wins order (the streaming parity oracle
+    prepends the arrival-batch index)."""
     k = SUBSTR_K
     return f"""
         WITH sized AS (
             SELECT doc_id,
                    string_split_regex(trim(lower(text)), '\\s+') AS t,
                    length(string_split_regex(trim(lower(text)), '\\s+')) AS n
-            FROM documents),
+            FROM {table}),
         occ AS (
             SELECT doc_id, i AS pos,
                    array_to_string(t[i + 1 : i + {k}], ' ') AS win
@@ -225,7 +248,7 @@ def _spans_cte() -> str:
             SELECT doc_id, pos, pos + {k} - 1 AS e
             FROM (SELECT doc_id, pos,
                          row_number() OVER (PARTITION BY win
-                                            ORDER BY doc_id, pos) AS rn
+                                            ORDER BY {order_sql}) AS rn
                   FROM occ)
             WHERE rn > 1),
         marked AS (

@@ -1,0 +1,207 @@
+"""Incremental streaming exact-substring dedup — the span-level gate of a
+continuous crawl: each arriving micro-batch of documents has every K-token
+window checked against ALL windows seen in earlier batches AND against the
+batch itself; repeated spans are accounted (and removable) per document,
+and the batch's new windows join the seen state.
+
+Extension lineage: batch twin `operators/substring.py` (Lee et al. 2022);
+the streaming state pattern is `streaming/neardup.py`'s (bucketed
+catalog-backed state, batch_id-partitioned dynamic-overwrite appends,
+Hadoop-FS re-registration in fresh sessions) specialized to ONE table —
+exact window membership needs no bands/postings/sizes split.
+
+State: ``wins (h long, batch_id long)`` — one 60-bit content hash per
+DISTINCT window first seen in that batch, BUCKETED on ``h``. Per batch the
+arriving documents are tokenized and window-hashed ONCE (O(batch tokens));
+membership against history is one LEFT-SEMI/LEFT-ANTI pair against the
+h-bucketed state — only the (batch-sized) probe side shuffles into the
+bucket layout, the accumulated state is read in place, never re-shuffled
+or recomputed. State grows one 8-byte hash per distinct window ever seen —
+the hash-keyed design the batch module's 100 TB note prescribes (collision
+odds ~1e-18 at 1e12 windows; the parity audit compares against the
+text-keyed batch twin, so a collision would surface as a mismatch, not
+silent corruption).
+
+Semantics (pinned by `substring_stream_parity`): an occurrence is DROPPED
+iff its window was seen in an earlier batch, or earlier within this batch
+by (doc_id, pos) — i.e. the batch operator's first-wins under the ARRIVAL
+order (batch index, doc_id, pos). Per-batch accounting rows land via the
+exactly-once batch-partitioned writer; the state append is a dynamic
+overwrite of the batch's own partition, so replays after any partial
+write repair both in place.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark import hadoop_fs
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
+from ai_powered_data_pipeline_assistant_spark.functions.hashing import md5_int
+
+SUBSTR_STATE_BUCKETS = 4
+_WINS_SCHEMA = "h long, batch_id long"
+
+
+def _state_table(state_dir: str) -> str:
+    """Catalog table name for one stream instance (stable across restarts
+    of the same stream; scheme-qualified dirs stay as-is — see
+    neardup._state_tables for the abspath rationale)."""
+    if ":" in state_dir.split("/", 1)[0]:
+        key = state_dir.rstrip("/")
+    else:
+        key = os.path.abspath(state_dir)
+    return f"substr_wins_{hashlib.md5(key.encode()).hexdigest()[:12]}"
+
+
+def _wins_path(state_dir: str) -> str:
+    return f"{state_dir.rstrip('/')}/wins"
+
+
+def _create_state(spark: SparkSession, state_dir: str, table: str) -> None:
+    """Create the wins table with its bucket layout — or re-register
+    surviving state files when the stream restarts in a fresh session
+    (the default catalog is in-memory; wiping survivors would silently
+    forget the whole seen-window corpus)."""
+    if spark.catalog.tableExists(table):
+        return
+    path = _wins_path(state_dir)
+    if hadoop_fs.has_parquet(spark, path):
+        spark.sql(
+            f"CREATE TABLE {table} (h long, batch_id long) "
+            f"USING PARQUET PARTITIONED BY (batch_id) "
+            f"CLUSTERED BY (h) SORTED BY (h) "
+            f"INTO {SUBSTR_STATE_BUCKETS} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        spark.sql(f"ALTER TABLE {table} RECOVER PARTITIONS")
+    else:
+        (
+            spark.createDataFrame([], _WINS_SCHEMA)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .bucketBy(SUBSTR_STATE_BUCKETS, "h")
+            .sortBy("h")
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
+
+def drop_state(spark: SparkSession, state_dir: str) -> None:
+    """Drop the stream's catalog entry (external files live under
+    ``state_dir`` and follow its lifecycle)."""
+    spark.sql(f"DROP TABLE IF EXISTS {_state_table(state_dir)}")
+
+
+def process_substring_batch(
+    docs: DataFrame, batch_id: int, state_dir: str, out_dir: str
+) -> None:
+    """One micro-batch of the incremental exact-substring gate —
+    module-level so a test can REPLAY a completed batch and pin that the
+    replay reproduces identical accounting and state."""
+    from ai_powered_data_pipeline_assistant_spark.operators.substring import (
+        SUBSTR_K,
+        accounting_for,
+        sized_docs,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
+        idempotent_append,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+        _insert_dynamic,
+    )
+
+    spark = docs.sparkSession
+    table = _state_table(state_dir)
+    if not spark.catalog.tableExists(table):
+        _create_state(spark, state_dir, table)
+
+    sized = materialize(sized_docs(docs.select("doc_id", "text")))
+    wins = F.expr(
+        "transform(sequence(0, size(t) - {k}), "
+        "i -> struct(i AS pos, concat_ws(' ', slice(t, i + 1, {k})) AS win))".format(
+            k=SUBSTR_K
+        )
+    )
+    # Hash ONCE per occurrence; the window text never enters the shuffle
+    # or the state (8-byte keys — the batch module's 100 TB note).
+    occ = materialize(
+        sized.filter(F.col("n") >= SUBSTR_K)
+        .select("doc_id", F.explode(wins).alias("w"))
+        .select(
+            "doc_id",
+            F.col("w.pos").alias("pos"),
+            md5_int(F.col("w.win")).alias("h"),
+        )
+    )
+    # STRICTLY PRE-BATCH state (replays have already landed their own
+    # partition; reading it back would drop every occurrence of the batch).
+    state_h = (
+        spark.table(table)
+        .filter(F.col("batch_id") < batch_id)
+        .select("h")
+    )
+    # Within-batch first occurrence per window hash — the map-side-combined
+    # min(struct) shape of the batch operator.
+    firsts_b = occ.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    # A batch occurrence survives iff it IS its window's within-batch first
+    # AND the window is unseen in state; everything else drops. Both state
+    # probes are batch-sized against the h-bucketed table (semi/anti join:
+    # the probe side shuffles into the bucket layout, state scans in place).
+    batch_firsts = (
+        occ.join(firsts_b, "h")
+        .filter(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .select("doc_id", "pos", "h")
+    )
+    kept = batch_firsts.join(state_h, "h", "left_anti").select(
+        "doc_id", "pos", "h"
+    ).transform(materialize)
+    dropped = occ.join(
+        kept.select("doc_id", "pos"), ["doc_id", "pos"], "left_anti"
+    ).select("doc_id", "pos", (F.col("pos") + SUBSTR_K - 1).alias("e"))
+
+    acct = accounting_for(sized, dropped)
+    # Exactly-once per-batch accounting: batch_id-partitioned dynamic
+    # overwrite (batch docs appear in exactly one batch, so the union of
+    # partitions is the per-doc accounting under the arrival order).
+    idempotent_append(acct, batch_id, out_dir)
+    # State append: the batch's NEW distinct windows (their first
+    # occurrence's hash). Dynamic overwrite of the batch partition makes
+    # replays self-repairing.
+    _insert_dynamic(
+        kept.select("h").distinct().select(
+            "h", F.lit(batch_id).cast("long").alias("batch_id")
+        ),
+        table,
+    )
+
+
+def run_substring_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint: str,
+):
+    """Wire the incremental exact-substring gate over a (doc_id, text)
+    source. Returns the started StreamingQuery (availableNow)."""
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        process_substring_batch(batch_df, batch_id, state_dir, out_dir)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_handle)
+        .trigger(availableNow=True)
+        .start()
+    )
