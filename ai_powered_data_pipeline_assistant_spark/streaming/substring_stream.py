@@ -186,6 +186,62 @@ def process_substring_batch(
     )
 
 
+def compact_substring_state(spark: SparkSession, state_dir: str) -> int:
+    """Offline state compaction (run with the stream stopped): per-batch
+    appends leave one file set per batch; rewrite the wins table into a
+    single ``batch_id = -1`` partition with the same bucket layout. The
+    compacted copy is staged NEXT TO the live dir and swapped in with
+    checked renames (`hadoop_fs.swap_dirs` — rollback on a failed second
+    rename), then the catalog entry is dropped so the next batch's
+    `_create_state` re-registers the compacted files at the SAME path —
+    no generation naming needed because the table location never changes.
+    Distinct-h is a no-op by construction (a window's hash enters state
+    in exactly one batch partition) but kept as a guard against a replay
+    interleaving bug ever landing duplicates. Object-store-safe: staging
+    and swap go through the Hadoop FileSystem API. Returns the parquet
+    file count after compaction."""
+    table = _state_table(state_dir)
+    _create_state(spark, state_dir, table)
+    live = _wins_path(state_dir)
+    staged = f"{live}_staged"
+    hadoop_fs.delete_recursive(spark, staged)  # leftovers of a dead run
+    tmp_name = f"{table}_compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    compacted = (
+        spark.table(table)
+        .select("h")
+        .distinct()
+        .select("h", F.lit(-1).cast("long").alias("batch_id"))
+        .repartition(SUBSTR_STATE_BUCKETS, F.col("h"))
+    )
+    # bucketed reads off so the pre-write repartition survives the
+    # optimizer and tasks align to buckets → one file per bucket
+    # (the near-dup compactor's fragmentation note applies verbatim)
+    bkey = "spark.sql.sources.bucketing.enabled"
+    prev_bucketing = spark.conf.get(bkey)
+    spark.conf.set(bkey, "false")
+    try:
+        (
+            compacted.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .bucketBy(SUBSTR_STATE_BUCKETS, "h")
+            .sortBy("h")
+            .option("path", staged)
+            .format("parquet")
+            .saveAsTable(tmp_name)
+        )
+    finally:
+        spark.conf.set(bkey, prev_bucketing)
+    # drop BOTH catalog entries first (external drops leave files), then
+    # swap the directories; the next _create_state re-registers the
+    # compacted files at the unchanged live path
+    spark.sql(f"DROP TABLE {tmp_name}")
+    spark.sql(f"DROP TABLE {table}")
+    hadoop_fs.swap_dirs(spark, live, staged)
+    _create_state(spark, state_dir, table)
+    return hadoop_fs.count_parquet(spark, live)
+
+
 def run_substring_stream(
     docs_stream: DataFrame,
     state_dir: str,

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.streaming.substring_stream import (
     _state_table,
+    compact_substring_state,
     drop_state,
     process_substring_batch,
 )
@@ -115,6 +116,45 @@ def test_within_batch_first_wins(spark, tmpdirs):
         }
         assert acct[5]["tokens_removed"] == 0  # lower doc_id wins
         assert acct[6]["tokens_removed"] == 10
+    finally:
+        drop_state(spark, state_dir)
+
+
+def test_compaction_preserves_state_and_still_gates(spark, tmpdirs):
+    """Compaction folds per-batch file sets into one bucket-aligned
+    partition at the SAME path; the seen-window corpus survives byte-equal
+    and the next batch still gates pre-compaction duplicates."""
+    from ai_powered_data_pipeline_assistant_spark import hadoop_fs
+
+    state_dir, out_dir, _ = tmpdirs
+    table = _state_table(state_dir)
+    try:
+        process_substring_batch(
+            _mkdocs(spark, [(0, _TEXT_A)]), 0, state_dir, out_dir
+        )
+        process_substring_batch(
+            _mkdocs(spark, [(1, _TEXT_B)]), 1, state_dir, out_dir
+        )
+        before = sorted(
+            r["h"] for r in spark.table(table).select("h").collect()
+        )
+        files_before = hadoop_fs.count_parquet(
+            spark, f"{state_dir.rstrip('/')}/wins"
+        )
+        files_after = compact_substring_state(spark, state_dir)
+        assert files_after <= files_before
+        after = sorted(
+            r["h"] for r in spark.table(table).select("h").collect()
+        )
+        assert before == after
+        # post-compaction batches still see the full corpus
+        process_substring_batch(
+            _mkdocs(spark, [(2, _TEXT_A)]), 2, state_dir, out_dir
+        )
+        acct = {
+            r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()
+        }
+        assert acct[2]["tokens_removed"] == 10
     finally:
         drop_state(spark, state_dir)
 
