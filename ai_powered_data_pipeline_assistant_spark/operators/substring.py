@@ -192,6 +192,128 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def substring_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level provenance: for every dropped window occurrence, pair the
+    source of the document that LOSES the window with the source of the
+    document holding its FIRST occurrence — which corpora copy from which
+    (license boilerplate propagation, mirror sites) at span rather than
+    whole-document granularity (`crosssource_dup_matrix` is the LSH
+    document-level view). Same one-explode + min-struct plan as the dedup;
+    the two source lookups are broadcast-sized joins of (doc_id, source).
+    Self-pairs (from_source = to_source) are the in-corpus duplication
+    mass; diagonal-heavy matrices mean template spam, off-diagonal means
+    cross-corpus copying."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    sized = sized_docs(docs)
+    wins = F.expr(
+        "transform(sequence(0, size(t) - {k}), "
+        "i -> struct(i AS pos, concat_ws(' ', slice(t, i + 1, {k})) AS win))".format(
+            k=SUBSTR_K
+        )
+    )
+    occ = materialize(
+        sized.filter(F.col("n") >= SUBSTR_K)
+        .select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+    )
+    firsts = occ.groupBy("win").agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    dropped = (
+        occ.join(firsts, "win")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select(
+            F.col("doc_id").alias("loser_doc"),
+            F.col("first.doc_id").alias("owner_doc"),
+        )
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        dropped.join(
+            F.broadcast(src.select(F.col("doc_id").alias("loser_doc"),
+                                   F.col("source").alias("loser_source"))),
+            "loser_doc",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("owner_doc"),
+                                   F.col("source").alias("owner_source"))),
+            "owner_doc",
+        )
+        .groupBy("owner_source", "loser_source")
+        .agg(
+            F.count("*").cast("long").alias("dup_windows"),
+            F.countDistinct("loser_doc").cast("long").alias("losing_docs"),
+        )
+        .orderBy("owner_source", "loser_source")
+    )
+
+
+# K values the sizing plan sweeps — bracket the configured SUBSTR_K the
+# way lsh_parameter_plan brackets its (bands, rows).
+SUBSTR_K_CANDIDATES = (6, 8, 10, 12)
+
+
+def substring_k_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analysis run before choosing K (Lee et al. use 50 BPE tokens;
+    the right K for a corpus balances false merges — short K flags common
+    phrases — against missed near-boundary repeats): for each candidate K,
+    the dropped-window count, merged-span count, tokens removed, and the
+    share of corpus tokens removed (micro-share, integer-exact). One
+    corpus pass per candidate — run once per corpus, not per ingest."""
+    rows = []
+    for k in SUBSTR_K_CANDIDATES:
+        docs = load_table(spark, sf_dir, "documents", parallelize=True)
+        sized = sized_docs(docs)
+        wins = F.expr(
+            "transform(sequence(0, size(t) - {k}), "
+            "i -> struct(i AS pos, concat_ws(' ', slice(t, i + 1, {k})) AS win))".format(
+                k=k
+            )
+        )
+        occ = materialize(
+            sized.filter(F.col("n") >= k)
+            .select("doc_id", F.explode(wins).alias("w"))
+            .select(
+                "doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win")
+            )
+        )
+        firsts = occ.groupBy("win").agg(
+            F.min(F.struct("doc_id", "pos")).alias("first")
+        )
+        dropped = (
+            occ.join(firsts, "win")
+            .filter(
+                (F.col("doc_id") != F.col("first.doc_id"))
+                | (F.col("pos") != F.col("first.pos"))
+            )
+            .select("doc_id", "pos", (F.col("pos") + k - 1).alias("e"))
+        )
+        spans = _merged_spans(dropped)
+        agg = spans.agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum("n_windows").cast("long").alias("dup_windows"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("tokens_removed"),
+        ).first()
+        total = sized.agg(F.sum("n").cast("long")).first()[0]
+        removed = int(agg["tokens_removed"] or 0)
+        rows.append(
+            (
+                k,
+                int(agg["dup_windows"] or 0),
+                int(agg["n_spans"] or 0),
+                removed,
+                int(total),
+                removed * 1_000_000 // int(total),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "k int, dup_windows long, n_spans long, tokens_removed long, "
+        "corpus_tokens long, removed_micro_share long",
+    ).orderBy("k")
+
+
 def substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal pass itself: per document the text with every duplicate
     span excised (first occurrences survive corpus-wide). Token positions
@@ -227,12 +349,16 @@ def substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spans_cte(order_sql: str = "doc_id, pos", table: str = "documents") -> str:
+def _spans_cte(
+    order_sql: str = "doc_id, pos",
+    table: str = "documents",
+    k: int = SUBSTR_K,
+) -> str:
     """Shared oracle prefix: sized → occ → dropped → marked → spans — the
     same first-wins + interval-merge semantics as the Spark build.
     ``order_sql`` sets the first-wins order (the streaming parity oracle
-    prepends the arrival-batch index)."""
-    k = SUBSTR_K
+    prepends the arrival-batch index); ``k`` the window width (the K-plan
+    oracle sweeps it)."""
     return f"""
         WITH sized AS (
             SELECT doc_id,
@@ -324,14 +450,74 @@ def _substring_spans_oracle() -> str:
     """
 
 
+def _source_matrix_oracle() -> str:
+    k = SUBSTR_K
+    return f"""
+        WITH sized AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t,
+                   length(string_split_regex(trim(lower(text)), '\\s+')) AS n
+            FROM documents),
+        occ AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(t[i + 1 : i + {k}], ' ') AS win
+            FROM sized, LATERAL (SELECT unnest(range(0, n - {k} + 1)) AS i)
+            WHERE n >= {k}),
+        dropped AS (
+            SELECT doc_id AS loser_doc, owner_doc
+            FROM (SELECT doc_id,
+                         first_value(doc_id) OVER w AS owner_doc,
+                         row_number() OVER w AS rn
+                  FROM occ
+                  WINDOW w AS (PARTITION BY win ORDER BY doc_id, pos))
+            WHERE rn > 1)
+        SELECT o.source AS owner_source,
+               l.source AS loser_source,
+               CAST(count(*) AS BIGINT) AS dup_windows,
+               CAST(count(DISTINCT loser_doc) AS BIGINT) AS losing_docs
+        FROM dropped
+        JOIN documents l ON l.doc_id = loser_doc
+        JOIN documents o ON o.doc_id = owner_doc
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
+def _k_plan_oracle() -> str:
+    parts = []
+    for k in SUBSTR_K_CANDIDATES:
+        cte = _spans_cte(k=k)
+        parts.append(
+            f"""
+        SELECT k, dup_windows, n_spans, tokens_removed, corpus_tokens,
+               CAST(tokens_removed * 1000000 // corpus_tokens AS BIGINT)
+                   AS removed_micro_share
+        FROM ({cte}
+            SELECT CAST({k} AS INT) AS k,
+                   (SELECT CAST(coalesce(sum(n_windows), 0) AS BIGINT)
+                    FROM spans) AS dup_windows,
+                   (SELECT CAST(count(*) AS BIGINT) FROM spans) AS n_spans,
+                   (SELECT CAST(coalesce(sum(e - s + 1), 0) AS BIGINT)
+                    FROM spans) AS tokens_removed,
+                   (SELECT CAST(sum(n) AS BIGINT) FROM sized)
+                       AS corpus_tokens)
+            """
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY k"
+
+
 ORACLES: dict[str, str] = {
     "substring_dedup": _substring_dedup_oracle(),
     "substring_dedup_spans": _substring_spans_oracle(),
     "substring_rewrite": _substring_rewrite_oracle(),
+    "substring_source_matrix": _source_matrix_oracle(),
+    "substring_k_plan": _k_plan_oracle(),
 }
 
 QUERIES = {
     "substring_dedup": substring_dedup,
     "substring_dedup_spans": substring_dedup_spans,
     "substring_rewrite": substring_rewrite,
+    "substring_source_matrix": substring_source_matrix,
+    "substring_k_plan": substring_k_plan,
 }

@@ -116,6 +116,7 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "trigger_cadence_audit",
         "neardup_stream_parity",
         "substring_stream_parity",
+        "substring_k_plan",
         "bpe_merge_table",
         "bpe_token_counts",
         "bpe_probe_audit",
@@ -166,11 +167,12 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # ivfpq_incremental_parity, ivfpq_nprobe_recall_audit,
 # ann_ingest_stream_parity) were value-verified green by driver_sim at
 # sf0.01 this session and keep their r8 rows.
-# Late round-9 additions (exact-substring dedup + rewrite + streaming
-# gate, unigram tokenizer): their 7 oracle-backed names are windowed on
-# arrival, displacing the 7 youngest r3 re-checks (tool_registry_audit,
+# Late round-9 additions (exact-substring dedup family incl. the streaming
+# gate, provenance matrix and K-plan, plus the unigram tokenizer): their 9
+# oracle-backed names are windowed on arrival, displacing the 9 youngest
+# r3 re-checks (sql_gate_audit, token_budget, tool_registry_audit,
 # top_users_collected, update_by_id, validation_rules, value_percentiles,
-# value_percentiles_approx_audit, winnow_fingerprints) — all 7 were
+# value_percentiles_approx_audit, winnow_fingerprints) — all 9 were
 # value-verified MATCH by this session's full 50-slot driver_sim run at
 # sf0.01 before displacement; they rotate back in round 10.
 # Every slot carries an oracle AND is driver-representable — both halves
@@ -189,6 +191,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "substring_dedup_spans",
     "substring_rewrite",
     "substring_stream_parity",
+    "substring_source_matrix",
+    "substring_k_plan",
     "unigram_seed_counts",
     "unigram_probe_audit",
     "unigram_encode_probe_audit",
@@ -233,8 +237,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "scd2_apply",
     "sessionize",
     "span_dedup",
-    "sql_gate_audit",
-    "token_budget",
 )
 
 

@@ -99,6 +99,41 @@ def test_corpus_has_duplicate_spans(acct):
     assert sum(r["n_dup_spans"] for r in acct) > 0
 
 
+def test_source_matrix_reconciles_with_accounting(spark, sf_dir, acct):
+    from ai_powered_data_pipeline_assistant_spark.operators.substring import (
+        substring_source_matrix,
+    )
+
+    rows = substring_source_matrix(spark, sf_dir).collect()
+    # total dup windows must equal the accounting's dup_windows sum
+    assert sum(r["dup_windows"] for r in rows) == sum(
+        r["dup_windows"] for r in acct
+    )
+    for r in rows:
+        assert r["losing_docs"] >= 1
+        assert r["dup_windows"] >= r["losing_docs"] or r["dup_windows"] >= 1
+
+
+def test_k_plan_monotone_in_k(spark, sf_dir):
+    """A longer window is a strictly harder match: dropped windows are
+    non-increasing in K (a theorem — every repeated (K+1)-window's prefix
+    K-window repeats too, and the per-prefix-class first-wins discount is
+    at most one either way; removed TOKENS are deliberately not asserted:
+    a kept first occurrence can split the shorter-K interval union)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.substring import (
+        substring_k_plan,
+    )
+
+    rows = sorted(substring_k_plan(spark, sf_dir).collect(), key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [6, 8, 10, 12]
+    for a, b in zip(rows, rows[1:]):
+        assert a["dup_windows"] >= b["dup_windows"]
+        assert a["corpus_tokens"] == b["corpus_tokens"]
+    for r in rows:
+        assert 0 <= r["removed_micro_share"] <= 1_000_000
+        assert r["removed_micro_share"] == r["tokens_removed"] * 1_000_000 // r["corpus_tokens"]
+
+
 def test_rewrite_reconciles_with_accounting(spark, sf_dir, acct):
     rw = {r["doc_id"]: r for r in substring_rewrite(spark, sf_dir).collect()}
     assert len(rw) == len(acct)
