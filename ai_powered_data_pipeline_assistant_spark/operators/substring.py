@@ -70,33 +70,48 @@ def sized_docs(docs: DataFrame) -> DataFrame:
     )
 
 
-def dropped_intervals_for(
-    sized: DataFrame, batch_expr=None
-) -> DataFrame:
-    """Dropped-window intervals (doc_id, pos, e) for an already-tokenized
-    corpus. ``batch_expr`` (a Column over doc_id) prepends an ARRIVAL
-    batch index to the first-wins order — the streaming twin's semantics,
-    where "earlier" means an earlier micro-batch first, (doc_id, pos)
-    within one; None is the batch operator's plain (doc_id, pos) order."""
-    wins = F.expr(
+def windows_expr(k: int = SUBSTR_K):
+    """In-row sliding K-token windows over the token array ``t``:
+    array<struct<pos, win>> — the ONE place the window transform lives
+    (the streaming gate hashes the same expression's ``win``)."""
+    return F.expr(
         "transform(sequence(0, size(t) - {k}), "
         "i -> struct(i AS pos, concat_ws(' ', slice(t, i + 1, {k})) AS win))".format(
-            k=SUBSTR_K
+            k=k
         )
     )
-    # occ feeds BOTH the first-occurrence aggregate and the join probe
-    # side — materialize per session policy so the explode runs once.
-    occ = materialize(
-        sized.filter(F.col("n") >= SUBSTR_K)
-        .select("doc_id", F.explode(wins).alias("w"))
+
+
+def occ_for(sized: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, pos, win) window occurrences, materialized — occ always
+    feeds BOTH the first-occurrence aggregate and the join probe side, so
+    the explode runs once per session policy."""
+    return materialize(
+        sized.filter(F.col("n") >= k)
+        .select("doc_id", F.explode(windows_expr(k)).alias("w"))
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
     )
-    # First-wins via a map-side-combined min(struct) + join, NOT a
-    # row_number window: a template-spam window repeated millions of times
-    # would land every occurrence in ONE unsplittable window partition,
-    # while the aggregate combines partials before the shuffle and AQE can
-    # split the skewed join partition (struct comparison is lexicographic,
-    # so min(struct(doc_id, pos)) IS "ORDER BY doc_id, pos LIMIT 1").
+
+
+def dropped_intervals_for(
+    sized: DataFrame, batch_expr=None, k: int = SUBSTR_K
+) -> DataFrame:
+    """Dropped-window intervals (doc_id, pos, e, owner_doc) for an
+    already-tokenized corpus — owner_doc is the document holding the
+    window's FIRST occurrence (the provenance matrix consumes it; the
+    accounting/rewrite paths ignore it). ``batch_expr`` (a Column over
+    doc_id) prepends an ARRIVAL batch index to the first-wins order — the
+    streaming twin's semantics, where "earlier" means an earlier
+    micro-batch first, (doc_id, pos) within one; None is the batch
+    operator's plain (doc_id, pos) order.
+
+    First-wins is a map-side-combined min(struct) + join, NOT a
+    row_number window: a template-spam window repeated millions of times
+    would land every occurrence in ONE unsplittable window partition,
+    while the aggregate combines partials before the shuffle and AQE can
+    split the skewed join partition (struct comparison is lexicographic,
+    so min(struct(doc_id, pos)) IS "ORDER BY doc_id, pos LIMIT 1")."""
+    occ = occ_for(sized, k)
     order_fields = (
         [batch_expr(F.col("doc_id")).alias("b")] if batch_expr else []
     ) + [F.col("doc_id"), F.col("pos")]
@@ -107,7 +122,12 @@ def dropped_intervals_for(
             (F.col("doc_id") != F.col("first.doc_id"))
             | (F.col("pos") != F.col("first.pos"))
         )
-        .select("doc_id", "pos", (F.col("pos") + SUBSTR_K - 1).alias("e"))
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("pos") + k - 1).alias("e"),
+            F.col("first.doc_id").alias("owner_doc"),
+        )
     )
 
 
@@ -204,29 +224,8 @@ def substring_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass; diagonal-heavy matrices mean template spam, off-diagonal means
     cross-corpus copying."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    sized = sized_docs(docs)
-    wins = F.expr(
-        "transform(sequence(0, size(t) - {k}), "
-        "i -> struct(i AS pos, concat_ws(' ', slice(t, i + 1, {k})) AS win))".format(
-            k=SUBSTR_K
-        )
-    )
-    occ = materialize(
-        sized.filter(F.col("n") >= SUBSTR_K)
-        .select("doc_id", F.explode(wins).alias("w"))
-        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
-    )
-    firsts = occ.groupBy("win").agg(F.min(F.struct("doc_id", "pos")).alias("first"))
-    dropped = (
-        occ.join(firsts, "win")
-        .filter(
-            (F.col("doc_id") != F.col("first.doc_id"))
-            | (F.col("pos") != F.col("first.pos"))
-        )
-        .select(
-            F.col("doc_id").alias("loser_doc"),
-            F.col("first.doc_id").alias("owner_doc"),
-        )
+    dropped = dropped_intervals_for(sized_docs(docs)).select(
+        F.col("doc_id").alias("loser_doc"), "owner_doc"
     )
     src = docs.select("doc_id", "source")
     return (
@@ -261,41 +260,20 @@ def substring_k_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dropped-window count, merged-span count, tokens removed, and the
     share of corpus tokens removed (micro-share, integer-exact). One
     corpus pass per candidate — run once per corpus, not per ingest."""
+    # the tokenized view and the k-invariant corpus token total compute
+    # ONCE; only the per-K window pipeline runs inside the loop
+    sized = materialize(
+        sized_docs(load_table(spark, sf_dir, "documents", parallelize=True))
+    )
+    total = sized.agg(F.sum("n").cast("long")).first()[0]
     rows = []
     for k in SUBSTR_K_CANDIDATES:
-        docs = load_table(spark, sf_dir, "documents", parallelize=True)
-        sized = sized_docs(docs)
-        wins = F.expr(
-            "transform(sequence(0, size(t) - {k}), "
-            "i -> struct(i AS pos, concat_ws(' ', slice(t, i + 1, {k})) AS win))".format(
-                k=k
-            )
-        )
-        occ = materialize(
-            sized.filter(F.col("n") >= k)
-            .select("doc_id", F.explode(wins).alias("w"))
-            .select(
-                "doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win")
-            )
-        )
-        firsts = occ.groupBy("win").agg(
-            F.min(F.struct("doc_id", "pos")).alias("first")
-        )
-        dropped = (
-            occ.join(firsts, "win")
-            .filter(
-                (F.col("doc_id") != F.col("first.doc_id"))
-                | (F.col("pos") != F.col("first.pos"))
-            )
-            .select("doc_id", "pos", (F.col("pos") + k - 1).alias("e"))
-        )
-        spans = _merged_spans(dropped)
+        spans = _merged_spans(dropped_intervals_for(sized, k=k))
         agg = spans.agg(
             F.count("*").cast("long").alias("n_spans"),
             F.sum("n_windows").cast("long").alias("dup_windows"),
             F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("tokens_removed"),
         ).first()
-        total = sized.agg(F.sum("n").cast("long")).first()[0]
         removed = int(agg["tokens_removed"] or 0)
         rows.append(
             (
@@ -349,16 +327,13 @@ def substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spans_cte(
-    order_sql: str = "doc_id, pos",
-    table: str = "documents",
-    k: int = SUBSTR_K,
-) -> str:
+def _spans_cte(order_sql: str = "doc_id, pos", k: int = SUBSTR_K) -> str:
     """Shared oracle prefix: sized → occ → dropped → marked → spans — the
     same first-wins + interval-merge semantics as the Spark build.
     ``order_sql`` sets the first-wins order (the streaming parity oracle
     prepends the arrival-batch index); ``k`` the window width (the K-plan
     oracle sweeps it)."""
+    table = "documents"
     return f"""
         WITH sized AS (
             SELECT doc_id,

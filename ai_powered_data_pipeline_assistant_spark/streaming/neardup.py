@@ -39,8 +39,9 @@ overwrites its own partitions, so state can never diverge into
 sigs-without-postings inconsistency and pairs are exactly-once
 (`jobs.idempotent_append` lands the pair output the same way). Per-batch
 appends accumulate one file set per batch per table;
-`compact_neardup_state` (offline, stream stopped) rewrites each table into
-a single compacted partition with the same bucket layout.
+`compact_neardup_state` (offline, stream stopped) folds each table's
+partitions — all but the newest, which a crash-window replay may still
+overwrite — into one compacted partition with the same bucket layout.
 
 Pair semantics: a batch emits (later, earlier) pairs against all EARLIER
 batches (cross-batch: batch(a) > batch(b)) and within itself (same batch:
@@ -332,8 +333,20 @@ def process_neardup_batch(
     # both-orientation duplicates in the cross join and double-count
     # batch docs' postings in the verify. The predicate is also a
     # partition filter — replays prune the partitions they wrote.
+    # Belt-and-braces: ALSO exclude state rows for the batch's own doc ids
+    # (a broadcast anti-join — batch-sized build side, no extra Exchange).
+    # The batch filter alone is insufficient after `compact_neardup_state`
+    # folded a crash-window batch's rows into the batch_id = -1 partition:
+    # provenance is then gone, but identity still excludes them, so a
+    # compaction run inside the replay window cannot make the replay see
+    # its own documents as history (round-9 review).
     pre = F.col("batch_id") < batch_id
-    bands_s = spark.table(tables["bands"]).filter(pre)
+    own_ids = docs.select("doc_id")
+
+    def _not_own(state_df: DataFrame) -> DataFrame:
+        return state_df.join(F.broadcast(own_ids), "doc_id", "left_anti")
+
+    bands_s = _not_own(spark.table(tables["bands"]).filter(pre))
 
     a = bands_b.select(F.col("doc_id").alias("a_id"), "band", "band_key")
     # Cross-batch candidates: batch bands vs accumulated state bands.
@@ -369,12 +382,16 @@ def process_neardup_batch(
     if len(head) <= NEARDUP_ISIN_CAP:
         partner_ids = sorted(int(r["doc_id"]) for r in head)
     postings_part = _partner_pruned(
-        spark.table(tables["postings"]).filter(pre).select("doc_id", "h"),
+        _not_own(spark.table(tables["postings"]).filter(pre)).select(
+            "doc_id", "h"
+        ),
         partner_ids,
         cand_ids,
     ).unionByName(postings_b)
     sizes_part = _partner_pruned(
-        spark.table(tables["sizes"]).filter(pre).select("doc_id", "sz"),
+        _not_own(spark.table(tables["sizes"]).filter(pre)).select(
+            "doc_id", "sz"
+        ),
         partner_ids,
         cand_ids,
     ).unionByName(sizes_b)
@@ -438,9 +455,12 @@ def compact_neardup_state(
     spark: SparkSession, state_dir: str, n_buckets: int | None = None
 ) -> dict[str, int]:
     """Offline state compaction (run with the stream stopped): per-batch
-    appends leave one file set per batch per table; rewrite each state
-    table into a single ``batch_id = -1`` partition with the same bucket
-    layout — or, with ``n_buckets``, RE-BUCKET while compacting: the
+    appends leave one file set per batch per table; fold every batch
+    partition EXCEPT the newest into a single ``batch_id = -1`` partition
+    with the same bucket layout (the newest stays un-folded so a
+    crash-window replay overwrites its own partition instead of
+    duplicating folded rows — see the fold comment below) — or, with
+    ``n_buckets``, RE-BUCKET while compacting: the
     bucket count is fixed at table creation, so a corpus that outgrows
     its provisioning (TUNING.md sizing rule: one bucket's bands ≈
     128 MB–1 GB) migrates here, in the same write-new-then-swap pass it
@@ -461,6 +481,21 @@ def compact_neardup_state(
     Returns {table: parquet files after compaction}."""
     tables = _state_tables(state_dir)
     out: dict[str, int] = {}
+    # The newest batch partition is NEVER folded into -1: the one batch
+    # that can legally replay after a restart is the last one (Structured
+    # Streaming commits batch N-1's checkpoint before starting N), and a
+    # replay dynamic-overwrites its OWN partition — if its rows had been
+    # folded into -1, the re-insert would duplicate them there and poison
+    # every later batch's verification against those documents. Global
+    # max across the three tables so a crash between the three inserts
+    # keeps the partial batch's partition wherever it landed (round-9
+    # review; the per-batch reader additionally excludes the arriving
+    # batch's doc ids by identity).
+    max_bid = None
+    for name in tables.values():
+        m = spark.table(name).agg(F.max("batch_id")).first()[0]
+        if m is not None and (max_bid is None or m > max_bid):
+            max_bid = m
     for key, name in tables.items():
         old_location = (
             spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
@@ -481,9 +516,16 @@ def compact_neardup_state(
         nb = n_buckets if n_buckets is not None else cur_buckets
         new_path = _join(state_dir, f"{key}_g{gen}_b{nb}")
         cols = [c for c in spark.table(name).columns if c != "batch_id"]
+        fold = (
+            F.when(F.col("batch_id") == max_bid, F.col("batch_id"))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            if max_bid is not None
+            else F.lit(-1).cast("long")
+        )
         staged = (
             spark.table(name)
-            .select(*cols, F.lit(-1).cast("long").alias("batch_id"))
+            .select(*cols, fold.alias("batch_id"))
             .repartition(nb, *[F.col(c) for c in _STATE_SPECS[key][1]])
         )
         tmp_name = f"{name}_compact"

@@ -66,10 +66,29 @@ def _create_state(spark: SparkSession, state_dir: str, table: str) -> None:
     """Create the wins table with its bucket layout — or re-register
     surviving state files when the stream restarts in a fresh session
     (the default catalog is in-memory; wiping survivors would silently
-    forget the whole seen-window corpus)."""
+    forget the whole seen-window corpus). Refuses to bootstrap EMPTY
+    state while remnants of a crashed compaction swap hold the only
+    intact copy — silently forgetting the corpus would re-admit every
+    historical duplicate (the near-dup module's markerless-generation
+    rule, applied to the swap-aside dirs)."""
     if spark.catalog.tableExists(table):
         return
     path = _wins_path(state_dir)
+    if not hadoop_fs.has_parquet(spark, path):
+        remnants = [
+            d
+            for d in hadoop_fs.list_child_dirs(spark, state_dir)
+            if (d.startswith("wins.old_") or d == "wins_staged")
+            and hadoop_fs.has_parquet(spark, f"{state_dir.rstrip('/')}/{d}")
+        ]
+        if remnants:
+            raise RuntimeError(
+                f"substring stream state at {path} is empty but a crashed "
+                f"compaction left intact state in {remnants} under "
+                f"{state_dir}. Move the newest intact copy back to "
+                f"{path} before restarting; refusing to silently "
+                "bootstrap empty state."
+            )
     if hadoop_fs.has_parquet(spark, path):
         spark.sql(
             f"CREATE TABLE {table} (h long, batch_id long) "
@@ -108,6 +127,7 @@ def process_substring_batch(
         SUBSTR_K,
         accounting_for,
         sized_docs,
+        windows_expr,
     )
     from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
         idempotent_append,
@@ -122,17 +142,13 @@ def process_substring_batch(
         _create_state(spark, state_dir, table)
 
     sized = materialize(sized_docs(docs.select("doc_id", "text")))
-    wins = F.expr(
-        "transform(sequence(0, size(t) - {k}), "
-        "i -> struct(i AS pos, concat_ws(' ', slice(t, i + 1, {k})) AS win))".format(
-            k=SUBSTR_K
-        )
-    )
     # Hash ONCE per occurrence; the window text never enters the shuffle
-    # or the state (8-byte keys — the batch module's 100 TB note).
+    # or the state (8-byte keys — the batch module's 100 TB note). The
+    # window transform itself is the batch module's `windows_expr` — ONE
+    # definition shared by every substring surface.
     occ = materialize(
         sized.filter(F.col("n") >= SUBSTR_K)
-        .select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id", F.explode(windows_expr(SUBSTR_K)).alias("w"))
         .select(
             "doc_id",
             F.col("w.pos").alias("pos"),
@@ -188,13 +204,22 @@ def process_substring_batch(
 
 def compact_substring_state(spark: SparkSession, state_dir: str) -> int:
     """Offline state compaction (run with the stream stopped): per-batch
-    appends leave one file set per batch; rewrite the wins table into a
-    single ``batch_id = -1`` partition with the same bucket layout. The
-    compacted copy is staged NEXT TO the live dir and swapped in with
-    checked renames (`hadoop_fs.swap_dirs` — rollback on a failed second
-    rename), then the catalog entry is dropped so the next batch's
-    `_create_state` re-registers the compacted files at the SAME path —
-    no generation naming needed because the table location never changes.
+    appends leave one file set per batch; fold every batch partition
+    EXCEPT the newest into a single ``batch_id = -1`` partition with the
+    same bucket layout. The newest partition stays un-folded on purpose:
+    the one batch that can legally REPLAY after a restart is the last one
+    (Structured Streaming commits batch N-1's checkpoint before starting
+    N), and a replay must keep seeing its own rows excluded by the
+    strictly-pre-batch filter — folding them into -1 would make the
+    replayed batch treat its own windows as history and rewrite its
+    accounting with everything dropped (round-9 review). The compacted
+    copy is staged NEXT TO the live dir and swapped in with checked
+    renames (`hadoop_fs.swap_dirs` — rollback on a failed second rename),
+    then the catalog entry is dropped so the next batch's `_create_state`
+    re-registers the compacted files at the SAME path — no generation
+    naming needed because the table location never changes (a crash
+    between the two renames is caught by `_create_state`'s
+    remnant guard, which refuses to bootstrap empty state).
     Distinct-h is a no-op by construction (a window's hash enters state
     in exactly one batch partition) but kept as a guard against a replay
     interleaving bug ever landing duplicates. Object-store-safe: staging
@@ -207,11 +232,16 @@ def compact_substring_state(spark: SparkSession, state_dir: str) -> int:
     hadoop_fs.delete_recursive(spark, staged)  # leftovers of a dead run
     tmp_name = f"{table}_compact"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    max_bid = spark.table(table).agg(F.max("batch_id")).first()[0]
+    if max_bid is None:
+        return hadoop_fs.count_parquet(spark, live)  # empty state: no-op
+    fold = F.when(F.col("batch_id") == max_bid, F.col("batch_id")).otherwise(
+        F.lit(-1).cast("long")
+    )
     compacted = (
         spark.table(table)
-        .select("h")
+        .select("h", fold.alias("batch_id"))
         .distinct()
-        .select("h", F.lit(-1).cast("long").alias("batch_id"))
         .repartition(SUBSTR_STATE_BUCKETS, F.col("h"))
     )
     # bucketed reads off so the pre-write repartition survives the

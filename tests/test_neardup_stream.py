@@ -164,8 +164,9 @@ def test_state_layout_scale_properties(spark, sf_dir):
         files_after_map = compact_neardup_state(spark, state_dir)
         files_after = sum(files_after_map.values())
         assert files_after < files_before
-        # one partition, pre-shuffled to the bucket layout → ≤ buckets per table
-        assert files_after_map["bands"] <= NEARDUP_STATE_BUCKETS
+        # two partitions (-1 fold + the preserved newest batch), each
+        # pre-shuffled to the bucket layout → ≤ 2×buckets per table
+        assert files_after_map["bands"] <= 2 * NEARDUP_STATE_BUCKETS
         rows_after = sorted(
             map(tuple, spark.table(bands_t).drop("batch_id").collect())
         )
@@ -303,7 +304,8 @@ def test_compaction_rebuckets_state(spark, sf_dir):
         )
 
         files_map = compact_neardup_state(spark, state_dir, n_buckets=new_width)
-        assert 1 <= files_map["bands"] <= new_width
+        # -1 fold + the preserved newest batch partition → ≤ 2×width
+        assert 1 <= files_map["bands"] <= 2 * new_width
         rows_after = sorted(
             map(tuple, spark.table(bands_t).drop("batch_id").collect())
         )
@@ -350,7 +352,7 @@ def test_compaction_rebuckets_state(spark, sf_dir):
 
         # a later compaction without n_buckets INHERITS the new width
         files_map2 = compact_neardup_state(spark, state_dir)
-        assert 1 <= files_map2["bands"] <= new_width
+        assert 1 <= files_map2["bands"] <= 2 * new_width
         path2, width2 = _state_layout(spark, state_dir, "bands")
         assert width2 == new_width and path2.endswith(f"_b{new_width}")
     finally:
@@ -556,6 +558,68 @@ def test_batch_replay_reproduces_identical_pairs_and_state(spark, sf_dir):
         assert pairs_after == pairs_before
         for k, n in tables.items():
             assert sorted(map(tuple, spark.table(n).collect())) == state_before[k], k
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        drop_state(spark, f"{tmp}/state")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_replay_after_compaction_in_crash_window(spark, sf_dir):
+    """Compaction run INSIDE the replay window (stream died after the
+    last batch's state commits but before its checkpoint commit; the
+    operator compacts the 'stopped' stream, then the restart replays the
+    last batch): pairs must stay identical and state must not grow.
+    Two defenses pin this: the compactor never folds the newest batch
+    partition into -1 (so the replay's dynamic overwrite replaces its own
+    rows instead of duplicating folded copies), and the per-batch reader
+    excludes the arriving batch's doc ids by IDENTITY, not just by
+    batch_id provenance (round-9 review)."""
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+    from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+        _state_tables,
+        compact_neardup_state,
+        drop_state,
+        process_neardup_batch,
+    )
+
+    nb = NEARDUP_STREAM_BATCHES
+    tmp = tempfile.mkdtemp(prefix="neardup_compact_replay_")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        _run_stream_once(spark, sf_dir, tmp)
+        pairs_dir = f"{tmp}/pairs"
+        state_dir = f"{tmp}/state"
+        tables = _state_tables(state_dir)
+        pairs_before = sorted(
+            map(tuple, spark.read.parquet(pairs_dir).collect())
+        )
+        state_rows_before = {
+            k: sorted(
+                map(tuple, spark.table(n).drop("batch_id").collect())
+            )
+            for k, n in tables.items()
+        }
+        compact_neardup_state(spark, state_dir)
+        # the newest batch partition must survive the fold un-merged
+        last = nb - 1
+        assert (
+            spark.table(tables["bands"])
+            .filter(F.col("batch_id") == last)
+            .count()
+            > 0
+        )
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        process_neardup_batch(
+            docs.filter(F.col("doc_id") % nb == last), last, state_dir, pairs_dir
+        )
+        pairs_after = sorted(map(tuple, spark.read.parquet(pairs_dir).collect()))
+        assert pairs_after == pairs_before
+        for k, n in tables.items():
+            assert (
+                sorted(map(tuple, spark.table(n).drop("batch_id").collect()))
+                == state_rows_before[k]
+            ), f"{k}: replay after compaction changed/duplicated state rows"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         drop_state(spark, f"{tmp}/state")

@@ -159,6 +159,79 @@ def test_compaction_preserves_state_and_still_gates(spark, tmpdirs):
         drop_state(spark, state_dir)
 
 
+def test_replay_after_compaction_in_crash_window(spark, tmpdirs):
+    """Compaction inside the replay window: the compactor keeps the
+    newest batch partition un-folded, so a replay of that batch
+    dynamic-overwrites its own rows instead of seeing them in -1 as
+    'history' (which would rewrite its accounting with everything
+    dropped) or duplicating them (round-9 review)."""
+    state_dir, out_dir, _ = tmpdirs
+    table = _state_table(state_dir)
+    try:
+        process_substring_batch(
+            _mkdocs(spark, [(0, _TEXT_A)]), 0, state_dir, out_dir
+        )
+        batch1 = _mkdocs(spark, [(1, _TEXT_A), (2, _TEXT_B)])
+        process_substring_batch(batch1, 1, state_dir, out_dir)
+        acct_before = sorted(
+            tuple(r) for r in spark.read.parquet(out_dir).collect()
+        )
+        state_before = sorted(
+            r["h"] for r in spark.table(table).select("h").collect()
+        )
+        compact_substring_state(spark, state_dir)
+        # newest partition survives the fold
+        assert (
+            spark.table(table).filter(F.col("batch_id") == 1).count() > 0
+        )
+        process_substring_batch(batch1, 1, state_dir, out_dir)  # replay
+        acct_after = sorted(
+            tuple(r) for r in spark.read.parquet(out_dir).collect()
+        )
+        state_after = sorted(
+            r["h"] for r in spark.table(table).select("h").collect()
+        )
+        assert acct_after == acct_before
+        assert state_after == state_before
+    finally:
+        drop_state(spark, state_dir)
+
+
+def test_crash_between_swap_renames_refuses_empty_bootstrap(spark, tmpdirs):
+    """A kill between swap_dirs' two renames leaves no live wins dir but
+    an intact aside copy; the next batch must REFUSE to bootstrap empty
+    state (which would silently forget the seen-window corpus) and name
+    the surviving copy."""
+    import pytest as _pytest
+
+    from ai_powered_data_pipeline_assistant_spark import hadoop_fs
+
+    state_dir, out_dir, _ = tmpdirs
+    try:
+        process_substring_batch(
+            _mkdocs(spark, [(0, _TEXT_A)]), 0, state_dir, out_dir
+        )
+        live = f"{state_dir}/wins"
+        aside = f"{state_dir}/wins.old_deadbeef"
+        assert hadoop_fs.rename(spark, live, aside)  # the crash point
+        drop_state(spark, state_dir)  # restart: fresh catalog
+        with _pytest.raises(RuntimeError, match="crashed compaction"):
+            process_substring_batch(
+                _mkdocs(spark, [(1, _TEXT_A)]), 1, state_dir, out_dir
+            )
+        # operator repair: move the intact copy back → stream resumes
+        assert hadoop_fs.rename(spark, aside, live)
+        process_substring_batch(
+            _mkdocs(spark, [(1, _TEXT_A)]), 1, state_dir, out_dir
+        )
+        acct = {
+            r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()
+        }
+        assert acct[1]["tokens_removed"] == 10  # corpus remembered
+    finally:
+        drop_state(spark, state_dir)
+
+
 def test_state_stores_one_hash_per_distinct_window(spark, tmpdirs):
     state_dir, out_dir, _ = tmpdirs
     table = _state_table(state_dir)
