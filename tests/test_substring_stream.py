@@ -232,6 +232,31 @@ def test_crash_between_swap_renames_refuses_empty_bootstrap(spark, tmpdirs):
         drop_state(spark, state_dir)
 
 
+def test_state_side_reads_exchange_free(spark, tmpdirs):
+    """The module's scale claim, plan-asserted (the near-dup module's
+    Exchange-free pin, applied to the wins table): joining a probe frame
+    against the h-bucketed state shuffles ONLY the probe side — the
+    accumulated state scan is bucketed and feeds the join in place."""
+    state_dir, out_dir, _ = tmpdirs
+    table = _state_table(state_dir)
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        process_substring_batch(
+            _mkdocs(spark, [(0, _TEXT_A)]), 0, state_dir, out_dir
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = spark.createDataFrame(
+            [(1, 0, 123)], "doc_id long, pos long, h long"
+        )
+        j = probe.join(spark.table(table).select("h"), "h", "left_anti")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        drop_state(spark, state_dir)
+
+
 def test_state_stores_one_hash_per_distinct_window(spark, tmpdirs):
     state_dir, out_dir, _ = tmpdirs
     table = _state_table(state_dir)
