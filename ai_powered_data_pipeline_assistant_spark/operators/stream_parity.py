@@ -583,6 +583,93 @@ def substring_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def substring_state_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops accounting for the streaming substring state — the numbers a
+    deployment monitors to schedule wins-table compaction (TUNING.md
+    "streaming exact-substring gate" sizing): ingest the corpus as
+    ``SUBSTR_STREAM_BATCHES`` arrival batches through the real per-batch
+    handler, COMPACT, and report the state. Driver-pins three claims:
+    the wins table holds exactly one row per DISTINCT window ever seen
+    (the SQL twin recomputes the distinct-window count from the corpus —
+    a 60-bit hash collision would under-count and flip the driver hash),
+    compaction preserves every row, and compaction never increases the
+    file count."""
+    from ai_powered_data_pipeline_assistant_spark import hadoop_fs
+    from ai_powered_data_pipeline_assistant_spark.streaming.substring_stream import (
+        _state_table,
+        _wins_path,
+        compact_substring_state,
+        drop_state,
+        process_substring_batch,
+    )
+
+    nb = SUBSTR_STREAM_BATCHES
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="substr_report_")
+    state_dir = f"{tmp}/state"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for i in range(nb):
+            process_substring_batch(
+                docs.filter(F.col("doc_id") % nb == i),
+                i,
+                state_dir,
+                f"{tmp}/acct",
+            )
+        table = _state_table(state_dir)
+        pre_rows = spark.table(table).count()
+        pre_files = hadoop_fs.count_parquet(spark, _wins_path(state_dir))
+        post_files = compact_substring_state(spark, state_dir)
+        post_rows = spark.table(table).count()
+        n_docs = docs.count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        drop_state(spark, state_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                nb,
+                post_rows,
+                pre_rows == post_rows,
+                post_files <= pre_files,
+            )
+        ],
+        "n_docs long, n_batches int, wins_rows long, rows_preserved boolean, "
+        "files_not_increased boolean",
+    )
+
+
+def _substring_report_sql() -> str:
+    """The wins accounting recomputed independently: one state row per
+    distinct K-token window of the corpus (the same sized/occ CTE the
+    dedup oracles share)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.substring import (
+        SUBSTR_K,
+    )
+
+    k = SUBSTR_K
+    return f"""
+        WITH sized AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t,
+                   length(string_split_regex(trim(lower(text)), '\\s+')) AS n
+            FROM documents),
+        occ AS (
+            SELECT array_to_string(t[i + 1 : i + {k}], ' ') AS win
+            FROM sized, LATERAL (SELECT unnest(range(0, n - {k} + 1)) AS i)
+            WHERE n >= {k})
+        SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+               CAST({SUBSTR_STREAM_BATCHES} AS INT) AS n_batches,
+               (SELECT CAST(count(DISTINCT win) AS BIGINT) FROM occ)
+                   AS wins_rows,
+               true AS rows_preserved,
+               true AS files_not_increased
+    """
+
+
 def _substring_parity_sql() -> str:
     """Batch side recomputed via substring's shared spans CTE under the
     arrival first-wins order; totals SQL-exact, mismatches pinned 0."""
@@ -1283,6 +1370,7 @@ def _oracles() -> dict[str, str]:
         """,
         "neardup_stream_parity": _neardup_parity_sql(),
         "substring_stream_parity": _substring_parity_sql(),
+        "substring_state_report": _substring_report_sql(),
         "crawl_pipeline_parity": _crawl_parity_sql(),
         "crawl_steady_batch": _crawl_steady_sql(),
         "neardup_state_report": _neardup_report_sql(),
@@ -1388,6 +1476,7 @@ QUERIES = {
     "trigger_cadence_audit": trigger_cadence_audit,
     "neardup_stream_parity": neardup_stream_parity,
     "substring_stream_parity": substring_stream_parity,
+    "substring_state_report": substring_state_report,
     "ann_ingest_stream_parity": ann_ingest_stream_parity,
     "crawl_pipeline_parity": crawl_pipeline_parity,
     "crawl_steady_batch": crawl_steady_batch,

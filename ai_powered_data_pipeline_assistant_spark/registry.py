@@ -116,6 +116,7 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "trigger_cadence_audit",
         "neardup_stream_parity",
         "substring_stream_parity",
+        "substring_state_report",
         "substring_k_plan",
         "bpe_merge_table",
         "bpe_token_counts",
@@ -168,11 +169,12 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # ann_ingest_stream_parity) were value-verified green by driver_sim at
 # sf0.01 this session and keep their r8 rows.
 # Late round-9 additions (exact-substring dedup family incl. the streaming
-# gate, provenance matrix and K-plan, plus the unigram tokenizer): their 9
-# oracle-backed names are windowed on arrival, displacing the 9 youngest
-# r3 re-checks (sql_gate_audit, token_budget, tool_registry_audit,
-# top_users_collected, update_by_id, validation_rules, value_percentiles,
-# value_percentiles_approx_audit, winnow_fingerprints) — all 9 were
+# gate with its state report, provenance matrix and K-plan, plus the
+# unigram tokenizer): their 10 oracle-backed names are windowed on
+# arrival, displacing the 10 youngest r3 re-checks (span_dedup,
+# sql_gate_audit, token_budget, tool_registry_audit, top_users_collected,
+# update_by_id, validation_rules, value_percentiles,
+# value_percentiles_approx_audit, winnow_fingerprints) — all 10 were
 # value-verified MATCH by this session's full 50-slot driver_sim run at
 # sf0.01 before displacement; they rotate back in round 10.
 # Every slot carries an oracle AND is driver-representable — both halves
@@ -193,6 +195,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "substring_stream_parity",
     "substring_source_matrix",
     "substring_k_plan",
+    "substring_state_report",
     "unigram_seed_counts",
     "unigram_probe_audit",
     "unigram_encode_probe_audit",
@@ -236,7 +239,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "salted_skew_join",
     "scd2_apply",
     "sessionize",
-    "span_dedup",
 )
 
 
