@@ -341,7 +341,10 @@ def process_neardup_batch(
     # compaction run inside the replay window cannot make the replay see
     # its own documents as history (round-9 review).
     pre = F.col("batch_id") < batch_id
-    own_ids = docs.select("doc_id")
+    # one doc_id row per arriving doc, read from the already-materialized
+    # signature frame instead of re-scanning the micro-batch source (a
+    # doc with no shingles has no state rows to exclude anyway)
+    own_ids = sigs_b.select("doc_id")
 
     def _not_own(state_df: DataFrame) -> DataFrame:
         return state_df.join(F.broadcast(own_ids), "doc_id", "left_anti")

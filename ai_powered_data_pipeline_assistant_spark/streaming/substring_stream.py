@@ -74,7 +74,8 @@ def _create_state(spark: SparkSession, state_dir: str, table: str) -> None:
     if spark.catalog.tableExists(table):
         return
     path = _wins_path(state_dir)
-    if not hadoop_fs.has_parquet(spark, path):
+    live_has_data = hadoop_fs.has_parquet(spark, path)
+    if not live_has_data:
         remnants = [
             d
             for d in hadoop_fs.list_child_dirs(spark, state_dir)
@@ -82,14 +83,25 @@ def _create_state(spark: SparkSession, state_dir: str, table: str) -> None:
             and hadoop_fs.has_parquet(spark, f"{state_dir.rstrip('/')}/{d}")
         ]
         if remnants:
+            # uuid aside names carry no ordering — rank by file mtime so
+            # the operator restores the NEWEST corpus, not a stale aside
+            # a failed best-effort delete left behind (restoring a stale
+            # copy would silently truncate the seen-window corpus)
+            ranked = sorted(
+                remnants,
+                key=lambda d: hadoop_fs.latest_mtime(
+                    spark, f"{state_dir.rstrip('/')}/{d}"
+                ),
+                reverse=True,
+            )
             raise RuntimeError(
                 f"substring stream state at {path} is empty but a crashed "
-                f"compaction left intact state in {remnants} under "
-                f"{state_dir}. Move the newest intact copy back to "
-                f"{path} before restarting; refusing to silently "
-                "bootstrap empty state."
+                f"compaction left intact state under {state_dir} "
+                f"(newest-first by file mtime: {ranked}). Move the FIRST "
+                f"listed copy back to {path} before restarting; refusing "
+                "to silently bootstrap empty state."
             )
-    if hadoop_fs.has_parquet(spark, path):
+    if live_has_data:
         spark.sql(
             f"CREATE TABLE {table} (h long, batch_id long) "
             f"USING PARQUET PARTITIONED BY (batch_id) "
@@ -220,9 +232,11 @@ def compact_substring_state(spark: SparkSession, state_dir: str) -> int:
     naming needed because the table location never changes (a crash
     between the two renames is caught by `_create_state`'s
     remnant guard, which refuses to bootstrap empty state).
-    Distinct-h is a no-op by construction (a window's hash enters state
-    in exactly one batch partition) but kept as a guard against a replay
-    interleaving bug ever landing duplicates. Object-store-safe: staging
+    The per-h min-fold collapse is a no-op by construction (a window's
+    hash enters state in exactly one batch partition) but guards against
+    a replay interleaving bug ever landing duplicates — including
+    duplicates straddling the preserved newest partition, which it
+    assigns to the history side. Object-store-safe: staging
     and swap go through the Hadoop FileSystem API. Returns the parquet
     file count after compaction."""
     table = _state_table(state_dir)
@@ -238,10 +252,17 @@ def compact_substring_state(spark: SparkSession, state_dir: str) -> int:
     fold = F.when(F.col("batch_id") == max_bid, F.col("batch_id")).otherwise(
         F.lit(-1).cast("long")
     )
+    # One row per h, duplicates collapsed to the HISTORY side (min of the
+    # folded batch_id): if a bad replay ever landed a hash in the newest
+    # partition that history already owns, assigning it to -1 keeps state
+    # consistent under a later replay of the newest batch (the replay
+    # overwrites its partition with its own kept set; the hash survives
+    # in -1). A plain distinct over (h, folded id) would keep BOTH copies.
     compacted = (
         spark.table(table)
         .select("h", fold.alias("batch_id"))
-        .distinct()
+        .groupBy("h")
+        .agg(F.min("batch_id").alias("batch_id"))
         .repartition(SUBSTR_STATE_BUCKETS, F.col("h"))
     )
     # bucketed reads off so the pre-write repartition survives the

@@ -257,6 +257,37 @@ def test_state_side_reads_exchange_free(spark, tmpdirs):
         drop_state(spark, state_dir)
 
 
+def test_compaction_collapses_cross_partition_duplicate_hashes(spark, tmpdirs):
+    """If a replay interleaving bug ever lands a hash in the newest
+    partition that history already owns, compaction must collapse the two
+    rows to ONE, assigned to the history side (-1) — so a later replay of
+    the newest batch (which overwrites its own partition) cannot erase
+    the corpus's memory of that window."""
+    state_dir, out_dir, _ = tmpdirs
+    table = _state_table(state_dir)
+    try:
+        process_substring_batch(
+            _mkdocs(spark, [(0, _TEXT_A)]), 0, state_dir, out_dir
+        )
+        process_substring_batch(
+            _mkdocs(spark, [(1, _TEXT_B)]), 1, state_dir, out_dir
+        )
+        # inject the bug: one of batch 0's hashes duplicated into batch 1
+        h0 = spark.table(table).filter(F.col("batch_id") == 0).first()["h"]
+        spark.createDataFrame(
+            [(h0, 1)], "h long, batch_id long"
+        ).write.insertInto(table, overwrite=False)
+        assert (
+            spark.table(table).filter(F.col("h") == h0).count() == 2
+        )
+        compact_substring_state(spark, state_dir)
+        rows = spark.table(table).filter(F.col("h") == h0).collect()
+        assert len(rows) == 1
+        assert rows[0]["batch_id"] == -1  # history side wins
+    finally:
+        drop_state(spark, state_dir)
+
+
 def test_state_stores_one_hash_per_distinct_window(spark, tmpdirs):
     state_dir, out_dir, _ = tmpdirs
     table = _state_table(state_dir)
