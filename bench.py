@@ -234,10 +234,19 @@ def main() -> None:
     # Host-noise-normalized ratchet numbers (VERDICT r8 task #3): divide
     # by (calibration / idle-reference) so a graded run on a loaded host
     # is directly comparable to the documented idle baseline — no
-    # hand-computation, no worktree A/B. CAL_IDLE_SEC is the documented
-    # idle-host calibration (TUNING.md "Bench calibration row").
-    CAL_IDLE_SEC = 0.30
-    scale = max(calibration / CAL_IDLE_SEC, 1e-9)
+    # hand-computation, no worktree A/B. The idle reference MUST be a
+    # SAME-HOST measurement (VERDICT r9 "what's wrong" #1: the old 0.30
+    # constant was back-inferred from a round-7 host and overstated the
+    # normalized speed ~1.6× on this sandbox): re-measure the calibration
+    # kernel on a quiet host each round (scripts in TUNING.md "Bench
+    # calibration row"), record the dated samples there, and update the
+    # default below — or pass SPARK_GRAFT_CAL_IDLE_SEC for a run-time
+    # override. 0.44 = round-10 measurement (2026-08-16, load<1.4,
+    # post-warm-up samples 0.508/0.447/0.439/0.437). The normalizer is
+    # only valid for SAME-HOST load normalization; raw fields are always
+    # reported alongside and are the primary grading numbers.
+    cal_idle = float(os.environ.get("SPARK_GRAFT_CAL_IDLE_SEC", "0.44"))
+    scale = max(calibration / cal_idle, 1e-9)
     print(
         json.dumps(
             {
@@ -249,6 +258,7 @@ def main() -> None:
                 "common37_sec": common37,
                 "calibration_sec": calibration,
                 "calibration_max_sec": calibration_max,
+                "cal_idle_ref_sec": cal_idle,
                 "normalized_common22_sec": round(common22 / scale, 3),
                 "normalized_common37_sec": round(common37 / scale, 3),
                 "sf": sf,
