@@ -43,14 +43,38 @@ def process_crawl_batch(
     state_dir: str,
     layout_path: str,
     out_dir: str,
+    rebuild_corpus=None,
 ) -> None:
     """One micro-batch of the composed pipeline — module-level so the
     stream wiring, the parity replays, and the steady-state bench row
     (`crawl_steady_batch`) all run the EXACT same per-batch code path.
     Idempotent end to end: every write is batch_id-partitioned dynamic
-    overwrite."""
+    overwrite.
+
+    The IVF-PQ drift rule (VERDICT r9 task #3 — the FAISS
+    re-train-on-drift discipline, automated; reference analogue: pgvector
+    ivfflat ``lists=100`` going stale, Supabase/knowledge_base-RAG.sql:31-33)
+    is evaluated every batch BEFORE the index append: O(n_lists) catalog
+    statistics against the at-train baseline
+    (`layout.ivfpq_drift_decision`), recorded per batch under
+    ``out_dir/drift``. When it trips AND ``rebuild_corpus`` is wired (a
+    zero-arg callable returning the current full (vec_id, embedding)
+    corpus EXCLUDING this batch's arrivals — a deployment reads its
+    vectors table as of the previous batch), `rebuild_ivfpq_layout` runs
+    the full retrain + swap; this batch's curated vectors then append
+    against the FRESH artifacts. Check-before-append is what makes a
+    replay after a completed rebuild converge: the rebuilt sidecar resets
+    the baseline, the replayed batch re-evaluates to not-tripped, and its
+    append overwrites its own (list, batch) partitions — the drift record
+    for that batch then reflects the post-rebuild state, which is the
+    documented replay semantics (state converges; the record is "the
+    decision at processing time"). With ``rebuild_corpus=None`` the rule
+    is still evaluated and recorded (the accounting a maintenance window
+    reads) but never executes a rebuild."""
     from ai_powered_data_pipeline_assistant_spark.sources.layout import (
         append_ivfpq_layout,
+        ivfpq_drift_decision,
+        rebuild_ivfpq_layout,
     )
     from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
         idempotent_append,
@@ -92,6 +116,32 @@ def process_crawl_batch(
             )
         else:  # no pairs parquet yet → nothing dropped
             curated = batch_df
+        # drift rule before the append (replay convergence — docstring)
+        decision = ivfpq_drift_decision(spark, layout_path)
+        rebuilt = False
+        if decision["rebuild_recommended"] and rebuild_corpus is not None:
+            rebuild_ivfpq_layout(
+                spark, layout_path, rebuild_corpus(), batched=True
+            )
+            rebuilt = True
+        idempotent_append(
+            spark.createDataFrame(
+                [
+                    (
+                        decision["n_at_train"],
+                        decision["max_at_train"],
+                        decision["n_now"],
+                        decision["max_now"],
+                        decision["rebuild_recommended"],
+                        rebuilt,
+                    )
+                ],
+                "n_at_train long, max_at_train long, n_now long, "
+                "max_now long, rebuild_recommended boolean, rebuilt boolean",
+            ),
+            batch_id,
+            f"{out_dir}/drift",
+        )
         append_ivfpq_layout(
             spark,
             layout_path,
@@ -109,16 +159,22 @@ def run_crawl_pipeline(
     layout_path: str,
     out_dir: str,
     checkpoint: str,
+    rebuild_corpus=None,
 ):
     """Wire the composed pipeline over a (doc_id, text, embedding) source
     against a BATCHED IVF-PQ layout (`write_ivfpq_layout_for(batched=True)`)
     and an (initially empty) near-dup state dir. Outputs under ``out_dir``:
-    ``pairs/`` (flagged near-dup pairs) and ``curated/`` (kept doc ids),
-    both batch_id-partitioned. Returns the started StreamingQuery
-    (availableNow)."""
+    ``pairs/`` (flagged near-dup pairs), ``curated/`` (kept doc ids), and
+    ``drift/`` (the per-batch IVF-PQ drift-rule record), all
+    batch_id-partitioned. ``rebuild_corpus`` arms the automated
+    drift→rebuild loop (see `process_crawl_batch`). Returns the started
+    StreamingQuery (availableNow)."""
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
-        process_crawl_batch(batch_df, batch_id, state_dir, layout_path, out_dir)
+        process_crawl_batch(
+            batch_df, batch_id, state_dir, layout_path, out_dir,
+            rebuild_corpus=rebuild_corpus,
+        )
 
     return (
         arrivals_stream.writeStream.outputMode("append")
