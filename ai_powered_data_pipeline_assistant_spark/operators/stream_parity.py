@@ -500,7 +500,17 @@ def substring_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     would surface here as a mismatch. One row: doc counts both sides,
     dropped-window and removed-token totals, mismatch count, equality.
     The oracle recomputes the batch side via the shared `_spans_cte` with
-    the arrival ordering and pins mismatches = 0."""
+    the arrival ordering and pins mismatches = 0.
+
+    Arrival-order assumption (ADVICE r9, shared by the other ordered
+    replays — crawl_pipeline_parity, neardup_stream_parity): with
+    ``maxFilesPerTrigger=1`` and utime-staggered files, FileStreamSource
+    picks oldest-mtime-first — Spark implementation behavior
+    (``latestFirst`` defaults false), not a documented contract. If a
+    Spark upgrade ever reorders the batches, this does NOT silently pass:
+    the batch index is content-derived (doc_id % NB), so the stream's
+    accumulated accounting would diverge from the arrival-rule oracle and
+    the parity row fails loudly as mismatches > 0."""
     from ai_powered_data_pipeline_assistant_spark.operators.substring import (
         accounting_for,
         dropped_intervals_for,
@@ -562,12 +572,15 @@ def substring_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_batch = want.count()
         missing = want.exceptAll(got).count()
         extra = got.exceptAll(want).count()
+        # sums are NULL on an empty accounting table (empty corpus /
+        # zero-row batches) — coalesce so the parity row reports zeros
+        # instead of raising TypeError (ADVICE r9)
         dropped_total = got.agg(
             F.sum("dup_windows").cast("long")
-        ).first()[0]
+        ).first()[0] or 0
         removed_total = got.agg(
             F.sum("tokens_removed").cast("long")
-        ).first()[0]
+        ).first()[0] or 0
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         drop_state(spark, f"{tmp}/state")

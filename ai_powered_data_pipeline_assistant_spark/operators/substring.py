@@ -37,11 +37,15 @@ template-spam window repeated millions of times would serialize into one
 unsplittable window partition, while the aggregate combines before the
 shuffle and AQE's skew-join splitting handles the join side); the interval
 merge is two window functions over ``doc_id`` partitions, bounded by the
-DROPPED windows only. Nothing quadratic, no driver round-trips. At 100 TB
-you would key the shuffle by a 128-bit content hash of the window instead
-of the string (same plan shape, 16-byte shuffle rows; collision odds
-~1e-18); the test-scale build keys by the window text itself so the DuckDB
-oracle is exact rather than hash-trusting.
+DROPPED windows only. Nothing quadratic, no driver round-trips. The
+first-wins shuffle keys by the 128-bit md5 of the window BY DEFAULT
+(VERDICT r9 task #4 — same plan shape, 16-byte shuffle rows instead of
+K-token strings; collision odds ~1e-18 even at 10^13 windows), matching
+the streaming twin's hashed state (substring_stream.py). The text-keyed
+form survives behind ``hash_keyed=False`` as the oracle-exact twin; the
+two are pinned row-identical at sf0.01 in tests/test_substring.py, which
+is the evidence that lets the DuckDB oracle stay text-keyed while the
+engine ships the hash-keyed plan.
 
 ``substring_dedup`` returns the per-document accounting (driver-hashable
 scalars, oracle-exact); ``substring_dedup_spans`` returns the merged spans
@@ -82,19 +86,35 @@ def windows_expr(k: int = SUBSTR_K):
     )
 
 
-def occ_for(sized: DataFrame, k: int = SUBSTR_K) -> DataFrame:
-    """(doc_id, pos, win) window occurrences, materialized — occ always
+def occ_for(
+    sized: DataFrame, k: int = SUBSTR_K, hash_keyed: bool = True
+) -> DataFrame:
+    """(doc_id, pos, wk) window occurrences, materialized — occ always
     feeds BOTH the first-occurrence aggregate and the join probe side, so
-    the explode runs once per session policy."""
+    the explode runs once per session policy.
+
+    ``wk`` is the shuffle/join key: by default the 128-bit md5 of the
+    window text (``unhex`` → 16-byte binary — the production shape the
+    module docstring prescribes: at 100 TB the first-wins shuffle moves
+    16-byte rows instead of K-token strings, ~300 bytes at Lee et al.'s
+    K=50; collision odds ~1e-18 at 10^13 windows). ``hash_keyed=False``
+    keys by the window TEXT itself — the oracle-exact form the DuckDB
+    twin mirrors; `tests/test_substring.py` pins the two paths
+    row-identical, which is what lets every registry query default to the
+    hash key while the oracle stays text-keyed."""
+    key = (
+        F.unhex(F.md5(F.col("w.win"))) if hash_keyed else F.col("w.win")
+    )
     return materialize(
         sized.filter(F.col("n") >= k)
         .select("doc_id", F.explode(windows_expr(k)).alias("w"))
-        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+        .select("doc_id", F.col("w.pos").alias("pos"), key.alias("wk"))
     )
 
 
 def dropped_intervals_for(
-    sized: DataFrame, batch_expr=None, k: int = SUBSTR_K
+    sized: DataFrame, batch_expr=None, k: int = SUBSTR_K,
+    hash_keyed: bool = True,
 ) -> DataFrame:
     """Dropped-window intervals (doc_id, pos, e, owner_doc) for an
     already-tokenized corpus — owner_doc is the document holding the
@@ -110,14 +130,16 @@ def dropped_intervals_for(
     would land every occurrence in ONE unsplittable window partition,
     while the aggregate combines partials before the shuffle and AQE can
     split the skewed join partition (struct comparison is lexicographic,
-    so min(struct(doc_id, pos)) IS "ORDER BY doc_id, pos LIMIT 1")."""
-    occ = occ_for(sized, k)
+    so min(struct(doc_id, pos)) IS "ORDER BY doc_id, pos LIMIT 1").
+    ``hash_keyed`` selects the shuffle key (see `occ_for`): 128-bit hash
+    by default, window text for the oracle-exact twin."""
+    occ = occ_for(sized, k, hash_keyed=hash_keyed)
     order_fields = (
         [batch_expr(F.col("doc_id")).alias("b")] if batch_expr else []
     ) + [F.col("doc_id"), F.col("pos")]
-    firsts = occ.groupBy("win").agg(F.min(F.struct(*order_fields)).alias("first"))
+    firsts = occ.groupBy("wk").agg(F.min(F.struct(*order_fields)).alias("first"))
     return (
-        occ.join(firsts, "win")
+        occ.join(firsts, "wk")
         .filter(
             (F.col("doc_id") != F.col("first.doc_id"))
             | (F.col("pos") != F.col("first.pos"))
@@ -139,10 +161,14 @@ def _dropped_intervals(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     return sized, dropped_intervals_for(sized)
 
 
-def _merged_spans(dropped: DataFrame) -> DataFrame:
+def _merged_spans(
+    dropped: DataFrame, keys: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
     """Gaps-and-islands merge of dropped intervals per document:
-    (doc_id, s, e, n_windows) with overlapping intervals folded."""
-    wd = Window.partitionBy("doc_id").orderBy("pos")
+    (*keys, s, e, n_windows) with overlapping intervals folded. ``keys``
+    extends the partition for the single-pass K sweep ((k, doc_id) —
+    each candidate K's intervals merge independently inside one job)."""
+    wd = Window.partitionBy(*keys).orderBy("pos")
     prev_max_end = F.max("e").over(
         wd.rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -150,7 +176,7 @@ def _merged_spans(dropped: DataFrame) -> DataFrame:
         prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
     ).otherwise(0)
     islands = dropped.withColumn("isl", F.sum(new_island).over(wd))
-    return islands.groupBy("doc_id", "isl").agg(
+    return islands.groupBy(*keys, "isl").agg(
         F.min("pos").alias("s"),
         F.max("e").alias("e"),
         F.count("*").cast("long").alias("n_windows"),
@@ -258,38 +284,77 @@ def substring_k_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the right K for a corpus balances false merges — short K flags common
     phrases — against missed near-boundary repeats): for each candidate K,
     the dropped-window count, merged-span count, tokens removed, and the
-    share of corpus tokens removed (micro-share, integer-exact). One
-    corpus pass per candidate — run once per corpus, not per ingest."""
-    # the tokenized view and the k-invariant corpus token total compute
-    # ONCE; only the per-K window pipeline runs inside the loop
+    share of corpus tokens removed (micro-share, integer-exact).
+
+    SINGLE corpus pass for the whole sweep (VERDICT r9 task #5 — the old
+    shape ran one explode + shuffle per candidate): every candidate K's
+    windows are generated IN-ROW as one flattened array (rows =
+    Σ_k (n−K+1) ≈ |candidates|·corpus tokens — the same explode volume
+    the per-K loop paid in total, but ONE job), hashed to the 128-bit key
+    in-row, and pushed through ONE first-wins aggregate keyed (k, hash),
+    one join, one (k, doc_id)-partitioned interval merge, and one per-K
+    rollup. The plan carries a single Generate (explode) and one shuffle
+    per stage instead of |candidates| of each; at 100 TB the sweep costs
+    one corpus read. Results stay distributed until the driver collects
+    |candidates| rows."""
     sized = materialize(
         sized_docs(load_table(spark, sf_dir, "documents", parallelize=True))
     )
-    total = sized.agg(F.sum("n").cast("long")).first()[0]
-    rows = []
-    for k in SUBSTR_K_CANDIDATES:
-        spans = _merged_spans(dropped_intervals_for(sized, k=k))
-        agg = spans.agg(
-            F.count("*").cast("long").alias("n_spans"),
-            F.sum("n_windows").cast("long").alias("dup_windows"),
-            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("tokens_removed"),
-        ).first()
-        removed = int(agg["tokens_removed"] or 0)
-        rows.append(
-            (
-                k,
-                int(agg["dup_windows"] or 0),
-                int(agg["n_spans"] or 0),
-                removed,
-                int(total),
-                removed * 1_000_000 // int(total),
-            )
+    ks_sql = ",".join(str(k) for k in SUBSTR_K_CANDIDATES)
+    wins = F.expr(
+        "flatten(transform(array({ks}), k -> "
+        "CASE WHEN size(t) >= k THEN "
+        "transform(sequence(0, size(t) - k), i -> struct(k AS k, i AS pos, "
+        "unhex(md5(concat_ws(' ', slice(t, i + 1, k)))) AS wk)) "
+        "ELSE CAST(array() AS array<struct<k:int,pos:int,wk:binary>>) "
+        "END))".format(ks=ks_sql)
+    )
+    occ = materialize(
+        sized.select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id", "w.k", "w.pos", "w.wk")
+    )
+    firsts = occ.groupBy("k", "wk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    dropped = (
+        occ.join(firsts, ["k", "wk"])
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
         )
-    return spark.createDataFrame(
-        rows,
-        "k int, dup_windows long, n_spans long, tokens_removed long, "
-        "corpus_tokens long, removed_micro_share long",
-    ).orderBy("k")
+        .select(
+            "k", "doc_id", "pos",
+            (F.col("pos") + F.col("k") - 1).alias("e"),
+        )
+    )
+    per_k = _merged_spans(dropped, keys=("k", "doc_id")).groupBy("k").agg(
+        F.sum("n_windows").cast("long").alias("dup_windows"),
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("tokens_removed"),
+    )
+    total = sized.agg(F.sum("n").cast("long").alias("corpus_tokens"))
+    cand = spark.createDataFrame(
+        [(k,) for k in SUBSTR_K_CANDIDATES], "k int"
+    )
+    return (
+        cand.join(per_k, "k", "left")  # a K with zero repeats still rows
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("tokens_removed", F.lit(0))
+            .cast("long")
+            .alias("tokens_removed"),
+            "corpus_tokens",
+        )
+        .withColumn(
+            # integral DIV: exact floor share in micro-units, no floats
+            "removed_micro_share",
+            F.expr("tokens_removed * 1000000 DIV corpus_tokens"),
+        )
+        .orderBy("k")
+    )
 
 
 def substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,6 +390,73 @@ def substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def substring_rewrite_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee et al. deployment's actual OUTPUT (VERDICT r9 task #6):
+    `substring_rewrite` computes the kept text; this lands it as a
+    MAINTAINED table and audits the landed bytes, one row:
+
+    1. write the deduplicated corpus through `sources.sinks.ParquetTable`
+       (write-new-then-swap via ``hadoop_fs.swap_dirs`` — the same
+       object-store-safe rewrite the reference's upsert sink uses, so a
+       crashed apply never leaves a half-written corpus at the path);
+    2. RE-APPLY via ``ParquetTable.merge`` on doc_id — the maintained
+       table's upsert path: a pipeline re-run must converge (all rows
+       matched-and-replaced, zero inserted), which the audit row carries
+       as measured counts the oracle recomputes as expectations;
+    3. audit what actually LANDED (read back from the swapped path, not
+       the frame that was written): row count, total kept tokens, and an
+       order-insensitive corpus fingerprint —
+       ``bit_xor(md5_int(doc_id:kept_text))`` per doc (xor, not sum:
+       never overflows int64 at any corpus size; rows are distinct per
+       doc so nothing cancels). The DuckDB oracle recomputes all five
+       scalars from the shared spans CTE.
+
+    Scale: one rewrite pass + one merge + one audit scan over the OUTPUT
+    corpus; the dedup math itself is the audited `substring_rewrite`
+    plan. The table dir is per-run scratch here; a deployment points it
+    at the curated-corpus location."""
+    import shutil
+    import tempfile
+
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
+        md5_int,
+    )
+    from ai_powered_data_pipeline_assistant_spark.sources.sinks import (
+        ParquetTable,
+    )
+
+    out = materialize(substring_rewrite(spark, sf_dir))
+    tmp = tempfile.mkdtemp(prefix="substring_apply_")
+    try:
+        table = ParquetTable(spark, f"{tmp}/dedup_corpus")
+        table.init(out)
+        stats = table.merge(out, key="doc_id")  # re-apply converges
+        landed = table.read()
+        # the fingerprint input column rides in via a pre-projection
+        fp = landed.select(
+            "tokens_kept",
+            md5_int(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.col("kept_text")
+                )
+            ).alias("h"),
+        )
+        row = fp.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tokens_kept").cast("long").alias("total_tokens_kept"),
+            F.expr("bit_xor(h)").cast("long").alias("corpus_fingerprint"),
+        ).select(
+            "n_docs",
+            "total_tokens_kept",
+            "corpus_fingerprint",
+            F.lit(stats["updated"]).cast("long").alias("reapply_updated"),
+            F.lit(stats["inserted"]).cast("long").alias("reapply_inserted"),
+        )
+        return spark.createDataFrame(row.collect(), row.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _spans_cte(order_sql: str = "doc_id, pos", k: int = SUBSTR_K) -> str:
@@ -425,6 +557,35 @@ def _substring_spans_oracle() -> str:
     """
 
 
+def _rewrite_apply_oracle() -> str:
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
+        md5_int_sql,
+    )
+
+    h = md5_int_sql("CAST(z.doc_id AS VARCHAR) || ':' || coalesce(k.kept_text, '')")
+    return f"""{_spans_cte()},
+        toks AS (
+            SELECT doc_id, p, t[p + 1] AS tok
+            FROM sized, LATERAL (SELECT unnest(range(0, n)) AS p)),
+        kept AS (
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS tokens_kept,
+                   string_agg(b.tok, ' ' ORDER BY b.p) AS kept_text
+            FROM toks b
+            WHERE NOT EXISTS (SELECT 1 FROM spans s
+                              WHERE s.doc_id = b.doc_id
+                                AND b.p BETWEEN s.s AND s.e)
+            GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(coalesce(k.tokens_kept, 0)) AS BIGINT)
+                   AS total_tokens_kept,
+               CAST(bit_xor({h}) AS BIGINT) AS corpus_fingerprint,
+               CAST(count(*) AS BIGINT) AS reapply_updated,
+               CAST(0 AS BIGINT) AS reapply_inserted
+        FROM sized z LEFT JOIN kept k USING (doc_id)
+    """
+
+
 def _source_matrix_oracle() -> str:
     k = SUBSTR_K
     return f"""
@@ -485,6 +646,7 @@ ORACLES: dict[str, str] = {
     "substring_dedup": _substring_dedup_oracle(),
     "substring_dedup_spans": _substring_spans_oracle(),
     "substring_rewrite": _substring_rewrite_oracle(),
+    "substring_rewrite_apply": _rewrite_apply_oracle(),
     "substring_source_matrix": _source_matrix_oracle(),
     "substring_k_plan": _k_plan_oracle(),
 }
@@ -493,6 +655,7 @@ QUERIES = {
     "substring_dedup": substring_dedup,
     "substring_dedup_spans": substring_dedup_spans,
     "substring_rewrite": substring_rewrite,
+    "substring_rewrite_apply": substring_rewrite_apply,
     "substring_source_matrix": substring_source_matrix,
     "substring_k_plan": substring_k_plan,
 }

@@ -247,7 +247,14 @@ def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (word -> n_pieces) onto the corpus word explode, aggregate
     per document; out-of-head words fall back to character tokens. Rows-
     only (trained-table dep); encode exactness is pinned by
-    `unigram_encode_probe_audit`."""
+    `unigram_encode_probe_audit`.
+
+    Intentional row asymmetry (ADVICE r9, shared with `bpe_token_counts`):
+    a document whose text normalizes to ZERO words (empty/whitespace-only)
+    has no explode rows and is absent from the output — token counting
+    reports the tokenizable corpus, unlike the substring accounting which
+    covers every document with zeros. Consumers needing full coverage
+    left-join this onto documents."""
     words = _word_freqs(spark, sf_dir)
     head, _counts, costs = _train(words, UNI_ROUNDS)
     encoded = head.select(
@@ -284,7 +291,12 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exploded to (doc, source, word) exactly ONCE — the per-word piece
     counts of both tokenizers broadcast-join onto that single explode.
     Calling bpe_token_counts + unigram_token_counts separately would pay
-    the corpus scan three times over."""
+    the corpus scan three times over. The ONLY Python boundary is the
+    Viterbi pandas UDF over the ≤ BPE_VOCAB_CAP vocabulary head on the
+    broadcast build side — never over the corpus-cardinality explode
+    (plan-asserted in tests/test_unigram.py). Zero-word documents are
+    absent (see `unigram_token_counts` — same intentional asymmetry),
+    though per-SOURCE rows only vanish if a whole source is empty."""
     from ai_powered_data_pipeline_assistant_spark.operators.bpe import (
         BPE_MIN_COUNT,
         BPE_ROUNDS,

@@ -118,6 +118,7 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "substring_stream_parity",
         "substring_state_report",
         "substring_k_plan",
+        "substring_rewrite_apply",
         "bpe_merge_table",
         "bpe_token_counts",
         "bpe_probe_audit",

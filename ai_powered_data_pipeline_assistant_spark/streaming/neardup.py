@@ -43,6 +43,18 @@ appends accumulate one file set per batch per table;
 partitions — all but the newest, which a crash-window replay may still
 overwrite — into one compacted partition with the same bucket layout.
 
+doc_id-uniqueness assumption (ADVICE r9): a doc_id arrives in at most ONE
+batch over the stream's lifetime. The replay-safety identity exclusion
+(the `_not_own` broadcast anti-join in `process_neardup_batch`) removes
+the arriving ids' state rows from the candidate/verify inputs — correct
+for a replay (those rows ARE this batch's own partial write), but if a
+re-crawl legitimately re-submitted an existing doc_id in a LATER batch,
+its prior version's state would be excluded for that batch (pairs against
+the prior version silently suppressed) while both versions' rows stayed
+in state. Re-crawled content must therefore arrive under a fresh doc_id
+(version-suffixed ids are the convention), or state must be deduped by
+doc_id on re-arrival before ingest.
+
 Pair semantics: a batch emits (later, earlier) pairs against all EARLIER
 batches (cross-batch: batch(a) > batch(b)) and within itself (same batch:
 a > b) — two near-identical docs arriving in the same crawl slice are

@@ -132,3 +132,29 @@ def test_golden_seed_keeps_full_alphabet():
     seed = _golden_seed(UNI_PROBES)
     alphabet = {c for w, _ in UNI_PROBES for c in w}
     assert alphabet <= {p for p in seed if len(p) == 1}
+
+
+def test_fertility_report_viterbi_stays_vocab_side(spark, sf_dir, monkeypatch):
+    """VERDICT r9 task #7: the fertility report's only Python boundary is
+    the Viterbi pandas UDF over the vocabulary HEAD on the broadcast
+    build side — never over the corpus-cardinality word explode. In the
+    full-lineage plan (materialization off) the probe side (the corpus
+    explode, printed before the first BroadcastExchange) must carry no
+    EvalPython node; the one ArrowEvalPython lives under the broadcast."""
+    from ai_powered_data_pipeline_assistant_spark.operators.unigram import (
+        tokenizer_fertility_report,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "none")
+    plan = (
+        tokenizer_fertility_report(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" in plan, "the Viterbi UDF must be in the plan"
+    first_bcast = plan.index("BroadcastExchange")
+    probe_side = plan[:first_bcast]
+    assert "EvalPython" not in probe_side, (
+        "Python eval found above the corpus explode:\n" + probe_side
+    )
