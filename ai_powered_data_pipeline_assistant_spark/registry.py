@@ -151,95 +151,95 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 )
 
 # The correctness driver checks the FIRST 50 registry entries per round, so
-# ordering decides which queries get a driver verdict. Round-9 window
-# (VERDICT r8 next-round #1 — drain the oldest driver-record staleness):
-# (a) ivfpq_drift_audit — NEW this round (rebuild-decision audit, VERDICT
-# r8 task #7), windowed on arrival; (b) insurance re-checks for the two
-# parity names whose implementing module (streaming/neardup.py) changed
-# materially this round (Hadoop-FS state lifecycle + semi-join over-cap
-# partner fetch — output-identical by design, pinned by the new pytest
-# parity, but the driver is the arbiter); (c) ALL 10 remaining r2-greens
-# (tpch_q2/q4/q10/q14/q16/q19/q21, below_nation_avg,
-# supplier_balance_rank, urgent_no_fail_customers); (d) 35 of the 45
-# r3-greens. The 10 deferred r3 names (tpch_q7/q8/q9/q11/q12/q13/q15/q17/
-# q20/q22) are all in untouched tpch.py, keep 7 windowed module siblings
-# (q2/q4/q10/q14/q16/q19/q21), and were value-verified by this session's
-# targeted driver_sim runs; they rotate in next round. Names touched by this
-# round's ivfpq refactor (ann_ivfpq_pruned, ivfpq_delete_audit,
-# ivfpq_incremental_parity, ivfpq_nprobe_recall_audit,
-# ann_ingest_stream_parity) were value-verified green by driver_sim at
-# sf0.01 this session and keep their r8 rows.
-# Late round-9 additions (exact-substring dedup family incl. the streaming
-# gate with its state report, provenance matrix and K-plan, plus the
-# unigram tokenizer): their 10 oracle-backed names are windowed on
-# arrival, displacing the 10 youngest r3 re-checks (span_dedup,
-# sql_gate_audit, token_budget, tool_registry_audit, top_users_collected,
-# update_by_id, validation_rules, value_percentiles,
-# value_percentiles_approx_audit, winnow_fingerprints) — all 10 were
-# value-verified MATCH by this session's full 50-slot driver_sim run at
-# sf0.01 before displacement; they rotate back in round 10.
+# ordering decides which queries get a driver verdict. Round-10 window
+# (VERDICT r9 task #2 — drain the last pre-r4 staleness; the pre-rotation
+# record is 20 names at r3 + 37 at r4, everything else ≥ r5):
+# (a) substring_rewrite_apply — NEW this round (the executed Lee et al.
+# corpus-rewrite sink, VERDICT r9 task #6), windowed on arrival;
+# (b) insurance re-checks for every name whose implementing module changed
+# materially this round: operators/substring.py went hash-keyed-default +
+# single-pass K sweep (5 batch names), operators/stream_parity.py's
+# substring parity gained the empty-sum coalesce (substring_stream_parity),
+# streaming/crawl_pipeline.py gained the automated drift→rebuild loop
+# (crawl_pipeline_parity, crawl_steady_batch), and sources/layout.py
+# gained the train_stats sidecar + drift decision (ivfpq_drift_audit,
+# ivfpq_incremental_parity, ivfpq_delete_audit) — all 11 value-verified
+# MATCH by targeted driver_sim at sf0.01 at their landing commits, but the
+# driver is the arbiter;
+# (c) ALL 20 remaining r3-greens (the 10 deferred tpch q7/q8/q9/q11/q12/
+# q13/q15/q17/q20/q22 + the 10 displaced by the late-r9 arrivals);
+# (d) 18 of the 37 r4-greens: the three living in the changed
+# sources/layout.py first (bucketed_join_rollup, events_partition_pruned,
+# zorder_pruning_audit — insurance and staleness at once), then
+# alphabetically-first names. The 19 r4 names that don't fit
+# (ivf_balance_report .. weighted_median — see ROADMAP "Round-11 window
+# plan") were all value-verified by round-9's full 296/296 sweep and
+# rotate in r11; after this window lands the oldest non-window green is r4.
 # Every slot carries an oracle AND is driver-representable — both halves
 # enforced on every pytest by tests/test_driver_sim_hardening.py
 # (oracle presence + driver_representable over the built window frames).
 # Rows-only entries (bpe_merge_table, kmeans_embeddings, compression_ratio,
 # embed_*, quality_trainer_report, bpe_token_counts, scan_file_stats,
-# unigram_vocab_table, unigram_token_counts) are NEVER windowed — their
-# currency is their scalarized audit twins.
+# unigram_vocab_table, unigram_token_counts, tokenizer_fertility_report)
+# are NEVER windowed — their currency is their scalarized audit twins.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- NEW round-9 operators, windowed on arrival --
-    "ivfpq_drift_audit",
-    "crawl_steady_batch",
-    "neardup_state_report",
+    # -- NEW round-10 operator, windowed on arrival --
+    "substring_rewrite_apply",
+    # -- changed-module insurance (operators/substring.py) --
     "substring_dedup",
     "substring_dedup_spans",
     "substring_rewrite",
-    "substring_stream_parity",
     "substring_source_matrix",
     "substring_k_plan",
-    "substring_state_report",
-    "unigram_seed_counts",
-    "unigram_probe_audit",
-    "unigram_encode_probe_audit",
-    # -- module changed in round 9 (streaming/neardup.py): insurance --
-    "neardup_stream_parity",
+    # -- changed-module insurance (operators/stream_parity.py) --
+    "substring_stream_parity",
+    # -- changed-module insurance (streaming/crawl_pipeline.py) --
     "crawl_pipeline_parity",
-    # -- staleness re-checks: the 10 remaining r2-greens --
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q21",
-    "below_nation_avg",
-    "supplier_balance_rank",
-    "urgent_no_fail_customers",
-    # -- staleness re-checks: r3-greens, oldest-first rotation --
-    "ann_lsh_recall",
-    "bloom_dedup_gate",
-    "chat_display_page",
-    "cohort_retention",
-    "corrupt_records_audit",
-    "cube_counts",
-    "curation_funnel",
-    "decontaminate",
-    "distinct_users_approx_audit",
-    "embedding_neardup_lsh_recall",
-    "funnel_counts",
-    "insert_append_audit",
-    "json_extract_agg",
-    "log_scrub",
-    "map_column_ops",
-    "media_summary",
-    "neardup_clusters",
-    "nl2sql_audit",
-    "pack_sequences",
-    "pivot_counts",
-    "quality_metrics_approx_audit",
-    "repetition_stats",
-    "salted_skew_join",
-    "scd2_apply",
-    "sessionize",
+    "crawl_steady_batch",
+    # -- changed-module insurance (sources/layout.py) --
+    "ivfpq_drift_audit",
+    "ivfpq_incremental_parity",
+    "ivfpq_delete_audit",
+    # -- staleness: ALL 20 remaining r3-greens --
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q22",
+    "span_dedup",
+    "sql_gate_audit",
+    "token_budget",
+    "tool_registry_audit",
+    "top_users_collected",
+    "update_by_id",
+    "validation_rules",
+    "value_percentiles",
+    "value_percentiles_approx_audit",
+    "winnow_fingerprints",
+    # -- staleness: 18 oldest r4-greens (layout.py residents first) --
+    "bucketed_join_rollup",
+    "events_partition_pruned",
+    "zorder_pruning_audit",
+    "ann_ivf_topk",
+    "basket_pairs",
+    "column_profile",
+    "containment_pairs",
+    "crosscorpus_neardup",
+    "csv_roundtrip_agg",
+    "daily_dedup_ledger",
+    "dedup_method_report",
+    "doc_duplication_share",
+    "embedder_probe_audit",
+    "entity_canonical_rollup",
+    "entity_match_pairs",
+    "event_pagerank",
+    "event_trigrams",
+    "hybrid_search_rrf",
 )
 
 
