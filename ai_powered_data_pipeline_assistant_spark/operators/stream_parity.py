@@ -496,9 +496,17 @@ def substring_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exceptAll-diff the accumulated per-document accounting against
     `substring.accounting_for` under the ARRIVAL first-wins order
     (batch index, doc_id, pos). The batch twin keys first-wins by window
-    TEXT while the stream keys by the 60-bit hash, so a hash collision
-    would surface here as a mismatch. One row: doc counts both sides,
-    dropped-window and removed-token totals, mismatch count, equality.
+    TEXT (``hash_keyed=False`` — the engine default went 128-bit-hash in
+    round 10, but THIS reference side deliberately keeps text semantics)
+    while the stream keys by the 60-bit hash, so a hash collision would
+    surface here as a mismatch. One row: doc counts both sides,
+    dropped-window and removed-token totals, mismatch count, equality —
+    plus (round 10) the REWRITE leg: the stream lands each batch's
+    rewritten documents (``text_out_dir``) and the accumulated text table
+    must row-equal `rewrite_for` under the arrival order, with the
+    kept-token total and bit_xor corpus fingerprint recomputed by the
+    oracle from the shared CTE — the dedup-at-ingest deployment emits
+    TEXT, and this pins the text, not just the accounting.
     The oracle recomputes the batch side via the shared `_spans_cte` with
     the arrival ordering and pins mismatches = 0.
 
@@ -511,9 +519,13 @@ def substring_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch index is content-derived (doc_id % NB), so the stream's
     accumulated accounting would diverge from the arrival-rule oracle and
     the parity row fails loudly as mismatches > 0."""
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
+        md5_int,
+    )
     from ai_powered_data_pipeline_assistant_spark.operators.substring import (
         accounting_for,
         dropped_intervals_for,
+        rewrite_for,
         sized_docs,
     )
     from ai_powered_data_pipeline_assistant_spark.streaming.substring_stream import (
@@ -547,7 +559,8 @@ def substring_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
         )
         q = run_substring_stream(
-            stream, f"{tmp}/state", f"{tmp}/acct", f"{tmp}/ckpt"
+            stream, f"{tmp}/state", f"{tmp}/acct", f"{tmp}/ckpt",
+            text_out_dir=f"{tmp}/text",
         )
         if not q.awaitTermination(300):
             q.stop()
@@ -565,13 +578,42 @@ def substring_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_kept",
         )
         sized = sized_docs(docs)
-        want = accounting_for(
-            sized, dropped_intervals_for(sized, batch_expr=lambda d: d % nb)
+        # explicitly TEXT-keyed batch twin (the engine default is the
+        # 128-bit hash): this parity's job includes surfacing any hash
+        # collision as a mismatch, so the reference side must carry the
+        # exact text semantics the oracle recomputes
+        dropped_arrival = dropped_intervals_for(
+            sized, batch_expr=lambda d: d % nb, hash_keyed=False
         ).transform(materialize_barrier)
+        want = accounting_for(sized, dropped_arrival).transform(
+            materialize_barrier
+        )
         n_stream = got.count()
         n_batch = want.count()
         missing = want.exceptAll(got).count()
         extra = got.exceptAll(want).count()
+        # rewrite leg (round 10): the per-batch TEXT output accumulated by
+        # the stream must equal the batch rewrite under the arrival order
+        text_cols = ["doc_id", "tokens_kept", "kept_text"]
+        got_text = spark.read.parquet(f"{tmp}/text").select(*text_cols)
+        want_text = rewrite_for(sized, dropped_arrival).select(*text_cols)
+        rw_mismatch = (
+            got_text.exceptAll(want_text).count()
+            + want_text.exceptAll(got_text).count()
+        )
+        fp_row = got_text.select(
+            "tokens_kept",
+            md5_int(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.col("kept_text")
+                )
+            ).alias("fh"),
+        ).agg(
+            F.sum("tokens_kept").cast("long").alias("tk"),
+            F.expr("bit_xor(fh)").cast("long").alias("fp"),
+        ).first()
+        tokens_kept_total = int(fp_row["tk"] or 0)
+        corpus_fp = int(fp_row["fp"] or 0)
         # sums are NULL on an empty accounting table (empty corpus /
         # zero-row batches) — coalesce so the parity row reports zeros
         # instead of raising TypeError (ADVICE r9)
@@ -593,6 +635,10 @@ def substring_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(nb).cast("int").alias("n_batches"),
         F.lit(missing + extra).cast("long").alias("n_mismatches"),
         F.lit(missing + extra == 0).alias("stream_equals_batch"),
+        F.lit(tokens_kept_total).cast("long").alias("tokens_kept_total"),
+        F.lit(corpus_fp).cast("long").alias("corpus_fingerprint"),
+        F.lit(rw_mismatch).cast("long").alias("rewrite_mismatches"),
+        F.lit(rw_mismatch == 0).alias("rewrite_equals_batch"),
     )
 
 
@@ -685,14 +731,40 @@ def _substring_report_sql() -> str:
 
 def _substring_parity_sql() -> str:
     """Batch side recomputed via substring's shared spans CTE under the
-    arrival first-wins order; totals SQL-exact, mismatches pinned 0."""
+    arrival first-wins order; totals SQL-exact, mismatches pinned 0. The
+    rewrite leg (round 10) recomputes the kept-text totals AND the
+    bit_xor corpus fingerprint from the same CTE — the stream's
+    accumulated text table must hash-match a full batch rewrite."""
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
+        md5_int_sql,
+    )
     from ai_powered_data_pipeline_assistant_spark.operators.substring import (
         _spans_cte,
     )
 
     nb = SUBSTR_STREAM_BATCHES
     cte = _spans_cte(order_sql=f"doc_id % {nb}, doc_id, pos")
-    return f"""{cte}
+    h = md5_int_sql(
+        "CAST(z.doc_id AS VARCHAR) || ':' || coalesce(k.kept_text, '')"
+    )
+    return f"""{cte},
+        toks AS (
+            SELECT doc_id, p, t[p + 1] AS tok
+            FROM sized, LATERAL (SELECT unnest(range(0, n)) AS p)),
+        kept AS (
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS tokens_kept,
+                   string_agg(b.tok, ' ' ORDER BY b.p) AS kept_text
+            FROM toks b
+            WHERE NOT EXISTS (SELECT 1 FROM spans s
+                              WHERE s.doc_id = b.doc_id
+                                AND b.p BETWEEN s.s AND s.e)
+            GROUP BY 1),
+        fp AS (
+            SELECT CAST(sum(coalesce(k.tokens_kept, 0)) AS BIGINT)
+                       AS tokens_kept_total,
+                   CAST(bit_xor({h}) AS BIGINT) AS corpus_fingerprint
+            FROM sized z LEFT JOIN kept k USING (doc_id))
         SELECT (SELECT CAST(count(*) AS BIGINT) FROM sized) AS n_docs_stream,
                (SELECT CAST(count(*) AS BIGINT) FROM sized) AS n_docs_batch,
                (SELECT CAST(count(*) AS BIGINT) FROM dropped)
@@ -701,7 +773,11 @@ def _substring_parity_sql() -> str:
                 FROM spans) AS tokens_removed,
                CAST({nb} AS INT) AS n_batches,
                CAST(0 AS BIGINT) AS n_mismatches,
-               true AS stream_equals_batch
+               true AS stream_equals_batch,
+               (SELECT tokens_kept_total FROM fp) AS tokens_kept_total,
+               (SELECT corpus_fingerprint FROM fp) AS corpus_fingerprint,
+               CAST(0 AS BIGINT) AS rewrite_mismatches,
+               true AS rewrite_equals_batch
     """
 
 

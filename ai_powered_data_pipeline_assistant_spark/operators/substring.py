@@ -357,13 +357,13 @@ def substring_k_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The removal pass itself: per document the text with every duplicate
-    span excised (first occurrences survive corpus-wide). Token positions
-    covered by a merged span are dropped in-row (indexed ``transform`` +
-    ``exists`` over the doc's span array — no per-token explode), the rest
-    reassemble in order."""
-    sized, dropped = _dropped_intervals(spark, sf_dir)
+def rewrite_for(sized: DataFrame, dropped: DataFrame) -> DataFrame:
+    """The removal pass from (sized, dropped intervals): per document the
+    text with every duplicate span excised. Token positions covered by a
+    merged span are dropped in-row (indexed ``transform`` + ``exists``
+    over the doc's span array — no per-token explode), the rest
+    reassemble in order. Shared by the batch query and the streaming
+    gate's per-batch text output (`streaming/substring_stream.py`)."""
     spans = (
         _merged_spans(dropped)
         .groupBy("doc_id")
@@ -390,6 +390,13 @@ def substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal pass itself: per document the text with every duplicate
+    span excised (first occurrences survive corpus-wide). See
+    `rewrite_for` for the in-row excision shape."""
+    return rewrite_for(*_dropped_intervals(spark, sf_dir))
 
 
 def substring_rewrite_apply(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,6 +44,7 @@ def process_crawl_batch(
     layout_path: str,
     out_dir: str,
     rebuild_corpus=None,
+    record_drift: bool = False,
 ) -> None:
     """One micro-batch of the composed pipeline — module-level so the
     stream wiring, the parity replays, and the steady-state bench row
@@ -54,23 +55,27 @@ def process_crawl_batch(
     The IVF-PQ drift rule (VERDICT r9 task #3 — the FAISS
     re-train-on-drift discipline, automated; reference analogue: pgvector
     ivfflat ``lists=100`` going stale, Supabase/knowledge_base-RAG.sql:31-33)
-    is evaluated every batch BEFORE the index append: O(n_lists) catalog
-    statistics against the at-train baseline
+    is evaluated every batch BEFORE the index append when the loop is
+    ARMED (``rebuild_corpus`` wired — a zero-arg callable returning the
+    current full (vec_id, embedding) corpus EXCLUDING this batch's
+    arrivals; a deployment reads its vectors table as of the previous
+    batch): O(n_lists) catalog statistics against the at-train baseline
     (`layout.ivfpq_drift_decision`), recorded per batch under
-    ``out_dir/drift``. When it trips AND ``rebuild_corpus`` is wired (a
-    zero-arg callable returning the current full (vec_id, embedding)
-    corpus EXCLUDING this batch's arrivals — a deployment reads its
-    vectors table as of the previous batch), `rebuild_ivfpq_layout` runs
-    the full retrain + swap; this batch's curated vectors then append
-    against the FRESH artifacts. Check-before-append is what makes a
-    replay after a completed rebuild converge: the rebuilt sidecar resets
-    the baseline, the replayed batch re-evaluates to not-tripped, and its
-    append overwrites its own (list, batch) partitions — the drift record
-    for that batch then reflects the post-rebuild state, which is the
-    documented replay semantics (state converges; the record is "the
-    decision at processing time"). With ``rebuild_corpus=None`` the rule
-    is still evaluated and recorded (the accounting a maintenance window
-    reads) but never executes a rebuild."""
+    ``out_dir/drift``, and `rebuild_ivfpq_layout` (full retrain + swap)
+    executed the moment the rule trips; this batch's curated vectors then
+    append against the FRESH artifacts. Check-before-append is what makes
+    a replay after a completed rebuild converge: the rebuilt sidecar
+    resets the baseline, the replayed batch re-evaluates to not-tripped,
+    and its append overwrites its own (list, batch) partitions — the
+    drift record for that batch then reflects the post-rebuild state,
+    which is the documented replay semantics (state converges; the record
+    is "the decision at processing time"). An UNARMED pipeline
+    (``rebuild_corpus=None``, the parity fixtures' mode) skips the check
+    entirely — there is no loop to close and the per-batch cost
+    (decision jobs + the one-row record write, ~1-2 s at sf0.1) would be
+    pure overhead; ``record_drift=True`` opts an unarmed pipeline into
+    decision accounting without ever rebuilding. Deployments wanting a
+    thinner cadence gate the armed check on ``batch_id % N`` upstream."""
     from ai_powered_data_pipeline_assistant_spark.sources.layout import (
         append_ivfpq_layout,
         ivfpq_drift_decision,
@@ -116,32 +121,34 @@ def process_crawl_batch(
             )
         else:  # no pairs parquet yet → nothing dropped
             curated = batch_df
-        # drift rule before the append (replay convergence — docstring)
-        decision = ivfpq_drift_decision(spark, layout_path)
-        rebuilt = False
-        if decision["rebuild_recommended"] and rebuild_corpus is not None:
-            rebuild_ivfpq_layout(
-                spark, layout_path, rebuild_corpus(), batched=True
+        # drift rule before the append (replay convergence — docstring);
+        # armed pipelines check every batch, unarmed ones opt in
+        if rebuild_corpus is not None or record_drift:
+            decision = ivfpq_drift_decision(spark, layout_path)
+            rebuilt = False
+            if decision["rebuild_recommended"] and rebuild_corpus is not None:
+                rebuild_ivfpq_layout(
+                    spark, layout_path, rebuild_corpus(), batched=True
+                )
+                rebuilt = True
+            idempotent_append(
+                spark.createDataFrame(
+                    [
+                        (
+                            decision["n_at_train"],
+                            decision["max_at_train"],
+                            decision["n_now"],
+                            decision["max_now"],
+                            decision["rebuild_recommended"],
+                            rebuilt,
+                        )
+                    ],
+                    "n_at_train long, max_at_train long, n_now long, "
+                    "max_now long, rebuild_recommended boolean, rebuilt boolean",
+                ),
+                batch_id,
+                f"{out_dir}/drift",
             )
-            rebuilt = True
-        idempotent_append(
-            spark.createDataFrame(
-                [
-                    (
-                        decision["n_at_train"],
-                        decision["max_at_train"],
-                        decision["n_now"],
-                        decision["max_now"],
-                        decision["rebuild_recommended"],
-                        rebuilt,
-                    )
-                ],
-                "n_at_train long, max_at_train long, n_now long, "
-                "max_now long, rebuild_recommended boolean, rebuilt boolean",
-            ),
-            batch_id,
-            f"{out_dir}/drift",
-        )
         append_ivfpq_layout(
             spark,
             layout_path,
@@ -160,20 +167,22 @@ def run_crawl_pipeline(
     out_dir: str,
     checkpoint: str,
     rebuild_corpus=None,
+    record_drift: bool = False,
 ):
     """Wire the composed pipeline over a (doc_id, text, embedding) source
     against a BATCHED IVF-PQ layout (`write_ivfpq_layout_for(batched=True)`)
     and an (initially empty) near-dup state dir. Outputs under ``out_dir``:
     ``pairs/`` (flagged near-dup pairs), ``curated/`` (kept doc ids), and
-    ``drift/`` (the per-batch IVF-PQ drift-rule record), all
-    batch_id-partitioned. ``rebuild_corpus`` arms the automated
-    drift→rebuild loop (see `process_crawl_batch`). Returns the started
-    StreamingQuery (availableNow)."""
+    — when the drift loop is armed or ``record_drift`` — ``drift/`` (the
+    per-batch IVF-PQ drift-rule record), all batch_id-partitioned.
+    ``rebuild_corpus`` arms the automated drift→rebuild loop (see
+    `process_crawl_batch`). Returns the started StreamingQuery
+    (availableNow)."""
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         process_crawl_batch(
             batch_df, batch_id, state_dir, layout_path, out_dir,
-            rebuild_corpus=rebuild_corpus,
+            rebuild_corpus=rebuild_corpus, record_drift=record_drift,
         )
 
     return (

@@ -130,14 +130,30 @@ def drop_state(spark: SparkSession, state_dir: str) -> None:
 
 
 def process_substring_batch(
-    docs: DataFrame, batch_id: int, state_dir: str, out_dir: str
+    docs: DataFrame, batch_id: int, state_dir: str, out_dir: str,
+    text_out_dir: str | None = None,
 ) -> None:
     """One micro-batch of the incremental exact-substring gate —
     module-level so a test can REPLAY a completed batch and pin that the
-    replay reproduces identical accounting and state."""
+    replay reproduces identical accounting and state.
+
+    ``text_out_dir`` additionally lands the REWRITTEN documents — each
+    arriving doc's text with its duplicate spans excised under the
+    arrival first-wins order — as batch_id-partitioned parquet (the same
+    exactly-once writer as the accounting): the dedup-at-ingest
+    deployment shape, where the crawler emits deduplicated TEXT
+    downstream, not just accounting. The excision is the batch module's
+    `rewrite_for` over the SAME per-batch dropped intervals, so stream
+    and batch rewrites cannot drift (pinned end to end by
+    `substring_rewrite_stream_parity`). A doc's spans are FINAL when its
+    batch processes: later batches can only drop their own occurrences
+    (first-wins never retroactively edits an earlier doc), so the
+    accumulated text table needs no updates — append-only by
+    construction."""
     from ai_powered_data_pipeline_assistant_spark.operators.substring import (
         SUBSTR_K,
         accounting_for,
+        rewrite_for,
         sized_docs,
         windows_expr,
     )
@@ -203,6 +219,11 @@ def process_substring_batch(
     # overwrite (batch docs appear in exactly one batch, so the union of
     # partitions is the per-doc accounting under the arrival order).
     idempotent_append(acct, batch_id, out_dir)
+    if text_out_dir is not None:
+        # two consumers of `dropped` (accounting above + rewrite) — the
+        # shared occ/kept frames are already materialized, and dropped is
+        # a cheap anti-join over them, so no extra barrier needed
+        idempotent_append(rewrite_for(sized, dropped), batch_id, text_out_dir)
     # State append: the batch's NEW distinct windows (their first
     # occurrence's hash). Dynamic overwrite of the batch partition makes
     # replays self-repairing.
@@ -298,12 +319,17 @@ def run_substring_stream(
     state_dir: str,
     out_dir: str,
     checkpoint: str,
+    text_out_dir: str | None = None,
 ):
     """Wire the incremental exact-substring gate over a (doc_id, text)
-    source. Returns the started StreamingQuery (availableNow)."""
+    source; ``text_out_dir`` opts into landing the rewritten documents
+    per batch (see `process_substring_batch`). Returns the started
+    StreamingQuery (availableNow)."""
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
-        process_substring_batch(batch_df, batch_id, state_dir, out_dir)
+        process_substring_batch(
+            batch_df, batch_id, state_dir, out_dir, text_out_dir=text_out_dir
+        )
 
     return (
         docs_stream.writeStream.outputMode("append")

@@ -196,10 +196,12 @@ def test_crawl_ingest_trips_drift_rule_and_rebuilds(spark, sf_dir):
 
 
 def test_unarmed_pipeline_records_decision_without_rebuilding(spark, sf_dir):
-    """With ``rebuild_corpus=None`` (the parity fixtures' mode) a tripped
-    rule is RECORDED but never executes — `crawl_pipeline_parity`'s
-    index-equals-one-pass-encode claim depends on the artifacts staying
-    fixed."""
+    """``record_drift=True`` with ``rebuild_corpus=None``: a tripped rule
+    is RECORDED but never executes — decision accounting for pipelines
+    whose rebuilds are operator-approved. (Fully unarmed pipelines — the
+    parity fixtures' mode — skip the check entirely; either way
+    `crawl_pipeline_parity`'s index-equals-one-pass-encode claim depends
+    on the artifacts staying fixed.)"""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     tmp = tempfile.mkdtemp(prefix="crawl_drift_unarmed_")
     layout = os.path.join(tmp, "index")
@@ -215,8 +217,12 @@ def test_unarmed_pipeline_records_decision_without_rebuilding(spark, sf_dir):
             pre_codes = _read_codes(spark, os.path.join(layout, "codes"))
             arrivals = _skewed_arrivals(emb, pre_codes, i)
             process_crawl_batch(
-                arrivals, i, f"{tmp}/state", layout, f"{tmp}/out"
+                arrivals, i, f"{tmp}/state", layout, f"{tmp}/out",
+                record_drift=(i > 0),
             )
+            if i == 0:
+                # fully unarmed batch: no check, no record, no cost
+                assert not os.path.exists(f"{tmp}/out/drift")
         drift = spark.read.parquet(f"{tmp}/out/drift")
         assert drift.filter(F.col("rebuild_recommended")).count() > 0, (
             "the skewed sequence should trip the rule"

@@ -301,3 +301,37 @@ def test_state_stores_one_hash_per_distinct_window(spark, tmpdirs):
         assert n == n_distinct == 3  # 3 windows, duplicates not re-stored
     finally:
         drop_state(spark, state_dir)
+
+
+def test_text_output_rewrites_and_replays_idempotently(spark, tmpdirs):
+    """The rewrite leg (round 10): with ``text_out_dir`` the gate lands
+    each batch's rewritten documents — cross-batch repeats excised, fresh
+    text verbatim — and a replay of a completed batch leaves the text
+    table byte-identical (batch-partitioned dynamic overwrite)."""
+    state_dir, out_dir, tmp = tmpdirs
+    text_dir = f"{tmp}/text"
+    try:
+        process_substring_batch(
+            _mkdocs(spark, [(0, _TEXT_A)]), 0, state_dir, out_dir,
+            text_out_dir=text_dir,
+        )
+        batch1 = _mkdocs(spark, [(1, _TEXT_A), (2, _TEXT_B)])
+        process_substring_batch(
+            batch1, 1, state_dir, out_dir, text_out_dir=text_dir
+        )
+        text = {
+            r["doc_id"]: r for r in spark.read.parquet(text_dir).collect()
+        }
+        assert text[0]["kept_text"] == _TEXT_A  # first copy survives whole
+        assert text[0]["tokens_kept"] == 10
+        assert text[1]["kept_text"] == ""  # full repeat excised
+        assert text[1]["tokens_kept"] == 0
+        assert text[2]["kept_text"] == _TEXT_B  # fresh text verbatim
+        t1 = sorted(tuple(r) for r in spark.read.parquet(text_dir).collect())
+        process_substring_batch(  # replay batch 1
+            batch1, 1, state_dir, out_dir, text_out_dir=text_dir
+        )
+        t2 = sorted(tuple(r) for r in spark.read.parquet(text_dir).collect())
+        assert t1 == t2
+    finally:
+        drop_state(spark, state_dir)
