@@ -519,12 +519,10 @@ def substring_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch index is content-derived (doc_id % NB), so the stream's
     accumulated accounting would diverge from the arrival-rule oracle and
     the parity row fails loudly as mismatches > 0."""
-    from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
-        md5_int,
-    )
     from ai_powered_data_pipeline_assistant_spark.operators.substring import (
         accounting_for,
         dropped_intervals_for,
+        kept_fingerprint_col,
         rewrite_for,
         sized_docs,
     )
@@ -596,18 +594,20 @@ def substring_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the stream must equal the batch rewrite under the arrival order
         text_cols = ["doc_id", "tokens_kept", "kept_text"]
         got_text = spark.read.parquet(f"{tmp}/text").select(*text_cols)
-        want_text = rewrite_for(sized, dropped_arrival).select(*text_cols)
+        # barriered like `want` above: rewrite_for's left-join + lambda +
+        # concat plan feeds two exceptAll directions — the barrier both
+        # avoids recomputing the whole pipeline per direction and
+        # sidesteps the Catalyst project-collapse class documented at the
+        # accounting leg (round-10 review)
+        want_text = materialize_barrier(
+            rewrite_for(sized, dropped_arrival).select(*text_cols)
+        )
         rw_mismatch = (
             got_text.exceptAll(want_text).count()
             + want_text.exceptAll(got_text).count()
         )
         fp_row = got_text.select(
-            "tokens_kept",
-            md5_int(
-                F.concat_ws(
-                    ":", F.col("doc_id").cast("string"), F.col("kept_text")
-                )
-            ).alias("fh"),
+            "tokens_kept", kept_fingerprint_col().alias("fh")
         ).agg(
             F.sum("tokens_kept").cast("long").alias("tk"),
             F.expr("bit_xor(fh)").cast("long").alias("fp"),
@@ -735,35 +735,20 @@ def _substring_parity_sql() -> str:
     rewrite leg (round 10) recomputes the kept-text totals AND the
     bit_xor corpus fingerprint from the same CTE — the stream's
     accumulated text table must hash-match a full batch rewrite."""
-    from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
-        md5_int_sql,
-    )
     from ai_powered_data_pipeline_assistant_spark.operators.substring import (
+        _kept_cte,
         _spans_cte,
+        kept_fingerprint_sql,
     )
 
     nb = SUBSTR_STREAM_BATCHES
     cte = _spans_cte(order_sql=f"doc_id % {nb}, doc_id, pos")
-    h = md5_int_sql(
-        "CAST(z.doc_id AS VARCHAR) || ':' || coalesce(k.kept_text, '')"
-    )
-    return f"""{cte},
-        toks AS (
-            SELECT doc_id, p, t[p + 1] AS tok
-            FROM sized, LATERAL (SELECT unnest(range(0, n)) AS p)),
-        kept AS (
-            SELECT b.doc_id,
-                   CAST(count(*) AS BIGINT) AS tokens_kept,
-                   string_agg(b.tok, ' ' ORDER BY b.p) AS kept_text
-            FROM toks b
-            WHERE NOT EXISTS (SELECT 1 FROM spans s
-                              WHERE s.doc_id = b.doc_id
-                                AND b.p BETWEEN s.s AND s.e)
-            GROUP BY 1),
+    return f"""{cte},{_kept_cte()},
         fp AS (
             SELECT CAST(sum(coalesce(k.tokens_kept, 0)) AS BIGINT)
                        AS tokens_kept_total,
-                   CAST(bit_xor({h}) AS BIGINT) AS corpus_fingerprint
+                   CAST(bit_xor({kept_fingerprint_sql()}) AS BIGINT)
+                       AS corpus_fingerprint
             FROM sized z LEFT JOIN kept k USING (doc_id))
         SELECT (SELECT CAST(count(*) AS BIGINT) FROM sized) AS n_docs_stream,
                (SELECT CAST(count(*) AS BIGINT) FROM sized) AS n_docs_batch,

@@ -349,9 +349,17 @@ def substring_k_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corpus_tokens",
         )
         .withColumn(
-            # integral DIV: exact floor share in micro-units, no floats
+            # integral DIV: exact floor share in micro-units, no floats.
+            # The product goes through DECIMAL(38,0): an int64
+            # tokens_removed × 1e6 wraps past ~9.2e12 removed tokens —
+            # inside the 100 TB envelope this sweep targets (round-10
+            # review); decimal keeps it exact and DIV returns the BIGINT
+            # micro-share (≤ 1e6)
             "removed_micro_share",
-            F.expr("tokens_removed * 1000000 DIV corpus_tokens"),
+            F.expr(
+                "CAST(CAST(tokens_removed AS DECIMAL(38,0)) * 1000000 "
+                "DIV corpus_tokens AS BIGINT)"
+            ),
         )
         .orderBy("k")
     )
@@ -427,9 +435,6 @@ def substring_rewrite_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
-        md5_int,
-    )
     from ai_powered_data_pipeline_assistant_spark.sources.sinks import (
         ParquetTable,
     )
@@ -443,12 +448,7 @@ def substring_rewrite_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         landed = table.read()
         # the fingerprint input column rides in via a pre-projection
         fp = landed.select(
-            "tokens_kept",
-            md5_int(
-                F.concat_ws(
-                    ":", F.col("doc_id").cast("string"), F.col("kept_text")
-                )
-            ).alias("h"),
+            "tokens_kept", kept_fingerprint_col().alias("h")
         )
         row = fp.agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -510,8 +510,13 @@ def _spans_cte(order_sql: str = "doc_id, pos", k: int = SUBSTR_K) -> str:
             GROUP BY 1, 2)"""
 
 
-def _substring_rewrite_oracle() -> str:
-    return f"""{_spans_cte()},
+def _kept_cte() -> str:
+    """The toks→kept oracle block — per-doc surviving tokens and
+    reassembled kept text given a preceding spans CTE (expects ``sized``
+    and ``spans`` in scope). ONE definition shared by the rewrite, the
+    apply audit, and the streaming rewrite parity, so kept-text semantics
+    cannot drift between oracles (round-10 review)."""
+    return """
         toks AS (
             SELECT doc_id, p, t[p + 1] AS tok
             FROM sized, LATERAL (SELECT unnest(range(0, n)) AS p)),
@@ -523,7 +528,38 @@ def _substring_rewrite_oracle() -> str:
             WHERE NOT EXISTS (SELECT 1 FROM spans s
                               WHERE s.doc_id = b.doc_id
                                 AND b.p BETWEEN s.s AND s.e)
-            GROUP BY 1)
+            GROUP BY 1)"""
+
+
+def kept_fingerprint_col():
+    """Spark side of the corpus fingerprint: 60-bit md5 int of
+    ``doc_id:kept_text`` per row — aggregate with ``bit_xor`` for an
+    order-insensitive, overflow-free corpus hash. Twin of
+    `kept_fingerprint_sql`."""
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
+        md5_int,
+    )
+
+    return md5_int(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("kept_text"))
+    )
+
+
+def kept_fingerprint_sql() -> str:
+    """DuckDB twin of `kept_fingerprint_col`, phrased over the
+    ``sized z LEFT JOIN kept k`` join (zero-word/zero-kept docs hash the
+    empty string, exactly like Spark's concat_ws over an empty column)."""
+    from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
+        md5_int_sql,
+    )
+
+    return md5_int_sql(
+        "CAST(z.doc_id AS VARCHAR) || ':' || coalesce(k.kept_text, '')"
+    )
+
+
+def _substring_rewrite_oracle() -> str:
+    return f"""{_spans_cte()},{_kept_cte()}
         SELECT z.doc_id,
                coalesce(k.tokens_kept, 0) AS tokens_kept,
                coalesce(k.kept_text, '') AS kept_text
@@ -565,28 +601,12 @@ def _substring_spans_oracle() -> str:
 
 
 def _rewrite_apply_oracle() -> str:
-    from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
-        md5_int_sql,
-    )
-
-    h = md5_int_sql("CAST(z.doc_id AS VARCHAR) || ':' || coalesce(k.kept_text, '')")
-    return f"""{_spans_cte()},
-        toks AS (
-            SELECT doc_id, p, t[p + 1] AS tok
-            FROM sized, LATERAL (SELECT unnest(range(0, n)) AS p)),
-        kept AS (
-            SELECT b.doc_id,
-                   CAST(count(*) AS BIGINT) AS tokens_kept,
-                   string_agg(b.tok, ' ' ORDER BY b.p) AS kept_text
-            FROM toks b
-            WHERE NOT EXISTS (SELECT 1 FROM spans s
-                              WHERE s.doc_id = b.doc_id
-                                AND b.p BETWEEN s.s AND s.e)
-            GROUP BY 1)
+    return f"""{_spans_cte()},{_kept_cte()}
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(coalesce(k.tokens_kept, 0)) AS BIGINT)
                    AS total_tokens_kept,
-               CAST(bit_xor({h}) AS BIGINT) AS corpus_fingerprint,
+               CAST(bit_xor({kept_fingerprint_sql()}) AS BIGINT)
+                   AS corpus_fingerprint,
                CAST(count(*) AS BIGINT) AS reapply_updated,
                CAST(0 AS BIGINT) AS reapply_inserted
         FROM sized z LEFT JOIN kept k USING (doc_id)

@@ -398,7 +398,9 @@ def rebuild_ivfpq_layout(
     hadoop_fs.swap_dirs(spark, layout_path, tmp)
 
 
-def ivfpq_drift_decision(spark: SparkSession, layout_path: str) -> dict:
+def ivfpq_drift_decision(
+    spark: SparkSession, layout_path: str, exclude_batch_id: int | None = None
+) -> dict:
     """The O(n_lists) drift rule from `ivfpq_drift_audit`, evaluated
     against a LIVE layout: compare the current list-imbalance factor
     (max list / mean list) to its at-train baseline in exact integer
@@ -408,11 +410,25 @@ def ivfpq_drift_decision(spark: SparkSession, layout_path: str) -> dict:
     build) plus current per-list counts, a scan of the codes table's
     list_id PARTITION column only — no corpus read, no vector math.
 
+    ``exclude_batch_id`` (batched layouts) removes that batch's
+    partitions from the CURRENT counts: the crawl loop evaluates the rule
+    while batch N may already hold its OWN partially-appended rows from a
+    crashed first attempt (the replay window), and counting them would
+    make a replayed decision see rows the clean run never saw —
+    non-deterministic replays and, on a borderline imbalance, a rebuild
+    the clean run never performed (round-10 review).
+
+    Empty-index edge: a codes table with zero rows (everything deleted,
+    or a decision racing a rebuild swap) returns an all-zeros no-op
+    decision (rebuild_recommended False) rather than crashing — there are
+    no statistics to drift.
+
     Baseline fallbacks for layouts built before the sidecar existed: the
     batched flavor recovers the exact at-train sizes from the
     ``batch_id=-1`` partitions (the base build); an unbatched layout
-    without the sidecar treats NOW as the baseline (ratio 1 — never
-    trips) because its appends are indistinguishable from the base build.
+    without the sidecar — or a batched one whose base partitions were
+    compacted away — treats NOW as the baseline (ratio 1 — never trips)
+    because its appends are indistinguishable from the base build.
     """
     import os
 
@@ -423,10 +439,21 @@ def ivfpq_drift_decision(spark: SparkSession, layout_path: str) -> dict:
 
     codes_path = os.path.join(layout_path, "codes")
     codes = spark.read.parquet(codes_path)
+    counted = codes
+    if exclude_batch_id is not None and "batch_id" in codes.columns:
+        counted = codes.filter(F.col("batch_id") != exclude_batch_id)
     cur = {
         int(r["list_id"]): int(r["n"])
-        for r in codes.groupBy("list_id").agg(F.count("*").alias("n")).collect()
+        for r in counted.groupBy("list_id").agg(F.count("*").alias("n")).collect()
     }  # ≤ n_lists rows
+    if not cur:
+        return {
+            "n_at_train": 0,
+            "max_at_train": 0,
+            "n_now": 0,
+            "max_now": 0,
+            "rebuild_recommended": False,
+        }
     n_now, max_now = sum(cur.values()), max(cur.values())
     stats_path = os.path.join(layout_path, "train_stats")
     if hadoop_fs.has_parquet(spark, stats_path):
@@ -441,7 +468,10 @@ def ivfpq_drift_decision(spark: SparkSession, layout_path: str) -> dict:
             .agg(F.count("*").alias("n"))
             .collect()
         }
-        n_train, max_train = sum(base.values()), max(base.values())
+        if base:
+            n_train, max_train = sum(base.values()), max(base.values())
+        else:  # base partitions compacted away: baseline = now, never trips
+            n_train, max_train = n_now, max_now
     else:
         n_train, max_train = n_now, max_now
     return {

@@ -122,9 +122,15 @@ def process_crawl_batch(
         else:  # no pairs parquet yet → nothing dropped
             curated = batch_df
         # drift rule before the append (replay convergence — docstring);
-        # armed pipelines check every batch, unarmed ones opt in
+        # armed pipelines check every batch, unarmed ones opt in. The
+        # batch's OWN partitions are excluded from the current counts: a
+        # crashed first attempt may have appended them already (the
+        # replay window), and counting them would make the replayed
+        # decision differ from the clean run's (round-10 review).
         if rebuild_corpus is not None or record_drift:
-            decision = ivfpq_drift_decision(spark, layout_path)
+            decision = ivfpq_drift_decision(
+                spark, layout_path, exclude_batch_id=batch_id
+            )
             rebuilt = False
             if decision["rebuild_recommended"] and rebuild_corpus is not None:
                 rebuild_ivfpq_layout(

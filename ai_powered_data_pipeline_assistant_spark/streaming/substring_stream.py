@@ -144,8 +144,9 @@ def process_substring_batch(
     deployment shape, where the crawler emits deduplicated TEXT
     downstream, not just accounting. The excision is the batch module's
     `rewrite_for` over the SAME per-batch dropped intervals, so stream
-    and batch rewrites cannot drift (pinned end to end by
-    `substring_rewrite_stream_parity`). A doc's spans are FINAL when its
+    and batch rewrites cannot drift (pinned end to end by the rewrite leg
+    of `substring_stream_parity`, operators/stream_parity.py). A doc's
+    spans are FINAL when its
     batch processes: later batches can only drop their own occurrences
     (first-wins never retroactively edits an earlier doc), so the
     accumulated text table needs no updates — append-only by

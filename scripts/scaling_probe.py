@@ -60,6 +60,9 @@ PROBES = [
     "substring_dedup",           # dense K-gram explode + content-key shuffle
     "substring_rewrite",         # same front half + in-row span excision
     "unigram_seed_counts",       # bounded-substring explode + groupBy
+    # round-10 surfaces
+    "substring_k_plan",          # single-pass all-K sweep (was per-K loop)
+    "substring_rewrite_apply",   # rewrite + table swap + merge + fingerprint
 ]
 
 
