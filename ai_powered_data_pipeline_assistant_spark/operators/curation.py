@@ -131,6 +131,100 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GATE_NAMES = ("lang", "quality", "exact_dup", "near_dup")
+_GATE_PAIRS = [
+    (a, b)
+    for i, a in enumerate(GATE_NAMES)
+    for b in GATE_NAMES[i:]
+]
+
+
+def gate_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-redundancy matrix: every curation gate evaluated INDEPENDENTLY
+    on the raw corpus, then pairwise fail-overlap counts — the analysis a
+    data-ops team runs before ordering (or pruning) gates: a pair whose
+    overlap ≈ its diagonal means the cheaper gate makes the expensive one
+    near-redundant; near-zero overlap means the gates catch different
+    documents and both earn their cost. Complements `curation_funnel`,
+    which reports the SEQUENTIAL pipeline (each stage sees only prior
+    survivors, so its drops are order-dependent); here exact-dedup and
+    near-dup verdicts are computed over the FULL corpus.
+
+    One row per unordered gate pair (diagonal = per-gate fail counts).
+    Scale shape: one flags projection over the corpus (lang/quality ride
+    the scan; exact-dup is the one sha-hash shuffle; near-dup reuses the
+    banded-LSH drop set as a broadcast-able anti-join side), then ONE
+    map-side-combined aggregate producing all |pairs| counts, unpivoted
+    in-row — never one pass per pair."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    near_drops = (
+        minhash_lsh_pairs_for(docs.select("doc_id", "text"))
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("near_hit", F.lit(True))
+    )
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    flags = (
+        docs.withColumn("fail_lang", ~F.col("lang").isin(*ALLOWED_LANGS))
+        .withColumn("fail_quality", quality_expr() < MIN_QUALITY)
+        .withColumn("fail_exact_dup", F.row_number().over(w) > 1)
+        .join(near_drops, "doc_id", "left")
+        .withColumn("fail_near_dup", F.coalesce("near_hit", F.lit(False)))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col(f"fail_{a}") & F.col(f"fail_{b}"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"{a}__{b}")
+        for a, b in _GATE_PAIRS
+    ]
+    row = flags.agg(*aggs)
+    stack = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in _GATE_PAIRS)
+    return (
+        row.select(
+            F.expr(
+                f"stack({len(_GATE_PAIRS)}, {stack}) "
+                "AS (gate_a, gate_b, n_fail_both)"
+            )
+        )
+        .orderBy("gate_a", "gate_b")
+    )
+
+
+def _overlap_sql() -> str:
+    langs = ", ".join(f"'{l}'" for l in ALLOWED_LANGS)
+    sums = ",\n                   ".join(
+        f"CAST(sum(CASE WHEN fail_{a} AND fail_{b} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS {a}__{b}"
+        for a, b in _GATE_PAIRS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{a}' AS gate_a, '{b}' AS gate_b, {a}__{b} AS n_fail_both "
+        "FROM m"
+        for a, b in _GATE_PAIRS
+    )
+    return f"""
+        WITH {minhash_lsh_cte("documents")},
+        near_drops AS (
+            SELECT DISTINCT p.b_id AS doc_id
+            FROM candidates c
+            JOIN pairs p ON c.a_id = p.a_id AND c.b_id = p.b_id
+            WHERE p.jaccard >= {JACCARD_THRESHOLD}),
+        flags AS (
+            SELECT doc_id,
+                   lang NOT IN ({langs}) AS fail_lang,
+                   {QUALITY_SQL} < {MIN_QUALITY} AS fail_quality,
+                   row_number() OVER (PARTITION BY sha256(text)
+                                      ORDER BY doc_id) > 1 AS fail_exact_dup,
+                   doc_id IN (SELECT doc_id FROM near_drops) AS fail_near_dup
+            FROM documents),
+        m AS (SELECT {sums} FROM flags)
+        {rows}
+        ORDER BY gate_a, gate_b
+    """
+
+
 def _curate_sql() -> str:
     langs = ", ".join(f"'{l}'" for l in ALLOWED_LANGS)
     return f"""
@@ -192,11 +286,13 @@ def _funnel_sql() -> str:
 ORACLES: dict[str, str] = {
     "curate_corpus": _curate_sql(),
     "curation_funnel": _funnel_sql(),
+    "gate_overlap_matrix": _overlap_sql(),
 }
 
 QUERIES = {
     "curate_corpus": curate_corpus,
     "curation_funnel": curation_funnel,
+    "gate_overlap_matrix": gate_overlap_matrix,
 }
 
 

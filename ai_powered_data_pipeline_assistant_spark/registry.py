@@ -183,8 +183,11 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # unigram_vocab_table, unigram_token_counts, tokenizer_fertility_report)
 # are NEVER windowed — their currency is their scalarized audit twins.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- NEW round-10 operator, windowed on arrival --
+    # -- NEW round-10 operators, windowed on arrival (gate_overlap_matrix
+    # displaced the youngest r4 re-check, hybrid_search_rrf — rotates in
+    # r11, see ROADMAP) --
     "substring_rewrite_apply",
+    "gate_overlap_matrix",
     # -- changed-module insurance (operators/substring.py) --
     "substring_dedup",
     "substring_dedup_spans",
@@ -239,7 +242,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "entity_match_pairs",
     "event_pagerank",
     "event_trigrams",
-    "hybrid_search_rrf",
 )
 
 
