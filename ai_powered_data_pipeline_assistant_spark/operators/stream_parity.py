@@ -745,10 +745,10 @@ def _substring_parity_sql() -> str:
     cte = _spans_cte(order_sql=f"doc_id % {nb}, doc_id, pos")
     return f"""{cte},{_kept_cte()},
         fp AS (
-            SELECT CAST(sum(coalesce(k.tokens_kept, 0)) AS BIGINT)
-                       AS tokens_kept_total,
-                   CAST(bit_xor({kept_fingerprint_sql()}) AS BIGINT)
-                       AS corpus_fingerprint
+            SELECT CAST(coalesce(sum(coalesce(k.tokens_kept, 0)), 0)
+                        AS BIGINT) AS tokens_kept_total,
+                   CAST(coalesce(bit_xor({kept_fingerprint_sql()}), 0)
+                        AS BIGINT) AS corpus_fingerprint
             FROM sized z LEFT JOIN kept k USING (doc_id))
         SELECT (SELECT CAST(count(*) AS BIGINT) FROM sized) AS n_docs_stream,
                (SELECT CAST(count(*) AS BIGINT) FROM sized) AS n_docs_batch,

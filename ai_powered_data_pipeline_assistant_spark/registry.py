@@ -168,12 +168,14 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # driver is the arbiter;
 # (c) ALL 20 remaining r3-greens (the 10 deferred tpch q7/q8/q9/q11/q12/
 # q13/q15/q17/q20/q22 + the 10 displaced by the late-r9 arrivals);
-# (d) 18 of the 37 r4-greens: the three living in the changed
+# (d) 17 of the 37 r4-greens: the three living in the changed
 # sources/layout.py first (bucketed_join_rollup, events_partition_pruned,
 # zorder_pruning_audit — insurance and staleness at once), then
-# alphabetically-first names. The 19 r4 names that don't fit
-# (ivf_balance_report .. weighted_median — see ROADMAP "Round-11 window
-# plan") were all value-verified by round-9's full 296/296 sweep and
+# alphabetically-first names; hybrid_search_rrf was displaced late-round
+# by the gate_overlap_matrix arrival. The 20 r4 names that don't fit
+# (ivf_balance_report .. weighted_median + hybrid_search_rrf — see
+# ROADMAP "Round-11 window plan") were all value-verified by full
+# sweeps (r9's 296/296; hybrid_search_rrf again by r10's 297/297) and
 # rotate in r11; after this window lands the oldest non-window green is r4.
 # Every slot carries an oracle AND is driver-representable — both halves
 # enforced on every pytest by tests/test_driver_sim_hardening.py
