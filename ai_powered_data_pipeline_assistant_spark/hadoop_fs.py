@@ -132,6 +132,26 @@ def list_child_dirs(spark: SparkSession, path: str) -> list[str]:
     ]
 
 
+def list_child_files(spark: SparkSession, path: str) -> list[str]:
+    """Names (not full paths) of the immediate child FILES of ``path``;
+    [] when ``path`` does not exist. Complements `list_child_dirs` —
+    marker-file discovery (``_BUCKETS_*`` and friends) reads this."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().getName() for st in fs.listStatus(p) if st.isFile()
+    ]
+
+
+def touch(spark: SparkSession, path: str) -> None:
+    """Create an empty file at ``path`` (overwrite allowed) — the
+    name-encoded marker primitive (``_SUCCESS``-style: parquet readers
+    ignore underscore-prefixed files inside a table directory)."""
+    fs, p = _fs_path(spark, path)
+    fs.create(p, True).close()
+
+
 def rename(spark: SparkSession, src: str, dst: str) -> bool:
     """Same-filesystem rename (the directory-level swap primitive). Hadoop
     semantics: False when the source is missing or the destination exists

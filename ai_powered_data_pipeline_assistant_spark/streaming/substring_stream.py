@@ -45,6 +45,23 @@ from ai_powered_data_pipeline_assistant_spark.functions.hashing import md5_int
 
 SUBSTR_STATE_BUCKETS = 4
 _WINS_SCHEMA = "h long, batch_id long"
+_BUCKETS_MARKER = "_SPARK_GRAFT_BUCKETS_"
+
+
+def _state_buckets(spark: SparkSession, state_dir: str) -> int:
+    """Effective bucket width of the wins table: parsed from the
+    name-encoded ``_SPARK_GRAFT_BUCKETS_{m}`` marker file inside the
+    table dir (written at create and at every compaction — underscore
+    prefix keeps parquet readers blind to it, and living INSIDE the dir
+    means the compaction swap moves data and width ATOMICALLY together,
+    the same correctness argument as the near-dup generation-dir names:
+    registering re-bucketed files under the wrong count would silently
+    break the bucket-pruned join). Falls back to the module constant for
+    pre-marker state dirs."""
+    for name in hadoop_fs.list_child_files(spark, _wins_path(state_dir)):
+        if name.startswith(_BUCKETS_MARKER):
+            return int(name[len(_BUCKETS_MARKER):])
+    return SUBSTR_STATE_BUCKETS
 
 
 def _state_table(state_dir: str) -> str:
@@ -102,11 +119,13 @@ def _create_state(spark: SparkSession, state_dir: str, table: str) -> None:
                 "to silently bootstrap empty state."
             )
     if live_has_data:
+        # width from the marker INSIDE the dir, never the module constant:
+        # a re-bucketed compaction must re-register at its own width
         spark.sql(
             f"CREATE TABLE {table} (h long, batch_id long) "
             f"USING PARQUET PARTITIONED BY (batch_id) "
             f"CLUSTERED BY (h) SORTED BY (h) "
-            f"INTO {SUBSTR_STATE_BUCKETS} BUCKETS "
+            f"INTO {_state_buckets(spark, state_dir)} BUCKETS "
             f"LOCATION '{path}'"
         )
         spark.sql(f"ALTER TABLE {table} RECOVER PARTITIONS")
@@ -120,6 +139,9 @@ def _create_state(spark: SparkSession, state_dir: str, table: str) -> None:
             .option("path", path)
             .format("parquet")
             .saveAsTable(table)
+        )
+        hadoop_fs.touch(
+            spark, f"{path}/{_BUCKETS_MARKER}{SUBSTR_STATE_BUCKETS}"
         )
 
 
@@ -236,11 +258,20 @@ def process_substring_batch(
     )
 
 
-def compact_substring_state(spark: SparkSession, state_dir: str) -> int:
+def compact_substring_state(
+    spark: SparkSession, state_dir: str, n_buckets: int | None = None
+) -> int:
     """Offline state compaction (run with the stream stopped): per-batch
     appends leave one file set per batch; fold every batch partition
     EXCEPT the newest into a single ``batch_id = -1`` partition with the
-    same bucket layout. The newest partition stays un-folded on purpose:
+    same bucket layout — or, with ``n_buckets``, RE-BUCKET to a new width
+    in the same pass (round 10, the near-dup compactor's re-bucketing
+    lever brought to this table: state grows one hash per distinct window
+    forever, so the width that kept buckets at 128 MB–1 GB at bring-up is
+    eventually too coarse; the new width rides the name-encoded marker
+    file inside the staged dir, so the swap moves data and width
+    atomically and `_create_state` re-registers at the width the files
+    were actually written with). The newest partition stays un-folded on purpose:
     the one batch that can legally REPLAY after a restart is the last one
     (Structured Streaming commits batch N-1's checkpoint before starting
     N), and a replay must keep seeing its own rows excluded by the
@@ -280,12 +311,13 @@ def compact_substring_state(spark: SparkSession, state_dir: str) -> int:
     # consistent under a later replay of the newest batch (the replay
     # overwrites its partition with its own kept set; the hash survives
     # in -1). A plain distinct over (h, folded id) would keep BOTH copies.
+    width = n_buckets or _state_buckets(spark, state_dir)
     compacted = (
         spark.table(table)
         .select("h", fold.alias("batch_id"))
         .groupBy("h")
         .agg(F.min("batch_id").alias("batch_id"))
-        .repartition(SUBSTR_STATE_BUCKETS, F.col("h"))
+        .repartition(width, F.col("h"))
     )
     # bucketed reads off so the pre-write repartition survives the
     # optimizer and tasks align to buckets → one file per bucket
@@ -297,7 +329,7 @@ def compact_substring_state(spark: SparkSession, state_dir: str) -> int:
         (
             compacted.write.mode("overwrite")
             .partitionBy("batch_id")
-            .bucketBy(SUBSTR_STATE_BUCKETS, "h")
+            .bucketBy(width, "h")
             .sortBy("h")
             .option("path", staged)
             .format("parquet")
@@ -305,6 +337,9 @@ def compact_substring_state(spark: SparkSession, state_dir: str) -> int:
         )
     finally:
         spark.conf.set(bkey, prev_bucketing)
+    # width marker INSIDE the staged dir — the swap below carries data
+    # and width together
+    hadoop_fs.touch(spark, f"{staged}/{_BUCKETS_MARKER}{width}")
     # drop BOTH catalog entries first (external drops leave files), then
     # swap the directories; the next _create_state re-registers the
     # compacted files at the unchanged live path

@@ -335,3 +335,54 @@ def test_text_output_rewrites_and_replays_idempotently(spark, tmpdirs):
         assert t1 == t2
     finally:
         drop_state(spark, state_dir)
+
+
+def test_compaction_rebuckets_state_to_new_width(spark, tmpdirs):
+    """Re-bucketing compaction (round 10): `compact_substring_state`
+    with ``n_buckets`` rewrites the state at a new bucket width, the
+    width marker swaps in WITH the data, a fresh-session re-registration
+    picks the new width up from the marker (not the module constant),
+    and post-re-bucket batches still gate the full pre-compaction
+    corpus."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.substring_stream import (
+        SUBSTR_STATE_BUCKETS,
+        _state_buckets,
+    )
+
+    state_dir, out_dir, _ = tmpdirs
+    table = _state_table(state_dir)
+    new_width = SUBSTR_STATE_BUCKETS * 2
+    try:
+        process_substring_batch(
+            _mkdocs(spark, [(0, _TEXT_A)]), 0, state_dir, out_dir
+        )
+        process_substring_batch(
+            _mkdocs(spark, [(1, _TEXT_B)]), 1, state_dir, out_dir
+        )
+        before = sorted(
+            r["h"] for r in spark.table(table).select("h").collect()
+        )
+        assert _state_buckets(spark, state_dir) == SUBSTR_STATE_BUCKETS
+        compact_substring_state(spark, state_dir, n_buckets=new_width)
+        assert _state_buckets(spark, state_dir) == new_width
+        # fresh session: drop the catalog entry, force re-registration
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        process_substring_batch(
+            _mkdocs(spark, [(2, _TEXT_A)]), 2, state_dir, out_dir
+        )
+        ddl = spark.sql(f"SHOW CREATE TABLE {table}").first()[0]
+        assert f"INTO {new_width} BUCKETS" in ddl, ddl
+        acct = {
+            r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()
+        }
+        assert acct[2]["tokens_removed"] == 10  # pre-compaction dup gated
+        after = sorted(
+            r["h"]
+            for r in spark.table(table)
+            .filter(F.col("batch_id") < 2)
+            .select("h")
+            .collect()
+        )
+        assert before == after  # corpus survived the re-bucket byte-equal
+    finally:
+        drop_state(spark, state_dir)
