@@ -642,6 +642,93 @@ def substring_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLUSTER_STREAM_BATCHES = 3
+
+
+def neardup_cluster_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming near-dup CLUSTERING ≡ batch connected
+    components: generate the corpus's verified LSH pairs once, assign
+    each pair the ARRIVAL batch of its LATER endpoint (batch index =
+    doc_id % NB — a cross-batch pair exists the moment its second doc
+    arrives), replay the ``CLUSTER_STREAM_BATCHES`` pair-batches through
+    the REAL `streaming/cluster_stream.process_cluster_batch`
+    (append-only union-find: roots + redirect log, pointer-doubled flat
+    resolution), then exceptAll-diff the resolved (doc_id, cluster_id)
+    assignment against the batch module's `connected_components` over the
+    union of all pairs. CC labels are min-doc-id and order-independent,
+    so the DuckDB oracle recomputes membership/count/checksum via the
+    shared recursive-CTE transitive closure (`_VERIFIED_EDGES_CTE`) and
+    pins mismatches = 0 — while the STREAM side's correctness burden is
+    exactly the redirect machinery (merges across batches) the replay
+    exercises."""
+    from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
+        minhash_lsh_pairs_for,
+    )
+    from ai_powered_data_pipeline_assistant_spark.operators.neardup_cluster import (
+        connected_components,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.cluster_stream import (
+        drop_state,
+        process_cluster_batch,
+        resolved_roots,
+    )
+
+    nb = CLUSTER_STREAM_BATCHES
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"cc_stream_{run_id}_")
+    state = f"{tmp}/state"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        pairs = materialize_barrier(
+            minhash_lsh_pairs_for(docs).select("a_id", "b_id")
+        )
+        bidx = lambda c: c % nb  # noqa: E731
+        arrival = F.greatest(bidx(F.col("a_id")), bidx(F.col("b_id")))
+        for i in range(nb):
+            process_cluster_batch(
+                pairs.filter(arrival == i), i, state
+            )
+        got = resolved_roots(spark, state).select(
+            "doc_id", "cluster_id"
+        ).transform(materialize_barrier)
+        want = materialize_barrier(
+            connected_components(pairs).select(
+                F.col("node").alias("doc_id"),
+                F.col("label").alias("cluster_id"),
+            )
+        )
+        mismatches = (
+            got.exceptAll(want).count() + want.exceptAll(got).count()
+        )
+        n_docs = got.count()
+        agg = got.agg(
+            F.countDistinct("cluster_id").cast("long").alias("nc"),
+            F.sum("cluster_id").cast("long").alias("ck"),
+        ).first()
+        largest = (
+            got.groupBy("cluster_id")
+            .count()
+            .agg(F.max("count").cast("long"))
+            .first()[0]
+            or 0
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        drop_state(spark, state)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(n_docs).cast("long").alias("n_docs_clustered"),
+        F.lit(int(agg["nc"] or 0)).cast("long").alias("n_clusters"),
+        F.lit(int(largest)).cast("long").alias("largest_cluster"),
+        F.lit(int(agg["ck"] or 0)).cast("long").alias("cluster_id_checksum"),
+        F.lit(nb).cast("int").alias("n_batches"),
+        F.lit(mismatches).cast("long").alias("n_mismatches"),
+        F.lit(mismatches == 0).alias("stream_equals_batch"),
+    )
+
+
 def substring_state_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops accounting for the streaming substring state — the numbers a
     deployment monitors to schedule wins-table compaction (TUNING.md
@@ -763,6 +850,32 @@ def _substring_parity_sql() -> str:
                (SELECT corpus_fingerprint FROM fp) AS corpus_fingerprint,
                CAST(0 AS BIGINT) AS rewrite_mismatches,
                true AS rewrite_equals_batch
+    """
+
+
+def _cluster_stream_parity_sql() -> str:
+    """Batch side recomputed via the clustering module's shared
+    recursive-CTE transitive closure; membership scalars SQL-exact,
+    mismatches pinned 0."""
+    from ai_powered_data_pipeline_assistant_spark.operators.neardup_cluster import (
+        _VERIFIED_EDGES_CTE,
+    )
+
+    nb = CLUSTER_STREAM_BATCHES
+    return f"""
+        WITH RECURSIVE {_VERIFIED_EDGES_CTE}
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM comp)
+                   AS n_docs_clustered,
+               (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM comp)
+                   AS n_clusters,
+               (SELECT CAST(coalesce(max(n), 0) AS BIGINT)
+                FROM (SELECT count(*) AS n FROM comp GROUP BY cluster_id))
+                   AS largest_cluster,
+               (SELECT CAST(coalesce(sum(cluster_id), 0) AS BIGINT)
+                FROM comp) AS cluster_id_checksum,
+               CAST({nb} AS INT) AS n_batches,
+               CAST(0 AS BIGINT) AS n_mismatches,
+               true AS stream_equals_batch
     """
 
 
@@ -1444,6 +1557,7 @@ def _oracles() -> dict[str, str]:
         """,
         "neardup_stream_parity": _neardup_parity_sql(),
         "substring_stream_parity": _substring_parity_sql(),
+        "neardup_cluster_stream_parity": _cluster_stream_parity_sql(),
         "substring_state_report": _substring_report_sql(),
         "crawl_pipeline_parity": _crawl_parity_sql(),
         "crawl_steady_batch": _crawl_steady_sql(),
@@ -1550,6 +1664,7 @@ QUERIES = {
     "trigger_cadence_audit": trigger_cadence_audit,
     "neardup_stream_parity": neardup_stream_parity,
     "substring_stream_parity": substring_stream_parity,
+    "neardup_cluster_stream_parity": neardup_cluster_stream_parity,
     "substring_state_report": substring_state_report,
     "ann_ingest_stream_parity": ann_ingest_stream_parity,
     "crawl_pipeline_parity": crawl_pipeline_parity,

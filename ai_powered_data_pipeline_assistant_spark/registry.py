@@ -115,6 +115,7 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "channel_fanout_parity",
         "trigger_cadence_audit",
         "neardup_stream_parity",
+        "neardup_cluster_stream_parity",
         "substring_stream_parity",
         "substring_state_report",
         "substring_k_plan",
@@ -171,11 +172,12 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # (d) 17 of the 37 r4-greens: the three living in the changed
 # sources/layout.py first (bucketed_join_rollup, events_partition_pruned,
 # zorder_pruning_audit — insurance and staleness at once), then
-# alphabetically-first names; hybrid_search_rrf was displaced late-round
-# by the gate_overlap_matrix arrival. The 20 r4 names that don't fit
-# (ivf_balance_report .. weighted_median + hybrid_search_rrf — see
+# alphabetically-first names; hybrid_search_rrf and event_trigrams were
+# displaced late-round by the gate_overlap_matrix and
+# neardup_cluster_stream_parity arrivals. The 21 r4 names that don't fit
+# (ivf_balance_report .. weighted_median + the two displaced — see
 # ROADMAP "Round-11 window plan") were all value-verified by full
-# sweeps (r9's 296/296; hybrid_search_rrf again by r10's 297/297) and
+# sweeps (r9's 296/296; the displaced two again by r10's 297/297) and
 # rotate in r11; after this window lands the oldest non-window green is r4.
 # Every slot carries an oracle AND is driver-representable — both halves
 # enforced on every pytest by tests/test_driver_sim_hardening.py
@@ -186,10 +188,12 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # are NEVER windowed — their currency is their scalarized audit twins.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- NEW round-10 operators, windowed on arrival (gate_overlap_matrix
-    # displaced the youngest r4 re-check, hybrid_search_rrf — rotates in
+    # and neardup_cluster_stream_parity displaced the two youngest r4
+    # re-checks, hybrid_search_rrf and event_trigrams — both rotate in
     # r11, see ROADMAP) --
     "substring_rewrite_apply",
     "gate_overlap_matrix",
+    "neardup_cluster_stream_parity",
     # -- changed-module insurance (operators/substring.py) --
     "substring_dedup",
     "substring_dedup_spans",
@@ -243,7 +247,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "entity_canonical_rollup",
     "entity_match_pairs",
     "event_pagerank",
-    "event_trigrams",
 )
 
 
