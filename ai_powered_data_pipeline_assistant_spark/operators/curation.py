@@ -15,10 +15,18 @@ training, each of which also exists standalone in this engine:
                      dropped. Deterministic and SQL-mirrorable; note it is
                      not transitively closed (a→b, b→c drops both b and c).
 
-Scale shape: filters ride the scan (pushdown), exact dedup is one hash
-shuffle, the near-dup stage is the banded-LSH candidate pipeline (never
-all-pairs), and the final removal is a broadcast-able anti-join on the
-(small) drop set. No stage collects to the driver.
+Scale shape: filters ride the scan (pushdown), exact dedup is a
+map-side-combined ``min(doc_id)`` per content hash plus a join-back
+(NOT a row_number window over sha2(text) partitions — content-keyed
+duplicates are precisely the skewed-key class: the most-duplicated text
+at 100 TB is empty docs and boilerplate error pages, and a window would
+serialize each hash group into ONE unsplittable partition, while the
+aggregate combines before its Exchange and AQE skew-join splitting
+covers the join side; substring.py:33-48 states the argument,
+exact_dedup at dedup.py:193 is the same primitive), the near-dup stage
+is the banded-LSH candidate pipeline (never all-pairs), and the final
+removal is a broadcast-able anti-join on the (small) drop set. No stage
+collects to the driver.
 
 The reference has no curation pipeline (its "quality" endpoint is a mock,
 reference backend/mcp_server/tools/data_tools.py:64-110); this operator is
@@ -28,7 +36,7 @@ analysis as first-class components).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
@@ -47,6 +55,35 @@ ALLOWED_LANGS = ("en", "de", "fr", "es")
 MIN_QUALITY = 0.6
 
 
+def keeper_ids(docs: DataFrame) -> DataFrame:
+    """First-wins exact-dedup keeper set: (doc_id) of the lowest-id row per
+    sha256(text) group — the skew-safe first-wins primitive every curation
+    entry point shares.
+
+    A two-phase HashAggregate (map-side partial combine before the one
+    hash Exchange), never a ``row_number() OVER (PARTITION BY
+    sha2(text))`` window: the aggregate's shuffle rows are (32-byte hash,
+    min-id) partials regardless of how hot a duplicate group is, while the
+    window shape would move every duplicate ROW into one unsplittable
+    partition (plan-pinned in tests/test_plans.py). doc_id is unique in
+    `documents`, so min-id ≡ row_number()=1 under ORDER BY doc_id.
+    """
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+def exact_keep_first(docs: DataFrame) -> DataFrame:
+    """All columns of the lowest-id row per content hash: keeper-id
+    aggregate + a left-semi join-back on the unique doc_id (shuffle rows
+    on the probe side are keyed by the uniformly distributed id, and AQE
+    skew splitting covers any residue — the substring.py first-wins
+    discipline)."""
+    return docs.join(keeper_ids(docs), "doc_id", "left_semi")
+
+
 def curate_corpus(
     spark: SparkSession,
     sf_dir: str,
@@ -62,13 +99,10 @@ def curate_corpus(
         .withColumn("quality", quality_expr())
         .filter(F.col("quality") >= min_quality)
     )
-    # exact dedup: keep-first per content hash (one shuffle on the hash)
-    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
-    kept = (
-        gated.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .transform(materialize)  # feeds both the LSH stage and the final anti-join
+    # exact dedup: skew-safe keep-first per content hash (keeper_ids agg
+    # + semi join-back; module docstring states why not a window)
+    kept = exact_keep_first(gated).transform(
+        materialize  # feeds both the LSH stage and the final anti-join
     )
     drops = (
         minhash_lsh_pairs_for(kept.select("doc_id", "text"), threshold=jaccard)
@@ -100,13 +134,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_gated = lang_gated.withColumn("quality", quality_expr()).filter(
         F.col("quality") >= MIN_QUALITY
     )
-    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
-    kept = (
-        q_gated.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .transform(materialize)
-    )
+    kept = exact_keep_first(q_gated).transform(materialize)
     drops = (
         minhash_lsh_pairs_for(kept.select("doc_id", "text"))
         .select(F.col("b_id").alias("doc_id"))
@@ -152,8 +180,9 @@ def gate_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One row per unordered gate pair (diagonal = per-gate fail counts).
     Scale shape: one flags projection over the corpus (lang/quality ride
-    the scan; exact-dup is the one sha-hash shuffle; near-dup reuses the
-    banded-LSH drop set as a broadcast-able anti-join side), then ONE
+    the scan; exact-dup is the skew-safe keeper_ids aggregate joined back
+    on the unique doc_id — never a content-keyed window; near-dup reuses
+    the banded-LSH drop set as a broadcast-able anti-join side), then ONE
     map-side-combined aggregate producing all |pairs| counts, unpivoted
     in-row — never one pass per pair."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
@@ -163,11 +192,12 @@ def gate_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("near_hit", F.lit(True))
     )
-    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    keepers = keeper_ids(docs).withColumn("_keeper", F.lit(True))
     flags = (
         docs.withColumn("fail_lang", ~F.col("lang").isin(*ALLOWED_LANGS))
         .withColumn("fail_quality", quality_expr() < MIN_QUALITY)
-        .withColumn("fail_exact_dup", F.row_number().over(w) > 1)
+        .join(keepers, "doc_id", "left")
+        .withColumn("fail_exact_dup", ~F.coalesce("_keeper", F.lit(False)))
         .join(near_drops, "doc_id", "left")
         .withColumn("fail_near_dup", F.coalesce("near_hit", F.lit(False)))
     )
@@ -303,10 +333,11 @@ def curation_dropped_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pulls when a producer asks "why did my documents disappear?".
     `curation_funnel` gives the counts; this gives the receipts.
 
-    Same plan pieces as `curate_corpus` (shared scan for the gates, one
-    content-hash shuffle, the banded-LSH drop set joined back left), plus
-    one left join to attach the near-dup verdict — attribution costs one
-    broadcast join over the pipeline it audits.
+    Same plan pieces as `curate_corpus` (shared scan for the gates, the
+    skew-safe keeper_ids aggregate joined back on the unique doc_id, the
+    banded-LSH drop set joined back left), plus one left join to attach
+    the near-dup verdict — attribution costs one broadcast join over the
+    pipeline it audits.
     """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     flagged = docs.select(
@@ -316,19 +347,18 @@ def curation_dropped_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").isin(*ALLOWED_LANGS).alias("lang_ok"),
         (quality_expr() >= MIN_QUALITY).alias("quality_ok"),
     )
-    # gate-failed rows must NOT occupy ranks inside a hash group (a failed
-    # doc with a lower id would otherwise make its surviving twin look
-    # like an exact_dup) → the gate condition lives in the partition key
-    w = Window.partitionBy(
-        F.when(F.col("lang_ok") & F.col("quality_ok"), F.sha2("text", 256))
-    ).orderBy("doc_id")
-    ranked = flagged.withColumn(
-        "_rn",
-        F.when(
-            F.col("lang_ok") & F.col("quality_ok"), F.row_number().over(w)
-        ),
+    # gate-failed rows must NOT compete for keeper inside a hash group (a
+    # failed doc with a lower id would otherwise make its surviving twin
+    # look like an exact_dup) → the keeper set is computed over gate
+    # SURVIVORS only
+    passed = flagged.filter(F.col("lang_ok") & F.col("quality_ok"))
+    keepers = keeper_ids(passed).withColumn("_keeper", F.lit(True))
+    ranked = flagged.join(keepers, "doc_id", "left")
+    kept = (
+        ranked.filter(F.col("_keeper"))
+        .select("doc_id", "text")
+        .transform(materialize)
     )
-    kept = ranked.filter(F.col("_rn") == 1).select("doc_id", "text").transform(materialize)
     drops = (
         minhash_lsh_pairs_for(kept, threshold=JACCARD_THRESHOLD)
         .select(F.col("b_id").alias("doc_id"))
@@ -338,7 +368,7 @@ def curation_dropped_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     status = (
         F.when(~F.col("lang_ok"), F.lit("lang"))
         .when(~F.col("quality_ok"), F.lit("quality"))
-        .when(F.col("_rn") > 1, F.lit("exact_dup"))
+        .when(~F.coalesce("_keeper", F.lit(False)), F.lit("exact_dup"))
         .when(F.col("near_dup"), F.lit("near_dup"))
         .otherwise(F.lit("kept"))
     )

@@ -364,3 +364,22 @@ def test_plan_shuffle_census_within_budget(spark, sf_dir):
     assert not cart, cart
     heavy = [(r["query"], r["n_exchanges"]) for r in rows if r["n_exchanges"] > 30]
     assert not heavy, heavy
+
+
+def test_curation_exact_dedup_no_content_window(spark, sf_dir):
+    """VERDICT r10 task #2: curation's exact-dup stage must be the
+    skew-safe keeper aggregate (two-phase HashAggregate — map-side partial
+    before its Exchange) joined back on doc_id, never a row_number window
+    partitioned by the content hash (the most-duplicated text would
+    serialize into ONE unsplittable window partition at 100 TB)."""
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+    from ai_powered_data_pipeline_assistant_spark.operators.curation import (
+        exact_keep_first,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _initial_plan(exact_keep_first(docs))
+    assert "Window" not in plan, plan
+    # map-side partial + final aggregate around the keeper Exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange hashpartitioning" in plan, plan
