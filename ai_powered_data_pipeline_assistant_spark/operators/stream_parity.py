@@ -41,7 +41,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
-from ai_powered_data_pipeline_assistant_spark.execution import materialize_barrier
+from ai_powered_data_pipeline_assistant_spark.execution import (
+    materialize,
+    materialize_barrier,
+)
 
 
 def _run_to_memory(
@@ -727,6 +730,172 @@ def neardup_cluster_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(mismatches).cast("long").alias("n_mismatches"),
         F.lit(mismatches == 0).alias("stream_equals_batch"),
     )
+
+
+def cluster_state_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops accounting for the incremental-clustering state — the numbers a
+    deployment monitors to schedule redirect-log compaction
+    (streaming/cluster_stream.py; VERDICT r10 task #3's driver-scorable
+    report): ingest the corpus's verified pairs as
+    ``CLUSTER_STREAM_BATCHES`` arrival batches through the real per-batch
+    handler, COMPACT (`compact_cluster_state` folds resolved redirects
+    into the roots partitions), and report the state accounting, all
+    scalars taken AFTER compaction.
+
+    Driver-pins four claims at once: the resolved assignment equals the
+    batch CC over all pairs (membership scalars recomputed by the shared
+    recursive-CTE closure), compaction preserves the assignment
+    (`assignment_preserved`: exceptAll-diff before vs after = 0), the
+    roots table holds exactly one row per clustered doc, and the redirect
+    log shrinks to the NEWEST batch's merge events only — the SQL twin
+    recomputes both ``redirect_rows`` (merges the last batch caused:
+    pre-last-batch component labels relabeled by the full closure) and
+    ``redirects_folded`` (merges at the intermediate batches) from
+    per-arrival-prefix transitive closures, so a compactor that dropped a
+    live redirect or kept an absorbed one flips the driver hash."""
+    from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
+        minhash_lsh_pairs_for,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.cluster_stream import (
+        _read_redirects,
+        _roots_table,
+        compact_cluster_state,
+        drop_state,
+        process_cluster_batch,
+        resolved_roots,
+    )
+
+    nb = CLUSTER_STREAM_BATCHES
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="cc_report_")
+    state = f"{tmp}/state"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        pairs = materialize_barrier(
+            minhash_lsh_pairs_for(docs).select("a_id", "b_id")
+        )
+        bidx = lambda c: c % nb  # noqa: E731
+        arrival = F.greatest(bidx(F.col("a_id")), bidx(F.col("b_id")))
+        for i in range(nb):
+            process_cluster_batch(pairs.filter(arrival == i), i, state)
+        # EAGER barrier: the compaction below swap-DELETES the roots files
+        # this plan reads; a lazy checkpoint would re-read them post-swap
+        before = materialize(
+            resolved_roots(spark, state).select("doc_id", "cluster_id"),
+            eager=True,
+            require_barrier=True,
+        )
+        red_before = _read_redirects(spark, state).count()
+        stats = compact_cluster_state(spark, state)
+        after = materialize_barrier(
+            resolved_roots(spark, state).select("doc_id", "cluster_id")
+        )
+        preserved = (
+            before.exceptAll(after).count() + after.exceptAll(before).count()
+        ) == 0
+        roots_rows = spark.table(_roots_table(state)).count()
+        agg = after.agg(
+            F.count("*").cast("long").alias("nd"),
+            F.countDistinct("cluster_id").cast("long").alias("nc"),
+            F.sum("cluster_id").cast("long").alias("ck"),
+        ).first()
+        largest = (
+            after.groupBy("cluster_id")
+            .count()
+            .agg(F.max("count").cast("long"))
+            .first()[0]
+            or 0
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        drop_state(spark, state)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(int(agg["nd"] or 0)).cast("long").alias("n_docs_clustered"),
+        F.lit(int(agg["nc"] or 0)).cast("long").alias("n_clusters"),
+        F.lit(int(largest)).cast("long").alias("largest_cluster"),
+        F.lit(int(agg["ck"] or 0)).cast("long").alias("cluster_id_checksum"),
+        F.lit(nb).cast("int").alias("n_batches"),
+        F.lit(int(roots_rows)).cast("long").alias("roots_rows"),
+        F.lit(int(stats["redirect_rows"])).cast("long").alias("redirect_rows"),
+        F.lit(int(red_before - stats["redirect_rows"]))
+        .cast("long")
+        .alias("redirects_folded"),
+        F.lit(bool(preserved)).alias("assignment_preserved"),
+    )
+
+
+def _cluster_report_sql() -> str:
+    """The post-compaction state accounting recomputed independently:
+    membership scalars via the shared recursive-CTE closure; the merge-
+    event counts via per-arrival-prefix closures — a redirect row exists
+    for component label L at batch i exactly when the closure over
+    arrivals < i labels some doc L while the closure through i relabels
+    it (the union-find emits one redirect per losing KNOWN root, and
+    every pre-component is known: each member's roots row was written on
+    first pairing). ``redirect_rows`` = merges at the last batch (the one
+    partition compaction keeps); ``redirects_folded`` = merges at the
+    intermediate batches (absorbed into the folded roots)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.neardup_cluster import (
+        _VERIFIED_EDGES_CTE,
+    )
+
+    nb = CLUSTER_STREAM_BATCHES
+    arrival = f"greatest(a_id % {nb}, b_id % {nb})"
+    # closure over the pairs that have arrived through batch i, per i
+    prefix_ctes = []
+    for i in range(nb - 1):  # the full closure is `comp` from the shared CTE
+        prefix_ctes.append(
+            f"""v{i} AS (SELECT a_id, b_id FROM verified
+                         WHERE {arrival} <= {i}),
+        e{i} AS (SELECT a_id AS src, b_id AS dst FROM v{i}
+                 UNION ALL SELECT b_id, a_id FROM v{i}),
+        r{i}(src, dst) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM e{i})
+            UNION
+            SELECT r.src, e.dst FROM r{i} r JOIN e{i} e ON r.dst = e.src),
+        c{i} AS (SELECT src AS doc_id, min(dst) AS label
+                 FROM r{i} GROUP BY 1)"""
+        )
+    # merges at batch i (1 ≤ i ≤ nb-1): distinct labels of the closure
+    # through i-1 that the closure through i relabels
+    merge_ctes = []
+    for i in range(1, nb):
+        newer = (
+            "comp" if i == nb - 1 else f"c{i}"
+        )
+        new_label = "cluster_id" if i == nb - 1 else "label"
+        merge_ctes.append(
+            f"""m{i} AS (SELECT DISTINCT p.label FROM c{i - 1} p
+                         JOIN {newer} n ON p.doc_id = n.doc_id
+                         WHERE p.label != n.{new_label})"""
+        )
+    folded_sum = " + ".join(
+        f"(SELECT count(*) FROM m{i})" for i in range(1, nb - 1)
+    ) or "0"
+    prefix_block = ",\n        ".join(prefix_ctes)
+    merge_block = ",\n        ".join(merge_ctes)
+    return f"""
+        WITH RECURSIVE {_VERIFIED_EDGES_CTE},
+        {prefix_block},
+        {merge_block}
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM comp)
+                   AS n_docs_clustered,
+               (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM comp)
+                   AS n_clusters,
+               (SELECT CAST(coalesce(max(n), 0) AS BIGINT)
+                FROM (SELECT count(*) AS n FROM comp GROUP BY cluster_id))
+                   AS largest_cluster,
+               (SELECT CAST(coalesce(sum(cluster_id), 0) AS BIGINT) FROM comp)
+                   AS cluster_id_checksum,
+               CAST({nb} AS INT) AS n_batches,
+               (SELECT CAST(count(*) AS BIGINT) FROM comp) AS roots_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM m{nb - 1})
+                   AS redirect_rows,
+               CAST({folded_sum} AS BIGINT) AS redirects_folded,
+               true AS assignment_preserved
+    """
 
 
 def substring_state_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1562,6 +1731,7 @@ def _oracles() -> dict[str, str]:
         "crawl_pipeline_parity": _crawl_parity_sql(),
         "crawl_steady_batch": _crawl_steady_sql(),
         "neardup_state_report": _neardup_report_sql(),
+        "cluster_state_report": _cluster_report_sql(),
         # split sizes SQL-exact; mismatch counters pinned 0, invariants
         # literal true (the maintenance-audit pattern, ivfpq.py)
         "ann_ingest_stream_parity": f"""
@@ -1670,4 +1840,5 @@ QUERIES = {
     "crawl_pipeline_parity": crawl_pipeline_parity,
     "crawl_steady_batch": crawl_steady_batch,
     "neardup_state_report": neardup_state_report,
+    "cluster_state_report": cluster_state_report,
 }

@@ -148,6 +148,7 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "crawl_pipeline_parity",
         "crawl_steady_batch",
         "neardup_state_report",
+        "cluster_state_report",
     }
 )
 

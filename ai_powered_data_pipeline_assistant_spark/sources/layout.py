@@ -488,7 +488,7 @@ def ivfpq_drift_decision(
 
 def maybe_rebuild_ivfpq_layout(
     spark: SparkSession, layout_path: str, emb: DataFrame,
-    batched: bool = False,
+    batched: bool | None = None,
 ) -> dict:
     """The closed drift→rebuild loop as a standalone maintenance-window
     entry point (VERDICT r9 task #3): evaluate the O(n_lists) decision and
@@ -498,7 +498,27 @@ def maybe_rebuild_ivfpq_layout(
     until the imbalance drifts again. Returns the decision dict plus
     ``rebuilt``. `streaming/crawl_pipeline.process_crawl_batch` runs the
     same rule inline per batch (its per-batch drift record is the
-    accounting twin of this call)."""
+    accounting twin of this call).
+
+    ``batched`` defaults to introspection (``batch_id`` in the live codes
+    columns) so calling this on a batched layout — the crawl pipeline's
+    shape — cannot silently rebuild codes without batch_id partitioning
+    and break later batched appends / the replay ``exclude_batch_id``
+    filter (ADVICE r10). Passing it explicitly asserts against the layout.
+    """
+    import os
+
+    codes_cols = spark.read.parquet(os.path.join(layout_path, "codes")).columns
+    layout_batched = "batch_id" in codes_cols
+    if batched is None:
+        batched = layout_batched
+    elif batched != layout_batched:
+        raise ValueError(
+            f"batched={batched} contradicts the live layout at "
+            f"{layout_path} (codes {'have' if layout_batched else 'lack'} "
+            "a batch_id column); rebuilding at the wrong shape would "
+            "break batched appends and replay exclusion"
+        )
     decision = ivfpq_drift_decision(spark, layout_path)
     decision["rebuilt"] = False
     if decision["rebuild_recommended"]:

@@ -42,11 +42,21 @@ pairs regardless of arrival order — which is exactly what
 the DuckDB oracle recomputing the component count/membership via the
 shared recursive-CTE transitive closure.
 
-Known follow-up (ROADMAP): a crash-window-safe compactor that folds
-resolved redirects into the roots partitions (the substring compactor's
-fold-all-but-newest recipe) — until then read-time resolution
-pointer-doubles the redirect log, whose size is merge events, not
-corpus.
+`compact_cluster_state` (round 11, VERDICT r10 task #3) folds resolved
+redirects INTO the roots partitions: every roots row outside the newest
+(replayable) batch partition is rewritten with its fully-resolved label
+into the ``batch_id = -1`` history partition (the shared
+`streaming/state_compaction` fold-all-but-newest core), and the absorbed
+redirect partitions are deleted — post-compaction the redirect log holds
+the newest batch's merge events only, so read-time pointer-doubling work
+tracks RECENT merges instead of all merges ever. On a
+template-spam-heavy corpus (merge events ≈ clustered docs) this is the
+difference between a broadcastable flat map and one that grows with the
+corpus. Crash-window: roots swap first, redirect deletes after — a crash
+between the two leaves already-absorbed redirect rows behind, which are
+harmless at read time (their old_roots no longer appear as any row's
+root: resolution is idempotent on a flattened map) and are removed by
+the next compaction.
 """
 
 from __future__ import annotations
@@ -86,11 +96,36 @@ def _redirects_path(state_dir: str) -> str:
 
 def _create_state(spark: SparkSession, state_dir: str, table: str) -> None:
     """Create the roots table with its bucket layout, or re-register
-    surviving files in a fresh session (the substring-stream pattern; no
-    compactor yet, so there are no swap-aside remnants to guard)."""
+    surviving files in a fresh session (the substring-stream pattern).
+    Refuses to bootstrap EMPTY state while remnants of a crashed
+    compaction swap hold the only intact copy — silently forgetting the
+    accumulated assignment would relabel every historical component
+    (the substring module's swap-aside remnant guard)."""
     if spark.catalog.tableExists(table):
         return
     path = _roots_path(state_dir)
+    if not hadoop_fs.has_parquet(spark, path):
+        remnants = [
+            d
+            for d in hadoop_fs.list_child_dirs(spark, state_dir)
+            if (d.startswith("roots.old_") or d == "roots_staged")
+            and hadoop_fs.has_parquet(spark, f"{state_dir.rstrip('/')}/{d}")
+        ]
+        if remnants:
+            ranked = sorted(
+                remnants,
+                key=lambda d: hadoop_fs.latest_mtime(
+                    spark, f"{state_dir.rstrip('/')}/{d}"
+                ),
+                reverse=True,
+            )
+            raise RuntimeError(
+                f"cluster stream state at {path} is empty but a crashed "
+                f"compaction left intact state under {state_dir} "
+                f"(newest-first by file mtime: {ranked}). Move the FIRST "
+                f"listed copy back to {path} before restarting; refusing "
+                "to silently bootstrap empty state."
+            )
     if hadoop_fs.has_parquet(spark, path):
         spark.sql(
             f"CREATE TABLE {table} (doc_id long, root long, batch_id long) "
@@ -144,9 +179,16 @@ def _flat_redirects(redirects: DataFrame) -> DataFrame:
         )
         cur = flat.agg(F.sum("final_root")).first()[0]
         if cur == prev:
-            break
+            return flat
         prev = cur
-    return flat
+    # unreachable in practice (needs chain depth > 2^30 merge events), but
+    # a partially flattened map would yield silently WRONG cluster labels
+    # — fail loudly instead (ADVICE r10)
+    raise RuntimeError(
+        f"redirect flattening did not converge in {MAX_FLATTEN_ROUNDS} "
+        "pointer-doubling rounds — redirect log is deeper than 2**30 "
+        "or contains a cycle (corrupted state)"
+    )
 
 
 def _read_redirects(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -268,7 +310,19 @@ def resolved_roots(spark: SparkSession, state_dir: str) -> DataFrame:
     read-time view: stored root, then one hop through the pointer-doubled
     flat redirect map. Equals the batch module's `connected_components`
     labels over the union of all ingested pairs (pinned by
-    `neardup_cluster_stream_parity`)."""
+    `neardup_cluster_stream_parity`).
+
+    Crash-window read semantics (ADVICE r10, mirroring the
+    substring-stream note): this reads ALL partitions unfiltered, so in
+    the window between a batch's roots write and its redirects write a
+    just-merged component transiently appears SPLIT — the batch's new
+    docs already carry the merged label while pre-existing members still
+    resolve through the not-yet-written redirect. The split heals when
+    the batch replays (both writes are idempotent dynamic overwrites of
+    the batch's own partitions); mid-stream readers that need
+    transactional views should snapshot between batches or filter both
+    tables to ``batch_id <= last_completed_batch`` — the same
+    strictly-pre-batch rule `process_cluster_batch` itself applies."""
     table = _roots_table(state_dir)
     if not spark.catalog.tableExists(table):
         _create_state(spark, state_dir, table)
@@ -287,6 +341,119 @@ def resolved_roots(spark: SparkSession, state_dir: str) -> DataFrame:
             F.coalesce("final_root", "root0").alias("cluster_id"),
         )
     )
+
+
+def compact_cluster_state(spark: SparkSession, state_dir: str) -> dict[str, int]:
+    """Offline state compaction (run with the stream stopped; VERDICT r10
+    task #3): fold resolved redirects into the roots partitions so the
+    redirect log stays at RECENT merge events instead of all merge events
+    ever.
+
+    Mechanics — the shared `state_compaction` fold-all-but-newest core
+    plus this module's two-table twist:
+
+    1. ``max_bid`` is the global newest batch across roots AND redirects
+       (the crash window sits between a batch's roots write and its
+       redirects write, so the partial batch's partition must stay
+       un-folded wherever it landed).
+    2. Every roots row with ``batch_id != max_bid`` is rewritten with its
+       label resolved through the PRE-newest redirects (pointer-doubled
+       flat map) into the ``batch_id = -1`` history partition; the newest
+       batch's rows are copied verbatim — a replay of that batch
+       dynamic-overwrites its own partition, and its pre-batch reads see
+       exactly the same resolved state the original run computed, so the
+       replay reproduces identical rows (the strictly-pre-batch rule).
+    3. The staged copy swaps in via `hadoop_fs.swap_dirs` (write-new-
+       then-swap; `_create_state`'s remnant guard covers a crash between
+       the renames), THEN the absorbed redirect partitions
+       (``batch_id < max_bid``) are deleted. A crash between the swap and
+       the deletes leaves absorbed redirect rows behind — harmless: their
+       old_roots no longer appear as any roots row's label (the flat map
+       is fully flattened, so resolution is idempotent), and the next
+       compaction removes them.
+
+    Duplicate roots rows (impossible under the doc_id-uniqueness contract
+    the pair source enforces, but guarded like the substring compactor's
+    min-fold) collapse to the HISTORY side, keeping a later replay of the
+    newest batch consistent. Returns row/file accounting:
+    ``{"roots_files": …, "redirect_rows": …, "redirect_partitions": …}``.
+    """
+    table = _roots_table(state_dir)
+    _create_state(spark, state_dir, table)
+    from ai_powered_data_pipeline_assistant_spark.streaming.state_compaction import (
+        HISTORY_BATCH_ID,
+        newest_batch_id,
+        write_staged_bucketed,
+    )
+
+    live = _roots_path(state_dir)
+    staged = f"{live}_staged"
+    hadoop_fs.delete_recursive(spark, staged)  # leftovers of a dead run
+    tmp_name = f"{table}_compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    redirects = _read_redirects(spark, state_dir)
+    max_bid_roots = newest_batch_id(spark, [table])
+    max_bid_red = redirects.agg(F.max("batch_id")).first()[0]
+    cands = [b for b in (max_bid_roots, max_bid_red) if b is not None]
+    if not cands:
+        return {
+            "roots_files": hadoop_fs.count_parquet(spark, live),
+            "redirect_rows": 0,
+            "redirect_partitions": 0,
+        }
+    max_bid = max(cands)
+    flat_hist = _flat_redirects(redirects.filter(F.col("batch_id") < max_bid))
+    hist = (
+        spark.table(table)
+        .filter(F.col("batch_id") != max_bid)
+        .join(
+            F.broadcast(
+                flat_hist.select(F.col("old_root").alias("root"), "final_root")
+            ),
+            "root",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("final_root", "root").alias("root"),
+            F.lit(HISTORY_BATCH_ID).cast("long").alias("batch_id"),
+        )
+    )
+    newest = spark.table(table).filter(F.col("batch_id") == max_bid).select(
+        "doc_id", "root", "batch_id"
+    )
+    folded = (
+        hist.unionByName(newest)
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("batch_id", "root")).alias("s"))
+        .select("doc_id", F.col("s.root").alias("root"),
+                F.col("s.batch_id").alias("batch_id"))
+    )
+    write_staged_bucketed(
+        folded, ["doc_id"], CLUSTER_STATE_BUCKETS, tmp_name, staged
+    )
+    spark.sql(f"DROP TABLE {tmp_name}")
+    spark.sql(f"DROP TABLE {table}")
+    hadoop_fs.swap_dirs(spark, live, staged)
+    _create_state(spark, state_dir, table)
+    # absorbed redirect partitions go last (crash here is harmless; see
+    # docstring point 3)
+    red_path = _redirects_path(state_dir)
+    for d in hadoop_fs.list_child_dirs(spark, red_path):
+        if d.startswith("batch_id=") and d != f"batch_id={max_bid}":
+            hadoop_fs.delete_recursive(spark, f"{red_path}/{d}")
+    remaining = _read_redirects(spark, state_dir)
+    return {
+        "roots_files": hadoop_fs.count_parquet(spark, live),
+        "redirect_rows": int(remaining.count()),
+        "redirect_partitions": len(
+            [
+                d
+                for d in hadoop_fs.list_child_dirs(spark, red_path)
+                if d.startswith("batch_id=")
+            ]
+        ),
+    }
 
 
 def run_cluster_stream(

@@ -43,17 +43,24 @@ appends accumulate one file set per batch per table;
 partitions — all but the newest, which a crash-window replay may still
 overwrite — into one compacted partition with the same bucket layout.
 
-doc_id-uniqueness assumption (ADVICE r9): a doc_id arrives in at most ONE
-batch over the stream's lifetime. The replay-safety identity exclusion
-(the `_not_own` broadcast anti-join in `process_neardup_batch`) removes
-the arriving ids' state rows from the candidate/verify inputs — correct
-for a replay (those rows ARE this batch's own partial write), but if a
-re-crawl legitimately re-submitted an existing doc_id in a LATER batch,
-its prior version's state would be excluded for that batch (pairs against
-the prior version silently suppressed) while both versions' rows stayed
-in state. Re-crawled content must therefore arrive under a fresh doc_id
+doc_id-uniqueness contract (ADVICE r9, ENFORCED since round 11 per ADVICE
+r10): a doc_id arrives in at most ONE batch over the stream's lifetime.
+The replay-safety identity exclusion (the `_not_own` broadcast anti-join
+in `process_neardup_batch`) removes the arriving ids' state rows from the
+candidate/verify inputs — correct for a replay (those rows ARE this
+batch's own partial write), but if a re-crawl re-submitted an existing
+doc_id in a LATER batch, its prior version's state would be excluded for
+that batch (pairs against the prior version silently suppressed) while
+duplicate state rows accumulated. `process_neardup_batch` therefore
+FAILS LOUDLY when any arriving id already has state rows in a
+strictly-earlier partition (sound under replay: the one legally
+replayable batch — the newest — keeps its own partition, which the
+pre-batch filter excludes, and compaction never folds the newest batch
+into -1). The check rides the same doc_id-pruned point-read path as
+verification (bucket pruning under the IN cap), so its cost is O(batch),
+not O(corpus). Re-crawled content must arrive under a fresh doc_id
 (version-suffixed ids are the convention), or state must be deduped by
-doc_id on re-arrival before ingest.
+doc_id before ingest.
 
 Pair semantics: a batch emits (later, earlier) pairs against all EARLIER
 batches (cross-batch: batch(a) > batch(b)) and within itself (same batch:
@@ -361,6 +368,35 @@ def process_neardup_batch(
     def _not_own(state_df: DataFrame) -> DataFrame:
         return state_df.join(F.broadcast(own_ids), "doc_id", "left_anti")
 
+    # doc_id-uniqueness enforcement (module docstring; ADVICE r10): an
+    # arriving id with state rows in a STRICTLY-EARLIER partition is a
+    # genuine re-arrival, never a replay (the one legally replayable
+    # batch — the newest — keeps its own partition, excluded by `pre`,
+    # and compaction never folds the newest batch into -1). Silent
+    # admission would suppress pairs against the prior version while
+    # duplicate state rows accumulate; raise instead. Same bucket-pruned
+    # doc_id point-read path as verification — O(batch), not O(corpus).
+    own_head = own_ids.take(NEARDUP_ISIN_CAP + 1)
+    own_lit: list[int] | None = None
+    if len(own_head) <= NEARDUP_ISIN_CAP:
+        own_lit = sorted(int(r["doc_id"]) for r in own_head)
+    rearrived = (
+        _partner_pruned(
+            spark.table(tables["sizes"]).filter(pre), own_lit, own_ids
+        )
+        .select("doc_id")
+        .limit(5)
+        .collect()
+    )
+    if rearrived:
+        raise ValueError(
+            "near-dup stream received doc_ids that already have state "
+            f"from an earlier batch (sample: "
+            f"{sorted(int(r['doc_id']) for r in rearrived)}); re-crawled "
+            "content must arrive under fresh (version-suffixed) doc_ids "
+            "or state must be deduped before ingest (module docstring)"
+        )
+
     bands_s = _not_own(spark.table(tables["bands"]).filter(pre))
 
     a = bands_b.select(F.col("doc_id").alias("a_id"), "band", "band_key")
@@ -494,23 +530,22 @@ def compact_neardup_state(
     through the Hadoop FileSystem API so compaction works when the state
     dir is s3a://hdfs://, not driver-local disk (VERDICT r8 #1).
     Returns {table: parquet files after compaction}."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.state_compaction import (
+        fold_expr,
+        newest_batch_id,
+        write_staged_bucketed,
+    )
+
     tables = _state_tables(state_dir)
     out: dict[str, int] = {}
-    # The newest batch partition is NEVER folded into -1: the one batch
-    # that can legally replay after a restart is the last one (Structured
-    # Streaming commits batch N-1's checkpoint before starting N), and a
-    # replay dynamic-overwrites its OWN partition — if its rows had been
-    # folded into -1, the re-insert would duplicate them there and poison
-    # every later batch's verification against those documents. Global
-    # max across the three tables so a crash between the three inserts
-    # keeps the partial batch's partition wherever it landed (round-9
-    # review; the per-batch reader additionally excludes the arriving
-    # batch's doc ids by identity).
-    max_bid = None
-    for name in tables.values():
-        m = spark.table(name).agg(F.max("batch_id")).first()[0]
-        if m is not None and (max_bid is None or m > max_bid):
-            max_bid = m
+    # Fold selection via the shared state_compaction core (VERDICT r10
+    # task #6): the newest batch partition is NEVER folded into -1 — the
+    # crash-window argument lives in that module's docstring. Global max
+    # across the three tables so a crash between the three inserts keeps
+    # the partial batch's partition wherever it landed (round-9 review;
+    # the per-batch reader additionally excludes the arriving batch's doc
+    # ids by identity).
+    max_bid = newest_batch_id(spark, list(tables.values()))
     for key, name in tables.items():
         old_location = (
             spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
@@ -531,33 +566,16 @@ def compact_neardup_state(
         nb = n_buckets if n_buckets is not None else cur_buckets
         new_path = _join(state_dir, f"{key}_g{gen}_b{nb}")
         cols = [c for c in spark.table(name).columns if c != "batch_id"]
-        fold = (
-            F.when(F.col("batch_id") == max_bid, F.col("batch_id"))
-            .otherwise(F.lit(-1))
-            .cast("long")
-            if max_bid is not None
-            else F.lit(-1).cast("long")
-        )
-        staged = (
-            spark.table(name)
-            .select(*cols, fold.alias("batch_id"))
-            .repartition(nb, *[F.col(c) for c in _STATE_SPECS[key][1]])
+        staged = spark.table(name).select(
+            *cols, fold_expr(max_bid).alias("batch_id")
         )
         tmp_name = f"{name}_compact"
         spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
-        # The rewrite must NOT see the source's bucket partitioning: the
-        # optimizer would elide the pre-write repartition (the scan claims
-        # the right hash layout) yet execute one-partition-per-FILE, so the
-        # compacted table would keep one file per (batch, bucket) — exactly
-        # the fragmentation being compacted. With bucketed reads off, the
-        # explicit repartition aligns tasks to buckets → one file each.
-        bkey = "spark.sql.sources.bucketing.enabled"
-        prev_bucketing = spark.conf.get(bkey)
-        spark.conf.set(bkey, "false")
-        try:
-            _write_bucketed(staged, key, tmp_name, new_path, nb)
-        finally:
-            spark.conf.set(bkey, prev_bucketing)
+        # bucketing-disabled staged write (fragmentation rationale in
+        # state_compaction's docstring, point 2)
+        write_staged_bucketed(
+            staged, _STATE_SPECS[key][1], nb, tmp_name, new_path
+        )
         # swap: the compacted table takes the stream's name; external-table
         # drops leave files alone, so remove the old generation explicitly
         spark.sql(f"DROP TABLE {name}")

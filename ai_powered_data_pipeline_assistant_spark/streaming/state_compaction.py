@@ -1,0 +1,99 @@
+"""Shared fold-all-but-newest compaction core for streaming state tables
+(VERDICT r10 task #6): the crash-window reasoning that was hand-rolled in
+the substring, near-dup, and cluster compactors, extracted to one tested
+place. The three modules keep their own SWAP mechanics (in-place dir swap
+with a width marker, generation dirs, roots+redirects two-table fold) —
+those encode table-specific invariants — but the two decisions every
+compactor must get right live here:
+
+1. **Which partitions may be folded** (`newest_batch_id` + `fold_expr`):
+   every batch partition EXCEPT the newest. The one batch that can
+   legally REPLAY after a restart is the last one (Structured Streaming
+   commits batch N-1's checkpoint before starting batch N), and a replay
+   dynamic-overwrites its OWN batch_id partition — if its rows had been
+   folded into the ``batch_id = -1`` history partition, the re-insert
+   would duplicate them there and poison every later batch's reads.
+   For MULTI-table state the newest id is the global max ACROSS the
+   tables: a crash between the per-table inserts of one batch leaves the
+   partial batch's partition present in some tables only, and each table
+   must keep that partition un-folded wherever it landed.
+
+2. **How the compacted copy is written** (`write_staged_bucketed`): a
+   bucketed CTAS with ``spark.sql.sources.bucketing.enabled`` OFF for the
+   duration. The rewrite must not see the source's bucket partitioning:
+   the optimizer would elide the pre-write repartition (the scan claims
+   the right hash layout) yet execute one-partition-per-FILE, so the
+   compacted table would keep one file per (batch, bucket) — exactly the
+   fragmentation being compacted. With bucketed reads off, the caller's
+   explicit repartition aligns tasks to buckets → one file each.
+
+Crash-window tests for all three lifecycles live with their modules
+(tests/test_substring_stream.py, test_neardup_stream.py,
+test_cluster_stream.py); this module's contract is pinned wherever those
+run, since every compactor routes through it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HISTORY_BATCH_ID = -1
+
+
+def newest_batch_id(spark: SparkSession, tables: list[str]) -> int | None:
+    """Global max ``batch_id`` across the state tables — the one batch a
+    replay may legally rewrite, which therefore must NEVER be folded into
+    the history partition (module docstring, point 1). ``None`` when every
+    table is empty (nothing to compact)."""
+    max_bid: int | None = None
+    for name in tables:
+        m = spark.table(name).agg(F.max("batch_id")).first()[0]
+        if m is not None and (max_bid is None or m > max_bid):
+            max_bid = int(m)
+    return max_bid
+
+
+def fold_expr(max_bid: int | None) -> Column:
+    """The fold column: a row keeps its batch_id iff it belongs to the
+    newest (replayable) batch; every other partition folds into
+    ``HISTORY_BATCH_ID``. With ``max_bid=None`` (empty state) everything
+    folds — callers normally no-op before reaching that case."""
+    if max_bid is None:
+        return F.lit(HISTORY_BATCH_ID).cast("long")
+    return (
+        F.when(F.col("batch_id") == max_bid, F.col("batch_id"))
+        .otherwise(F.lit(HISTORY_BATCH_ID))
+        .cast("long")
+    )
+
+
+def write_staged_bucketed(
+    df: DataFrame,
+    bucket_cols: list[str],
+    n_buckets: int,
+    table_name: str,
+    path: str,
+) -> None:
+    """Write ``df`` as a batch_id-partitioned bucketed table at ``path``
+    with one file per (partition, bucket): explicit repartition to the
+    bucket columns, bucketed reads disabled for the duration (module
+    docstring, point 2). The caller owns ``df``'s content (fold column
+    already applied) and the post-write swap."""
+    spark = df.sparkSession
+    staged = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+    bkey = "spark.sql.sources.bucketing.enabled"
+    prev = spark.conf.get(bkey)
+    spark.conf.set(bkey, "false")
+    try:
+        (
+            staged.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(table_name)
+        )
+    finally:
+        spark.conf.set(bkey, prev)

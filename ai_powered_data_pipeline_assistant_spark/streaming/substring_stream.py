@@ -271,13 +271,14 @@ def compact_substring_state(
     eventually too coarse; the new width rides the name-encoded marker
     file inside the staged dir, so the swap moves data and width
     atomically and `_create_state` re-registers at the width the files
-    were actually written with). The newest partition stays un-folded on purpose:
-    the one batch that can legally REPLAY after a restart is the last one
-    (Structured Streaming commits batch N-1's checkpoint before starting
-    N), and a replay must keep seeing its own rows excluded by the
-    strictly-pre-batch filter — folding them into -1 would make the
+    were actually written with). Fold selection and the bucketed staged
+    write go through the shared `streaming/state_compaction` core
+    (round 11, VERDICT r10 task #6) — its docstring carries the
+    crash-window argument for why the newest partition stays un-folded
+    (a replay must keep seeing its own rows excluded by the
+    strictly-pre-batch filter; folding them into -1 would make the
     replayed batch treat its own windows as history and rewrite its
-    accounting with everything dropped (round-9 review). The compacted
+    accounting with everything dropped — round-9 review). The compacted
     copy is staged NEXT TO the live dir and swapped in with checked
     renames (`hadoop_fs.swap_dirs` — rollback on a failed second rename),
     then the catalog entry is dropped so the next batch's `_create_state`
@@ -292,6 +293,12 @@ def compact_substring_state(
     assigns to the history side. Object-store-safe: staging
     and swap go through the Hadoop FileSystem API. Returns the parquet
     file count after compaction."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.state_compaction import (
+        fold_expr,
+        newest_batch_id,
+        write_staged_bucketed,
+    )
+
     table = _state_table(state_dir)
     _create_state(spark, state_dir, table)
     live = _wins_path(state_dir)
@@ -299,12 +306,9 @@ def compact_substring_state(
     hadoop_fs.delete_recursive(spark, staged)  # leftovers of a dead run
     tmp_name = f"{table}_compact"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
-    max_bid = spark.table(table).agg(F.max("batch_id")).first()[0]
+    max_bid = newest_batch_id(spark, [table])
     if max_bid is None:
         return hadoop_fs.count_parquet(spark, live)  # empty state: no-op
-    fold = F.when(F.col("batch_id") == max_bid, F.col("batch_id")).otherwise(
-        F.lit(-1).cast("long")
-    )
     # One row per h, duplicates collapsed to the HISTORY side (min of the
     # folded batch_id): if a bad replay ever landed a hash in the newest
     # partition that history already owns, assigning it to -1 keeps state
@@ -314,29 +318,11 @@ def compact_substring_state(
     width = n_buckets or _state_buckets(spark, state_dir)
     compacted = (
         spark.table(table)
-        .select("h", fold.alias("batch_id"))
+        .select("h", fold_expr(max_bid).alias("batch_id"))
         .groupBy("h")
         .agg(F.min("batch_id").alias("batch_id"))
-        .repartition(width, F.col("h"))
     )
-    # bucketed reads off so the pre-write repartition survives the
-    # optimizer and tasks align to buckets → one file per bucket
-    # (the near-dup compactor's fragmentation note applies verbatim)
-    bkey = "spark.sql.sources.bucketing.enabled"
-    prev_bucketing = spark.conf.get(bkey)
-    spark.conf.set(bkey, "false")
-    try:
-        (
-            compacted.write.mode("overwrite")
-            .partitionBy("batch_id")
-            .bucketBy(width, "h")
-            .sortBy("h")
-            .option("path", staged)
-            .format("parquet")
-            .saveAsTable(tmp_name)
-        )
-    finally:
-        spark.conf.set(bkey, prev_bucketing)
+    write_staged_bucketed(compacted, ["h"], width, tmp_name, staged)
     # width marker INSIDE the staged dir — the swap below carries data
     # and width together
     hadoop_fs.touch(spark, f"{staged}/{_BUCKETS_MARKER}{width}")

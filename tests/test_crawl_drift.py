@@ -281,3 +281,61 @@ def test_maybe_rebuild_standalone_entry_point(spark, sf_dir):
         assert third["n_now"] == third["n_at_train"] == corpus.count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_maybe_rebuild_introspects_batchedness(spark, sf_dir):
+    """ADVICE r10: maybe_rebuild on a BATCHED layout (the crawl pipeline's
+    shape) must preserve batch_id partitioning by default — the old
+    batched=False default silently rebuilt codes unbatched, breaking later
+    batched appends and the replay exclude_batch_id filter — and an
+    explicitly WRONG flag must be rejected, not obeyed."""
+    import pytest
+
+    from ai_powered_data_pipeline_assistant_spark.sources.layout import (
+        append_ivfpq_layout,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = tempfile.mkdtemp(prefix="maybe_rebuild_batched_")
+    layout = os.path.join(tmp, "index")
+    try:
+        write_ivfpq_layout_for(spark, emb, layout, batched=True)
+        codes_path = os.path.join(layout, "codes")
+        # raw read: _read_codes projects the partition column away
+        assert "batch_id" in spark.read.parquet(codes_path).columns
+
+        with pytest.raises(ValueError, match="contradicts the live layout"):
+            maybe_rebuild_ivfpq_layout(spark, layout, emb, batched=False)
+
+        # force a rebuild through the default (introspected) path
+        pre_codes = _read_codes(spark, codes_path)
+        sizes = pre_codes.groupBy("list_id").agg(F.count("*").alias("n"))
+        heavy = sizes.orderBy(F.desc("n"), "list_id").first()["list_id"]
+        members = spark.createDataFrame(
+            emb.join(
+                pre_codes.filter(F.col("list_id") == heavy).select("vec_id"),
+                "vec_id",
+                "left_semi",
+            ).collect()
+        )
+        corpus = emb
+        for c in range(1, 4):
+            shifted = members.select(
+                (F.col("vec_id") + c * _SHIFT).alias("vec_id"), "embedding"
+            )
+            append_ivfpq_layout(spark, layout, shifted, batch_id=c)
+            corpus = corpus.unionByName(shifted)
+        decision = maybe_rebuild_ivfpq_layout(spark, layout, corpus)
+        assert decision["rebuilt"]
+        # the rebuilt codes kept the batched shape: batch_id survives and
+        # a later batched append still works
+        assert "batch_id" in spark.read.parquet(codes_path).columns
+        append_ivfpq_layout(
+            spark,
+            layout,
+            members.select((F.col("vec_id") + 9_000_000).alias("vec_id"),
+                           "embedding"),
+            batch_id=9,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

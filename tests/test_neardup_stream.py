@@ -624,3 +624,60 @@ def test_replay_after_compaction_in_crash_window(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         drop_state(spark, f"{tmp}/state")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_rearrived_doc_id_fails_loudly_but_replay_passes(spark, sf_dir):
+    """doc_id-uniqueness enforcement (ADVICE r10): a doc_id resubmitted in
+    a LATER batch must raise (its prior version's state would otherwise be
+    silently excluded from pairing while duplicate state rows accumulate),
+    while a REPLAY of the same batch — same batch_id, the crash-window
+    path — stays legal and idempotent."""
+    import pytest
+
+    from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+    from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+        _state_tables,
+        drop_state,
+        process_neardup_batch,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="neardup_rearrival_")
+    state_dir = f"{tmp}/state"
+    pairs_dir = f"{tmp}/pairs"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 200)
+        )
+        b0 = docs.filter(F.col("doc_id") % 2 == 0)
+        process_neardup_batch(b0, 0, state_dir, pairs_dir)
+        tables = _state_tables(state_dir)
+        state_before = {k: spark.table(n).count() for k, n in tables.items()}
+
+        # replay of batch 0 (same batch_id): legal, state unchanged
+        process_neardup_batch(b0, 0, state_dir, pairs_dir)
+        assert {
+            k: spark.table(n).count() for k, n in tables.items()
+        } == state_before
+
+        # one already-seen id inside a LATER batch: loud failure, and the
+        # failed batch must not have appended state
+        b1 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(b0.limit(1))
+        with pytest.raises(ValueError, match="already have state"):
+            process_neardup_batch(b1, 1, state_dir, pairs_dir)
+        assert {
+            k: spark.table(n).count() for k, n in tables.items()
+        } == state_before
+
+        # fresh ids in the later batch: proceeds normally
+        process_neardup_batch(
+            docs.filter(F.col("doc_id") % 2 == 1), 1, state_dir, pairs_dir
+        )
+        assert spark.table(tables["sizes"]).count() > state_before["sizes"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        drop_state(spark, state_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
