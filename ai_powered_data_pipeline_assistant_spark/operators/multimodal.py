@@ -26,7 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -161,25 +161,379 @@ def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side (no decode, no Python), keep the lowest media_id per digest,
     and report per-modality kept/dropped counts — the first pass of any
     multimodal ingest (identical blobs re-crawled under different ids are
-    the dominant duplicate class before perceptual hashing).
+    the dominant duplicate class before perceptual hashing — which
+    `media_phash_neardup` below now provides).
 
-    One hash shuffle on the digest; payload bytes never leave the scan
-    stage (only 32-byte digests shuffle). The oracle mirrors via sha256 of
-    the same synthesized payload text."""
+    Keeper selection is the skew-safe min-per-digest aggregate + a
+    join-back on the unique media_id (round 11 — the curation exact-dup
+    discipline: a re-crawled viral image repeated millions of times is
+    precisely the hot-key class a row_number window over the digest would
+    serialize into one partition). Payload bytes never leave the scan
+    stage (only 32-byte digests shuffle). The oracle mirrors via the
+    same keeper rule on the synthesized payload text."""
     media = media_table(spark, sf_dir)
-    w = Window.partitionBy(F.sha2("payload", 256)).orderBy("media_id")
-    marked = media.select(
-        "media_id", "modality", F.row_number().over(w).alias("rn")
+    hashed = media.select(
+        "media_id", "modality", F.sha2("payload", 256).alias("_h")
+    )
+    keepers = (
+        hashed.groupBy("_h")
+        .agg(F.min("media_id").alias("media_id"))
+        .select("media_id")
+        .withColumn("_keeper", F.lit(True))
+    )
+    marked = hashed.join(keepers, "media_id", "left").withColumn(
+        "kept", F.coalesce("_keeper", F.lit(False))
     )
     return (
         marked.groupBy("modality")
         .agg(
             F.count("*").alias("n_blobs"),
-            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
-            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("n_dropped"),
         )
         .orderBy("modality")
     )
+
+
+# ------------------------------------------------------------------ pHash
+# Perceptual near-dup for media (VERDICT r10 task #4): the multimodal
+# analogue of MinHash-LSH. Real pipeline: decode → resize → DCT → 64-bit
+# pHash; decode stays stubbed (decode_media above), so the hash here is a
+# deterministic LOCALITY-PRESERVING fake over the blob's decoded signal
+# (the utf-8 payload bytes): the signal is split into 64 equal chunks by
+# relative position (the "resize" — scale-normalized like a 32×32
+# downsample) and bit i = parity of md5(chunk_i) — an edit confined to one
+# region flips only that region's bit, so near-identical blobs land within
+# small hamming distance, while the banded blocking below is agnostic to
+# WHICH 64-bit perceptual hash produced the bits (swap in a real pHash and
+# nothing downstream changes). Everything is JVM-side SQL (md5/substring/
+# conv — no Python in the hot path), and DuckDB can recompute the exact
+# same hash, so the corpus-level driver row is VALUE-exact, not
+# probe-golden-only.
+#
+# Banding: the 64 bits live as four 16-bit band columns (b0..b3). Pairs
+# within hamming ≤ 3 MUST agree on at least one band (pigeonhole over 4
+# bands), so band-bucket candidate generation + in-bucket hamming verify
+# is EXACT for the ≤ 3 threshold — the simhash_neardup_pairs argument,
+# applied to media. Never all-pairs: quadratic work is confined to band
+# buckets, and the stage runs over exact-dedup REPRESENTATIVES (one per
+# (modality, digest) — media_dedup's "first pass ... before perceptual
+# hashing" run for real), which removes the identical-blob hot buckets.
+
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16
+PHASH_HAMMING_T = PHASH_BANDS - 1  # pigeonhole-exact threshold
+
+
+def _phash_len_sql(sig: str) -> str:
+    """Chunk width: the signal split into 64 equal character chunks
+    (ceil), floor 1 — identical syntax in Spark SQL and DuckDB."""
+    return f"greatest(CAST(ceil(length({sig}) / 64.0) AS BIGINT), 1)"
+
+
+def phash_band_sql(k: int, sig: str, dialect: str) -> str:
+    """SQL for 16-bit band k of the 64-bit chunk-parity perceptual hash of
+    ``sig`` — one generator, two dialects, so the engine and the DuckDB
+    oracle cannot drift. Bit j of band k is chunk index i = 16k + j."""
+    width = _phash_len_sql(sig)
+    terms = []
+    for j in range(PHASH_BAND_BITS):
+        i = PHASH_BAND_BITS * k + j
+        chunk = (
+            f"substring({sig}, CAST({i} * {width} + 1 AS INT), "
+            f"CAST({width} AS INT))"
+        )
+        if dialect == "spark":
+            val = f"CAST(conv(substr(md5({chunk}), 1, 15), 16, 10) AS BIGINT)"
+        elif dialect == "duck":
+            val = f"CAST(('0x' || substr(md5({chunk}), 1, 15)) AS BIGINT)"
+        else:  # pragma: no cover - guarded by callers
+            raise ValueError(f"unknown dialect {dialect!r}")
+        terms.append(f"({val} % 2) * {1 << j}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _phash_of(text: str) -> tuple[int, ...]:
+    """Python twin of `phash_band_sql` (module-level so the probe audit
+    can generate golden oracle values from the SAME spec the SQL
+    executes): the four 16-bit band values of the chunk-parity hash."""
+    import hashlib
+    from math import ceil
+
+    width = max(int(ceil(len(text) / 64.0)), 1)
+    bits = []
+    for i in range(64):
+        chunk = text[i * width : i * width + width]
+        bits.append(
+            int(hashlib.md5(chunk.encode("utf-8")).hexdigest()[:15], 16) % 2
+        )
+    return tuple(
+        sum(bits[PHASH_BAND_BITS * k + j] << j for j in range(PHASH_BAND_BITS))
+        for k in range(PHASH_BANDS)
+    )
+
+
+def _phash_frame(media: DataFrame) -> DataFrame:
+    """(media_id, modality, b0..b3) for exact-dedup REPRESENTATIVES (min
+    media_id per (modality, payload digest)): the decoded-signal view
+    (F.decode of the blob — the deterministic stand-in for codec decode)
+    hashed entirely JVM-side."""
+    hashed = media.select(
+        "media_id",
+        "modality",
+        F.decode(F.col("payload"), "utf-8").alias("_sig"),
+        F.sha2("payload", 256).alias("_h"),
+    )
+    reps = hashed.groupBy("modality", "_h").agg(
+        F.min("media_id").alias("media_id")
+    )
+    rep_rows = hashed.join(
+        reps.select("media_id"), "media_id", "left_semi"
+    )
+    return rep_rows.select(
+        "media_id",
+        "modality",
+        *[
+            F.expr(phash_band_sql(k, "_sig", "spark")).alias(f"b{k}")
+            for k in range(PHASH_BANDS)
+        ],
+    )
+
+
+def _phash_pairs(hashed: DataFrame) -> DataFrame:
+    """Banded candidate generation + exact hamming verify over a
+    (media_id, modality, b0..b3) frame: one explode to (modality, band_idx,
+    band_val) blocking keys, a self-join confined to band buckets, then
+    the 4-band popcount distance on the deduplicated candidate set.
+    Returns (modality, a_id, b_id, hamming) for hamming ≤ PHASH_HAMMING_T
+    — exact under the threshold by pigeonhole."""
+    from ai_powered_data_pipeline_assistant_spark.execution import materialize
+
+    hashed = materialize(hashed)  # feeds the band explode AND two verify joins
+    bands = hashed.select(
+        "media_id",
+        "modality",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"),
+                        F.col(f"b{k}").alias("band_val"),
+                    )
+                    for k in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "modality", "bk.band_idx", "bk.band_val")
+    a = bands.select(
+        F.col("media_id").alias("a_id"), "modality", "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("media_id").alias("b_id"), "modality", "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["modality", "band_idx", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("modality", "a_id", "b_id")
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col("media_id").alias("a_id"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(PHASH_BANDS)],
+    )
+    hb = hashed.select(
+        F.col("media_id").alias("b_id"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(PHASH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}")))
+        for k in range(PHASH_BANDS)
+    )
+    return (
+        cand.join(ha, "a_id")
+        .join(hb, "b_id")
+        .select(
+            "modality", "a_id", "b_id", hamming.cast("long").alias("hamming")
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_T)
+    )
+
+
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality perceptual near-dup summary over the corpus media
+    table: exact-dedup representatives hashed (chunk-parity pHash, all
+    JVM-side), banded-blocked, hamming-verified at ≤ PHASH_HAMMING_T.
+    One row per modality: representative count, verified pair count,
+    how many of those are hash-identical (hamming 0 — perceptual
+    collisions between DISTINCT blobs), and the hamming total.
+
+    The DuckDB oracle recomputes the SAME hash (shared SQL generator)
+    and brute-forces all representative pairs under the threshold —
+    which equals the engine's banded set exactly because 4-band blocking
+    is pigeonhole-exact for hamming ≤ 3; the driver hash therefore
+    value-checks both the hash spec and the blocking's exactness."""
+    hashed = _phash_frame(media_table(spark, sf_dir))
+    pairs = _phash_pairs(hashed)  # materializes `hashed` internally
+    reps = hashed.groupBy("modality").agg(
+        F.count("*").cast("long").alias("n_reps")
+    )
+    per_mod = pairs.groupBy("modality").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hash_identical"),
+        F.sum("hamming").cast("long").alias("hamming_sum"),
+    )
+    return (
+        reps.join(per_mod, "modality", "left")
+        .select(
+            "modality",
+            "n_reps",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_hash_identical", F.lit(0))
+            .cast("long")
+            .alias("n_hash_identical"),
+            F.coalesce("hamming_sum", F.lit(0))
+            .cast("long")
+            .alias("hamming_sum"),
+        )
+        .orderBy("modality")
+    )
+
+
+def _phash_neardup_oracle() -> str:
+    bands = ",\n                   ".join(
+        f"{phash_band_sql(k, 'text', 'duck')} AS b{k}"
+        for k in range(PHASH_BANDS)
+    )
+    hamming = " + ".join(
+        f"bit_count(CAST(xor(a.b{k}, b.b{k}) AS BIGINT))"
+        for k in range(PHASH_BANDS)
+    )
+    return f"""
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   text
+            FROM documents),
+        reps AS (
+            SELECT modality, min(media_id) AS media_id
+            FROM media GROUP BY modality, text),
+        hashed AS (
+            SELECT m.media_id, m.modality,
+                   {bands}
+            FROM media m JOIN reps r USING (media_id)),
+        pairs AS (
+            SELECT a.modality, a.media_id AS a_id, b.media_id AS b_id,
+                   {hamming} AS hamming
+            FROM hashed a JOIN hashed b
+                 ON a.modality = b.modality AND a.media_id < b.media_id),
+        verified AS (SELECT * FROM pairs WHERE hamming <= {PHASH_HAMMING_T})
+        SELECT h.modality,
+               CAST(count(DISTINCT h.media_id) AS BIGINT) AS n_reps,
+               CAST(coalesce((SELECT count(*) FROM verified v
+                              WHERE v.modality = h.modality), 0) AS BIGINT)
+                   AS n_pairs,
+               CAST(coalesce((SELECT count(*) FROM verified v
+                              WHERE v.modality = h.modality
+                                AND v.hamming = 0), 0) AS BIGINT)
+                   AS n_hash_identical,
+               CAST(coalesce((SELECT sum(hamming) FROM verified v
+                              WHERE v.modality = h.modality), 0) AS BIGINT)
+                   AS hamming_sum
+        FROM hashed h
+        GROUP BY h.modality
+        ORDER BY h.modality
+    """
+
+
+# Probe payloads for the golden pHash audit: a 256-char base (64 chunks of
+# 4 chars), single-region edits at increasing distances from the base, an
+# unrelated payload, and an exact duplicate of the base under a new id.
+# Golden hammings are generated from `_phash_of` at import; the pytest
+# pins that the set exercises BOTH sides of the threshold.
+_PHASH_BASE = "".join(f"{i:04d}" for i in range(64))  # 64 aligned chunks
+MEDIA_PHASH_PROBES: list[tuple[int, str]] = [
+    (0, _PHASH_BASE),
+    (1, _PHASH_BASE[:100] + "X" + _PHASH_BASE[101:]),  # one-region edit
+    (2, "Y" + _PHASH_BASE[1:128] + "Z" + _PHASH_BASE[129:]),  # two regions
+    (3, _PHASH_BASE),  # exact duplicate of probe 0 (hamming 0)
+    (4, "".join(f"{i * 7 + 3:04d}" for i in range(64))),  # unrelated
+]
+
+
+def media_phash_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-value audit for the perceptual pipeline (the
+    media_probe_audit pattern): run the REAL banded pipeline over fixed
+    probe payloads — all probes one modality so every pair is comparable —
+    and emit both the per-probe band values (stage 'hash') and the
+    verified pair set (stage 'pair'). The oracle carries values generated
+    from the module-level Python twin `_phash_of`, so drift anywhere —
+    the SQL hash expression, utf-8 decode, band explode, bucket join,
+    popcount verify, or the pigeonhole inclusion/exclusion at the
+    threshold — flips a golden row."""
+    probes = spark.createDataFrame(
+        MEDIA_PHASH_PROBES, "media_id long, text string"
+    ).repartition(2)
+    media = probes.select(
+        "media_id",
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").cast("binary").alias("payload"),
+    )
+    hashed = _phash_frame(media)
+    hash_rows = hashed.select(
+        F.lit("hash").alias("stage"),
+        F.col("media_id").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        *[F.col(f"b{k}").cast("long").alias(f"m{k}") for k in range(PHASH_BANDS)],
+    )
+    pair_rows = _phash_pairs(hashed).select(
+        F.lit("pair").alias("stage"),
+        F.col("a_id").alias("id_a"),
+        F.col("b_id").alias("id_b"),
+        F.col("hamming").alias("m0"),
+        F.lit(0).cast("long").alias("m1"),
+        F.lit(0).cast("long").alias("m2"),
+        F.lit(0).cast("long").alias("m3"),
+    )
+    return hash_rows.unionByName(pair_rows).orderBy("stage", "id_a", "id_b")
+
+
+def _phash_probe_oracle() -> str:
+    import itertools
+
+    rows = []
+    hashes = {}
+    # exact-dedup representatives: min id per payload (probe 3 drops)
+    rep_of: dict[str, int] = {}
+    for media_id, text in MEDIA_PHASH_PROBES:
+        if text not in rep_of:
+            rep_of[text] = media_id
+    for media_id, text in MEDIA_PHASH_PROBES:
+        if rep_of[text] != media_id:
+            continue
+        hashes[media_id] = _phash_of(text)
+        rows.append(("hash", media_id, -1, *hashes[media_id]))
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        hamming = sum(
+            bin(x ^ y).count("1") for x, y in zip(hashes[a], hashes[b])
+        )
+        if hamming <= PHASH_HAMMING_T:
+            rows.append(("pair", a, b, hamming, 0, 0, 0))
+    values = ",\n            ".join(
+        f"('{s}', CAST({a} AS BIGINT), CAST({b} AS BIGINT),"
+        f" CAST({m0} AS BIGINT), CAST({m1} AS BIGINT),"
+        f" CAST({m2} AS BIGINT), CAST({m3} AS BIGINT))"
+        for s, a, b, m0, m1, m2, m3 in rows
+    )
+    return f"""
+        SELECT * FROM (VALUES
+            {values}
+        ) AS t(stage, id_a, id_b, m0, m1, m2, m3)
+        ORDER BY stage, id_a, id_b
+    """
 
 
 RESIZE_SCHEMA = StructType(
@@ -413,6 +767,11 @@ ORACLES: dict[str, str] = {
     # golden integer checksums generated from the same per-row specs the
     # Arrow workers run (see media_probe_audit)
     "media_probe_audit": _media_probe_oracle(),
+    # perceptual near-dup: the oracle recomputes the SAME chunk-parity
+    # hash (shared SQL generator) and brute-forces pairs under the
+    # threshold — equal to the banded set by pigeonhole exactness
+    "media_phash_neardup": _phash_neardup_oracle(),
+    "media_phash_probe_audit": _phash_probe_oracle(),
 }
 
 QUERIES = {
@@ -422,4 +781,6 @@ QUERIES = {
     "resize_images": resize_images,  # rows-only (stubbed decode)
     "sample_frames": sample_frames,  # rows-only (stubbed decode)
     "media_probe_audit": media_probe_audit,
+    "media_phash_neardup": media_phash_neardup,
+    "media_phash_probe_audit": media_phash_probe_audit,
 }
