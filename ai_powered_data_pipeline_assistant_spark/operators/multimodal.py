@@ -449,6 +449,113 @@ def _phash_neardup_oracle() -> str:
     """
 
 
+def media_phash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual FAMILIES and the keeper per family — the policy tail of
+    the pHash tier (what `neardup_keep_best` is to MinHash clusters):
+    connected components over the verified hamming-≤ T pairs group
+    perceptually-near blobs into families; per family the kept copy is
+    the LARGEST payload (the stand-in for "highest resolution" once real
+    decode lands), ties to the lowest media_id. Families are computed
+    over exact-dedup representatives (pass 1 already dropped identical
+    blobs); singleton reps (no verified pair) are not families and don't
+    appear.
+
+    Keeper selection is one map-side-combined ``max(struct(bytes,
+    -media_id))`` per family — the skew-safe aggregate discipline, no
+    per-family window (a viral meme's perceptual family is exactly the
+    hot-key class). CC runs over the banded pair set (pigeonhole-exact),
+    so the DuckDB oracle's brute-force closure is value-identical."""
+    from ai_powered_data_pipeline_assistant_spark.operators.neardup_cluster import (
+        connected_components,
+    )
+
+    media = media_table(spark, sf_dir)
+    hashed = _phash_frame(media)
+    pairs = _phash_pairs(hashed)
+    comp = connected_components(
+        pairs.select("a_id", "b_id")
+    ).select(F.col("node").alias("media_id"), F.col("label").alias("family_id"))
+    sized = media.select(
+        "media_id", "modality", F.octet_length("payload").cast("long").alias("bytes")
+    )
+    fam = comp.join(sized, "media_id")
+    best = fam.groupBy("family_id").agg(
+        F.count("*").cast("long").alias("family_size"),
+        F.max(F.struct(F.col("bytes"), (-F.col("media_id")).alias("neg_id"))).alias(
+            "_s"
+        ),
+        # single-valued per family (pairs are within-modality): min is the
+        # deterministic way to say "the" value
+        F.min("modality").alias("modality"),
+    )
+    return best.select(
+        "family_id",
+        "modality",
+        "family_size",
+        (-F.col("_s.neg_id")).cast("long").alias("keeper_id"),
+        F.col("_s.bytes").cast("long").alias("keeper_bytes"),
+    ).orderBy("family_id")
+
+
+def _phash_keep_best_oracle() -> str:
+    bands = ",\n                   ".join(
+        f"{phash_band_sql(k, 'text', 'duck')} AS b{k}"
+        for k in range(PHASH_BANDS)
+    )
+    hamming = " + ".join(
+        f"bit_count(CAST(xor(a.b{k}, b.b{k}) AS BIGINT))"
+        for k in range(PHASH_BANDS)
+    )
+    return f"""
+        WITH RECURSIVE media AS (
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   text
+            FROM documents),
+        reps AS (
+            SELECT modality, min(media_id) AS media_id
+            FROM media GROUP BY modality, text),
+        hashed AS (
+            SELECT m.media_id, m.modality,
+                   {bands}
+            FROM media m JOIN reps r USING (media_id)),
+        verified AS (
+            SELECT a.media_id AS a_id, b.media_id AS b_id
+            FROM hashed a JOIN hashed b
+                 ON a.modality = b.modality AND a.media_id < b.media_id
+            WHERE {hamming} <= {PHASH_HAMMING_T}),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM verified
+                  UNION ALL SELECT b_id, a_id FROM verified),
+        reach(src, dst) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS media_id, min(dst) AS family_id
+                 FROM reach GROUP BY 1),
+        fam AS (
+            SELECT c.family_id, m.modality, m.media_id,
+                   CAST(strlen(m.text) AS BIGINT) AS bytes
+            FROM comp c JOIN media m USING (media_id)),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY family_id
+                                         ORDER BY bytes DESC, media_id) AS rn
+            FROM fam)
+        SELECT f.family_id,
+               min(f.modality) AS modality,
+               CAST(count(*) AS BIGINT) AS family_size,
+               CAST(min(CASE WHEN r.rn = 1 THEN r.media_id END) AS BIGINT)
+                   AS keeper_id,
+               CAST(min(CASE WHEN r.rn = 1 THEN r.bytes END) AS BIGINT)
+                   AS keeper_bytes
+        FROM fam f LEFT JOIN ranked r
+             ON f.family_id = r.family_id AND f.media_id = r.media_id
+        GROUP BY f.family_id
+        ORDER BY f.family_id
+    """
+
+
 # Probe payloads for the golden pHash audit: a 256-char base (64 chunks of
 # 4 chars), single-region edits at increasing distances from the base, an
 # unrelated payload, and an exact duplicate of the base under a new id.
@@ -772,6 +879,7 @@ ORACLES: dict[str, str] = {
     # threshold — equal to the banded set by pigeonhole exactness
     "media_phash_neardup": _phash_neardup_oracle(),
     "media_phash_probe_audit": _phash_probe_oracle(),
+    "media_phash_keep_best": _phash_keep_best_oracle(),
 }
 
 QUERIES = {
@@ -783,4 +891,5 @@ QUERIES = {
     "media_probe_audit": media_probe_audit,
     "media_phash_neardup": media_phash_neardup,
     "media_phash_probe_audit": media_phash_probe_audit,
+    "media_phash_keep_best": media_phash_keep_best,
 }

@@ -153,33 +153,33 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 )
 
 # The correctness driver checks the FIRST 50 registry entries per round, so
-# ordering decides which queries get a driver verdict. Round-10 window
-# (VERDICT r9 task #2 — drain the last pre-r4 staleness; the pre-rotation
-# record is 20 names at r3 + 37 at r4, everything else ≥ r5):
-# (a) substring_rewrite_apply — NEW this round (the executed Lee et al.
-# corpus-rewrite sink, VERDICT r9 task #6), windowed on arrival;
-# (b) insurance re-checks for every name whose implementing module changed
-# materially this round: operators/substring.py went hash-keyed-default +
-# single-pass K sweep (5 batch names), operators/stream_parity.py's
-# substring parity gained the empty-sum coalesce (substring_stream_parity),
-# streaming/crawl_pipeline.py gained the automated drift→rebuild loop
-# (crawl_pipeline_parity, crawl_steady_batch), and sources/layout.py
-# gained the train_stats sidecar + drift decision (ivfpq_drift_audit,
-# ivfpq_incremental_parity, ivfpq_delete_audit) — all 11 value-verified
-# MATCH by targeted driver_sim at sf0.01 at their landing commits, but the
-# driver is the arbiter;
-# (c) ALL 20 remaining r3-greens (the 10 deferred tpch q7/q8/q9/q11/q12/
-# q13/q15/q17/q20/q22 + the 10 displaced by the late-r9 arrivals);
-# (d) 17 of the 37 r4-greens: the three living in the changed
-# sources/layout.py first (bucketed_join_rollup, events_partition_pruned,
-# zorder_pruning_audit — insurance and staleness at once), then
-# alphabetically-first names; hybrid_search_rrf and event_trigrams were
-# displaced late-round by the gate_overlap_matrix and
-# neardup_cluster_stream_parity arrivals. The 21 r4 names that don't fit
-# (ivf_balance_report .. weighted_median + the two displaced — see
-# ROADMAP "Round-11 window plan") were all value-verified by full
-# sweeps (r9's 296/296; the displaced two again by r10's 297/297) and
-# rotate in r11; after this window lands the oldest non-window green is r4.
+# ordering decides which queries get a driver verdict. Round-11 window
+# (VERDICT r10 task #1 — drain ALL remaining r4 staleness; the pre-rotation
+# record is 21 names at r4, 44 at r5, everything else >= r6):
+# (a) the three NEW round-11 operators, windowed on arrival:
+# cluster_state_report (the cluster-stream compactor's driver-scorable
+# accounting, r10 task #3) and media_phash_neardup /
+# media_phash_probe_audit (the perceptual media near-dup tier, r10 task
+# #4) — all value-verified MATCH by targeted driver_sim at sf0.01 at
+# their landing commits, but the driver is the arbiter;
+# (b) insurance re-checks for every name whose implementing module
+# changed materially this round: operators/curation.py (skew-safe
+# keeper_ids first-wins replaced the sha2(text) row_number windows — all
+# 4 curation names), operators/multimodal.py (media_dedup keeper
+# aggregate; media_probe_audit rides along — both are ALSO r5
+# staleness), streaming/neardup.py (doc_id re-arrival enforcement +
+# shared compaction core: both neardup parity/report names),
+# streaming/cluster_stream.py (compactor + flatten-divergence guard),
+# streaming/substring_stream.py (compactor on the shared core),
+# sources/layout.py (maybe_rebuild batchedness introspection) and the
+# crawl pipeline that composes layout + neardup per batch;
+# (c) ALL 21 remaining r4-greens (exactly ROADMAP's "Round-11 window
+# plan" list, value-verified by r9's 296/296 and r10's 297/297 full
+# sweeps) — after this window lands the oldest non-window green is r5;
+# (d) 10 alphabetically-first r5-greens (44 at round start; with
+# media_dedup/media_probe_audit above that covers 12;
+# compression_ratio_audit was displaced by the late media_phash_keep_best
+# arrival, leaving 32 for the r12 plan in ROADMAP).
 # Every slot carries an oracle AND is driver-representable — both halves
 # enforced on every pytest by tests/test_driver_sim_hardening.py
 # (oracle presence + driver_representable over the built window frames).
@@ -188,66 +188,76 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # unigram_vocab_table, unigram_token_counts, tokenizer_fertility_report)
 # are NEVER windowed — their currency is their scalarized audit twins.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- NEW round-10 operators, windowed on arrival (gate_overlap_matrix
-    # and neardup_cluster_stream_parity displaced the two youngest r4
-    # re-checks, hybrid_search_rrf and event_trigrams — both rotate in
-    # r11, see ROADMAP) --
-    "substring_rewrite_apply",
+    # -- NEW round-11 operators, windowed on arrival (media_phash_keep_best
+    # displaced the youngest r5 fill, compression_ratio_audit — rotates in
+    # r12, see ROADMAP) --
+    "cluster_state_report",
+    "media_phash_neardup",
+    "media_phash_probe_audit",
+    "media_phash_keep_best",
+    # -- changed-module insurance (operators/curation.py: skew-safe
+    # keeper_ids exact-dedup replaced the content-hash windows) --
+    "curate_corpus",
+    "curation_funnel",
+    "curation_dropped_audit",
     "gate_overlap_matrix",
+    # -- changed-module insurance (operators/multimodal.py: media_dedup
+    # keeper aggregate + the new pHash tier; both also r5 staleness) --
+    "media_dedup",
+    "media_probe_audit",
+    # -- changed-module insurance (streaming/neardup.py: doc_id
+    # re-arrival enforcement + shared compaction core) --
+    "neardup_stream_parity",
+    "neardup_state_report",
+    # -- changed-module insurance (streaming/cluster_stream.py: compactor
+    # + flatten-divergence guard) --
     "neardup_cluster_stream_parity",
-    # -- changed-module insurance (operators/substring.py) --
-    "substring_dedup",
-    "substring_dedup_spans",
-    "substring_rewrite",
-    "substring_source_matrix",
-    "substring_k_plan",
-    # -- changed-module insurance (operators/stream_parity.py) --
+    # -- changed-module insurance (streaming/substring_stream.py:
+    # compactor refactored onto the shared core) --
     "substring_stream_parity",
-    # -- changed-module insurance (streaming/crawl_pipeline.py) --
-    "crawl_pipeline_parity",
-    "crawl_steady_batch",
-    # -- changed-module insurance (sources/layout.py) --
+    "substring_state_report",
+    # -- changed-module insurance (sources/layout.py: maybe_rebuild
+    # batchedness introspection; crawl pipeline composes both) --
     "ivfpq_drift_audit",
     "ivfpq_incremental_parity",
-    "ivfpq_delete_audit",
-    # -- staleness: ALL 20 remaining r3-greens --
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q20",
-    "tpch_q22",
-    "span_dedup",
-    "sql_gate_audit",
-    "token_budget",
-    "tool_registry_audit",
-    "top_users_collected",
-    "update_by_id",
-    "validation_rules",
-    "value_percentiles",
-    "value_percentiles_approx_audit",
-    "winnow_fingerprints",
-    # -- staleness: 18 oldest r4-greens (layout.py residents first) --
-    "bucketed_join_rollup",
-    "events_partition_pruned",
-    "zorder_pruning_audit",
-    "ann_ivf_topk",
-    "basket_pairs",
-    "column_profile",
-    "containment_pairs",
-    "crosscorpus_neardup",
-    "csv_roundtrip_agg",
-    "daily_dedup_ledger",
-    "dedup_method_report",
-    "doc_duplication_share",
-    "embedder_probe_audit",
-    "entity_canonical_rollup",
-    "entity_match_pairs",
-    "event_pagerank",
+    "crawl_pipeline_parity",
+    "crawl_steady_batch",
+    # -- staleness: ALL 21 remaining r4-greens (ROADMAP r11 window plan;
+    # after this window lands the oldest non-window green is r5) --
+    "event_trigrams",
+    "hybrid_search_rrf",
+    "ivf_balance_report",
+    "ivf_probe_recall_sweep",
+    "jsonl_roundtrip_agg",
+    "knn_join",
+    "lexical_diversity",
+    "lsh_parameter_plan",
+    "markov_prediction_audit",
+    "minhash_calibration_audit",
+    "neardup_triangles",
+    "normalize_text",
+    "orc_roundtrip_agg",
+    "readability_scores",
+    "retrieval_ndcg",
+    "semantic_decontaminate",
+    "semantic_dedup",
+    "table_inventory",
+    "temporal_split",
+    "train_test_split",
+    "weighted_median",
+    # -- staleness: 11 alphabetically-first r5-greens (44 remain at round
+    # start; media_dedup/media_probe_audit above cover 2 more, leaving 31
+    # for r12) --
+    "ab_test_report",
+    "ann_brute_topk",
+    "bigram_logprob",
+    "brand_revenue_share",
+    "cache_hit_simulation",
+    "cdc_apply",
+    "cdc_stream_parity",
+    "channel_fanout_parity",
+    "churn_risk_flags",
+    "cluster_safe_split",
 )
 
 

@@ -112,3 +112,29 @@ def test_phash_plan_is_jvm_only(spark, sf_dir):
     for op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert op not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_keep_best_families_reconcile_with_pairs(spark, sf_dir):
+    """Family membership must equal the docs appearing in verified pairs;
+    the keeper is the max-bytes (tie: min-id) member of its family; every
+    family has >= 2 members (singletons are not families)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
+        media_phash_keep_best,
+    )
+
+    hashed = _phash_frame(media_table(spark, sf_dir))
+    pairs = _phash_pairs(hashed).collect()
+    paired_docs = {r["a_id"] for r in pairs} | {r["b_id"] for r in pairs}
+    fams = media_phash_keep_best(spark, sf_dir).collect()
+    assert sum(r["family_size"] for r in fams) == len(paired_docs)
+    sized = {
+        r["media_id"]: r["bytes"]
+        for r in media_table(spark, sf_dir)
+        .select("media_id", F.octet_length("payload").alias("bytes"))
+        .collect()
+    }
+    for r in fams:
+        assert r["family_size"] >= 2, r
+        assert sized[r["keeper_id"]] == r["keeper_bytes"], r
+        # the family label is the min member id, and the keeper is a member
+        assert r["keeper_id"] >= r["family_id"], r
