@@ -277,7 +277,14 @@ def _phash_frame(media: DataFrame) -> DataFrame:
     """(media_id, modality, b0..b3) for exact-dedup REPRESENTATIVES (min
     media_id per (modality, payload digest)): the decoded-signal view
     (F.decode of the blob — the deterministic stand-in for codec decode)
-    hashed entirely JVM-side."""
+    hashed entirely JVM-side. MATERIALIZED here (round-11 review): every
+    caller feeds the frame to multiple consumers (band explode + two
+    verify joins inside `_phash_pairs`, plus rep counts / CC / golden
+    hash rows), and the lineage behind it — blob scan, rep aggregate,
+    semi join-back, 64 md5s per row — is exactly what must not run
+    twice."""
+    from ai_powered_data_pipeline_assistant_spark.execution import materialize
+
     hashed = media.select(
         "media_id",
         "modality",
@@ -290,13 +297,15 @@ def _phash_frame(media: DataFrame) -> DataFrame:
     rep_rows = hashed.join(
         reps.select("media_id"), "media_id", "left_semi"
     )
-    return rep_rows.select(
-        "media_id",
-        "modality",
-        *[
-            F.expr(phash_band_sql(k, "_sig", "spark")).alias(f"b{k}")
-            for k in range(PHASH_BANDS)
-        ],
+    return materialize(
+        rep_rows.select(
+            "media_id",
+            "modality",
+            *[
+                F.expr(phash_band_sql(k, "_sig", "spark")).alias(f"b{k}")
+                for k in range(PHASH_BANDS)
+            ],
+        )
     )
 
 
@@ -306,10 +315,9 @@ def _phash_pairs(hashed: DataFrame) -> DataFrame:
     band_val) blocking keys, a self-join confined to band buckets, then
     the 4-band popcount distance on the deduplicated candidate set.
     Returns (modality, a_id, b_id, hamming) for hamming ≤ PHASH_HAMMING_T
-    — exact under the threshold by pigeonhole."""
-    from ai_powered_data_pipeline_assistant_spark.execution import materialize
-
-    hashed = materialize(hashed)  # feeds the band explode AND two verify joins
+    — exact under the threshold by pigeonhole. ``hashed`` arrives
+    materialized (`_phash_frame` does it) — it feeds the band explode AND
+    the two verify joins here, plus whatever the caller reuses it for."""
     bands = hashed.select(
         "media_id",
         "modality",
@@ -372,8 +380,8 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     which equals the engine's banded set exactly because 4-band blocking
     is pigeonhole-exact for hamming ≤ 3; the driver hash therefore
     value-checks both the hash spec and the blocking's exactness."""
-    hashed = _phash_frame(media_table(spark, sf_dir))
-    pairs = _phash_pairs(hashed)  # materializes `hashed` internally
+    hashed = _phash_frame(media_table(spark, sf_dir))  # materialized once
+    pairs = _phash_pairs(hashed)
     reps = hashed.groupBy("modality").agg(
         F.count("*").cast("long").alias("n_reps")
     )

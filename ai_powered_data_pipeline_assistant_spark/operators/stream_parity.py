@@ -834,9 +834,19 @@ def _cluster_report_sql() -> str:
     arrivals < i labels some doc L while the closure through i relabels
     it (the union-find emits one redirect per losing KNOWN root, and
     every pre-component is known: each member's roots row was written on
-    first pairing). ``redirect_rows`` = merges at the last batch (the one
-    partition compaction keeps); ``redirects_folded`` = merges at the
-    intermediate batches (absorbed into the folded roots)."""
+    first pairing). ``redirect_rows`` = merges at the partition
+    compaction keeps; ``redirects_folded`` = the rest (absorbed into the
+    folded roots).
+
+    Which partition compaction keeps is NOT hard-wired to arrival batch
+    nb-1 (round-11 review): `compact_cluster_state` keeps the newest
+    batch PRESENT IN STATE, and a batch leaves state only if it
+    introduced a new doc (a roots partition) or caused a merge (a
+    redirects partition) — a trailing batch with no pairs, or whose
+    pairs add no docs and no merges, writes nothing. The oracle
+    recomputes that rule: new-doc counts per batch from each doc's
+    first pair arrival, merge counts from the prefix closures, and
+    ``last_state`` = the highest batch where either is non-zero."""
     from ai_powered_data_pipeline_assistant_spark.operators.neardup_cluster import (
         _VERIFIED_EDGES_CTE,
     )
@@ -871,15 +881,41 @@ def _cluster_report_sql() -> str:
                          JOIN {newer} n ON p.doc_id = n.doc_id
                          WHERE p.label != n.{new_label})"""
         )
-    folded_sum = " + ".join(
-        f"(SELECT count(*) FROM m{i})" for i in range(1, nb - 1)
-    ) or "0"
+    total_sum = " + ".join(
+        f"(SELECT count(*) FROM m{i})" for i in range(1, nb)
+    )
+    # merges at batch i, as a scalar (m0 does not exist: batch 0 has no
+    # known roots and cannot emit redirects)
+    m_of = {i: f"(SELECT count(*) FROM m{i})" for i in range(1, nb)}
+    m_of[0] = "0"
+    # the newest batch PRESENT IN STATE: new docs (first pair arrival)
+    # or merges — descending CASE chain
+    last_cases = " ".join(
+        f"WHEN (SELECT count(*) FROM nd WHERE first_arr = {i}) > 0 "
+        f"OR {m_of[i]} > 0 THEN {i}"
+        for i in range(nb - 1, 0, -1)
+    )
+    kept_cases = " ".join(
+        f"WHEN {i} THEN {m_of[i]}" for i in range(nb - 1, 0, -1)
+    )
     prefix_block = ",\n        ".join(prefix_ctes)
     merge_block = ",\n        ".join(merge_ctes)
     return f"""
         WITH RECURSIVE {_VERIFIED_EDGES_CTE},
         {prefix_block},
-        {merge_block}
+        {merge_block},
+        arr AS (
+            SELECT doc_id, min(arrival) AS first_arr FROM (
+                SELECT a_id AS doc_id, {arrival} AS arrival FROM verified
+                UNION ALL
+                SELECT b_id AS doc_id, {arrival} AS arrival FROM verified)
+            GROUP BY 1),
+        nd AS (SELECT first_arr, count(*) AS n FROM arr GROUP BY 1),
+        last_state AS (
+            SELECT CASE {last_cases} ELSE 0 END AS b),
+        kept AS (
+            SELECT CASE (SELECT b FROM last_state) {kept_cases}
+                   ELSE 0 END AS n)
         SELECT (SELECT CAST(count(*) AS BIGINT) FROM comp)
                    AS n_docs_clustered,
                (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM comp)
@@ -891,9 +927,9 @@ def _cluster_report_sql() -> str:
                    AS cluster_id_checksum,
                CAST({nb} AS INT) AS n_batches,
                (SELECT CAST(count(*) AS BIGINT) FROM comp) AS roots_rows,
-               (SELECT CAST(count(*) AS BIGINT) FROM m{nb - 1})
-                   AS redirect_rows,
-               CAST({folded_sum} AS BIGINT) AS redirects_folded,
+               (SELECT CAST(n AS BIGINT) FROM kept) AS redirect_rows,
+               CAST(({total_sum}) - (SELECT n FROM kept) AS BIGINT)
+                   AS redirects_folded,
                true AS assignment_preserved
     """
 

@@ -156,12 +156,13 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # ordering decides which queries get a driver verdict. Round-11 window
 # (VERDICT r10 task #1 — drain ALL remaining r4 staleness; the pre-rotation
 # record is 21 names at r4, 44 at r5, everything else >= r6):
-# (a) the three NEW round-11 operators, windowed on arrival:
+# (a) the four NEW round-11 operators, windowed on arrival:
 # cluster_state_report (the cluster-stream compactor's driver-scorable
 # accounting, r10 task #3) and media_phash_neardup /
-# media_phash_probe_audit (the perceptual media near-dup tier, r10 task
-# #4) — all value-verified MATCH by targeted driver_sim at sf0.01 at
-# their landing commits, but the driver is the arbiter;
+# media_phash_probe_audit / media_phash_keep_best (the perceptual media
+# near-dup tier, r10 task #4) — all value-verified MATCH by targeted
+# driver_sim at sf0.01 at their landing commits, but the driver is the
+# arbiter;
 # (b) insurance re-checks for every name whose implementing module
 # changed materially this round: operators/curation.py (skew-safe
 # keeper_ids first-wins replaced the sha2(text) row_number windows — all

@@ -103,30 +103,15 @@ def _create_state(spark: SparkSession, state_dir: str, table: str) -> None:
     (the substring module's swap-aside remnant guard)."""
     if spark.catalog.tableExists(table):
         return
+    from ai_powered_data_pipeline_assistant_spark.streaming.state_compaction import (
+        guard_swap_remnants,
+    )
+
+    live_has_data = guard_swap_remnants(
+        spark, state_dir, "roots", "cluster stream"
+    )
     path = _roots_path(state_dir)
-    if not hadoop_fs.has_parquet(spark, path):
-        remnants = [
-            d
-            for d in hadoop_fs.list_child_dirs(spark, state_dir)
-            if (d.startswith("roots.old_") or d == "roots_staged")
-            and hadoop_fs.has_parquet(spark, f"{state_dir.rstrip('/')}/{d}")
-        ]
-        if remnants:
-            ranked = sorted(
-                remnants,
-                key=lambda d: hadoop_fs.latest_mtime(
-                    spark, f"{state_dir.rstrip('/')}/{d}"
-                ),
-                reverse=True,
-            )
-            raise RuntimeError(
-                f"cluster stream state at {path} is empty but a crashed "
-                f"compaction left intact state under {state_dir} "
-                f"(newest-first by file mtime: {ranked}). Move the FIRST "
-                f"listed copy back to {path} before restarting; refusing "
-                "to silently bootstrap empty state."
-            )
-    if hadoop_fs.has_parquet(spark, path):
+    if live_has_data:
         spark.sql(
             f"CREATE TABLE {table} (doc_id long, root long, batch_id long) "
             f"USING PARQUET PARTITIONED BY (batch_id) "

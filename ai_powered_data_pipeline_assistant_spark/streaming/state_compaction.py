@@ -38,7 +38,51 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ai_powered_data_pipeline_assistant_spark import hadoop_fs
+
 HISTORY_BATCH_ID = -1
+
+
+def guard_swap_remnants(
+    spark: SparkSession, state_dir: str, table_dirname: str, what: str
+) -> bool:
+    """Swap-aside remnant guard for in-place-swap state lifecycles
+    (substring wins, cluster roots): when the live table dir is EMPTY but
+    a crashed compaction swap left an intact copy next to it
+    (``<dir>.old_<uuid>`` from `hadoop_fs.swap_dirs`, or the staged
+    ``<dir>_staged``), a fresh-session re-registration must REFUSE to
+    bootstrap empty state — silently forgetting the accumulated corpus
+    would re-admit every historical duplicate / relabel every component.
+    Remnants are ranked newest-first by file mtime (uuid aside names
+    carry no ordering; restoring a stale aside a failed best-effort
+    delete left behind would silently truncate the corpus). Returns
+    whether the live dir holds data (no-op True), so callers don't pay a
+    second object-store LIST for the same question."""
+    live = f"{state_dir.rstrip('/')}/{table_dirname}"
+    if hadoop_fs.has_parquet(spark, live):
+        return True
+    remnants = [
+        d
+        for d in hadoop_fs.list_child_dirs(spark, state_dir)
+        if (d.startswith(f"{table_dirname}.old_") or d == f"{table_dirname}_staged")
+        and hadoop_fs.has_parquet(spark, f"{state_dir.rstrip('/')}/{d}")
+    ]
+    if not remnants:
+        return False
+    ranked = sorted(
+        remnants,
+        key=lambda d: hadoop_fs.latest_mtime(
+            spark, f"{state_dir.rstrip('/')}/{d}"
+        ),
+        reverse=True,
+    )
+    raise RuntimeError(
+        f"{what} state at {live} is empty but a crashed "
+        f"compaction left intact state under {state_dir} "
+        f"(newest-first by file mtime: {ranked}). Move the FIRST "
+        f"listed copy back to {live} before restarting; refusing "
+        "to silently bootstrap empty state."
+    )
 
 
 def newest_batch_id(spark: SparkSession, tables: list[str]) -> int | None:

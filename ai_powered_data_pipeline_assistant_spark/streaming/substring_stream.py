@@ -90,34 +90,14 @@ def _create_state(spark: SparkSession, state_dir: str, table: str) -> None:
     rule, applied to the swap-aside dirs)."""
     if spark.catalog.tableExists(table):
         return
+    from ai_powered_data_pipeline_assistant_spark.streaming.state_compaction import (
+        guard_swap_remnants,
+    )
+
+    live_has_data = guard_swap_remnants(
+        spark, state_dir, "wins", "substring stream"
+    )
     path = _wins_path(state_dir)
-    live_has_data = hadoop_fs.has_parquet(spark, path)
-    if not live_has_data:
-        remnants = [
-            d
-            for d in hadoop_fs.list_child_dirs(spark, state_dir)
-            if (d.startswith("wins.old_") or d == "wins_staged")
-            and hadoop_fs.has_parquet(spark, f"{state_dir.rstrip('/')}/{d}")
-        ]
-        if remnants:
-            # uuid aside names carry no ordering — rank by file mtime so
-            # the operator restores the NEWEST corpus, not a stale aside
-            # a failed best-effort delete left behind (restoring a stale
-            # copy would silently truncate the seen-window corpus)
-            ranked = sorted(
-                remnants,
-                key=lambda d: hadoop_fs.latest_mtime(
-                    spark, f"{state_dir.rstrip('/')}/{d}"
-                ),
-                reverse=True,
-            )
-            raise RuntimeError(
-                f"substring stream state at {path} is empty but a crashed "
-                f"compaction left intact state under {state_dir} "
-                f"(newest-first by file mtime: {ranked}). Move the FIRST "
-                f"listed copy back to {path} before restarting; refusing "
-                "to silently bootstrap empty state."
-            )
     if live_has_data:
         # width from the marker INSIDE the dir, never the module constant:
         # a re-bucketed compaction must re-register at its own width
