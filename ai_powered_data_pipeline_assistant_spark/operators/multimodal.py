@@ -273,40 +273,46 @@ def _phash_of(text: str) -> tuple[int, ...]:
     )
 
 
-def _phash_frame(media: DataFrame) -> DataFrame:
-    """(media_id, modality, b0..b3) for exact-dedup REPRESENTATIVES (min
-    media_id per (modality, payload digest)): the decoded-signal view
-    (F.decode of the blob — the deterministic stand-in for codec decode)
-    hashed entirely JVM-side. MATERIALIZED here (round-11 review): every
-    caller feeds the frame to multiple consumers (band explode + two
-    verify joins inside `_phash_pairs`, plus rep counts / CC / golden
-    hash rows), and the lineage behind it — blob scan, rep aggregate,
-    semi join-back, 64 md5s per row — is exactly what must not run
-    twice."""
-    from ai_powered_data_pipeline_assistant_spark.execution import materialize
-
-    hashed = media.select(
+def phash_projection(media: DataFrame) -> DataFrame:
+    """(media_id, modality, b0..b3) for EVERY row of a (media_id,
+    modality, payload) frame — the raw hash pass, no rep selection: the
+    decoded-signal view (F.decode of the blob — the deterministic
+    stand-in for codec decode) hashed entirely JVM-side. The streaming
+    gate (`streaming/phash_stream.py`) hashes each arriving batch through
+    this same projection, so stream and batch cannot drift."""
+    sig = media.select(
         "media_id",
         "modality",
         F.decode(F.col("payload"), "utf-8").alias("_sig"),
-        F.sha2("payload", 256).alias("_h"),
     )
-    reps = hashed.groupBy("modality", "_h").agg(
+    return sig.select(
+        "media_id",
+        "modality",
+        *[
+            F.expr(phash_band_sql(k, "_sig", "spark")).alias(f"b{k}")
+            for k in range(PHASH_BANDS)
+        ],
+    )
+
+
+def _phash_frame(media: DataFrame) -> DataFrame:
+    """`phash_projection` restricted to exact-dedup REPRESENTATIVES (min
+    media_id per (modality, payload digest)). MATERIALIZED here
+    (round-11 review): every caller feeds the frame to multiple
+    consumers (band explode + two verify joins inside `_phash_pairs`,
+    plus rep counts / CC / golden hash rows), and the lineage behind it —
+    blob scan, rep aggregate, semi join-back, 64 md5s per row — is
+    exactly what must not run twice."""
+    from ai_powered_data_pipeline_assistant_spark.execution import materialize
+
+    digests = media.select(
+        "media_id", "modality", F.sha2("payload", 256).alias("_h")
+    )
+    reps = digests.groupBy("modality", "_h").agg(
         F.min("media_id").alias("media_id")
     )
-    rep_rows = hashed.join(
-        reps.select("media_id"), "media_id", "left_semi"
-    )
-    return materialize(
-        rep_rows.select(
-            "media_id",
-            "modality",
-            *[
-                F.expr(phash_band_sql(k, "_sig", "spark")).alias(f"b{k}")
-                for k in range(PHASH_BANDS)
-            ],
-        )
-    )
+    rep_rows = media.join(reps.select("media_id"), "media_id", "left_semi")
+    return materialize(phash_projection(rep_rows))
 
 
 def _phash_pairs(hashed: DataFrame) -> DataFrame:

@@ -732,6 +732,163 @@ def neardup_cluster_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# 4 batches, deliberately COPRIME with the 3-way modality split
+# (modality = media_id % 3): batching by media_id % 3 would make batch ≡
+# modality, so every pair would be within-batch and the cross-batch state
+# machinery — the thing the parity exists to pin — would never fire.
+PHASH_STREAM_BATCHES = 4
+
+
+def media_phash_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual gate ≡ batch banded pHash pairs: ingest the
+    media table as ``PHASH_STREAM_BATCHES`` arrival batches through the
+    real `streaming/phash_stream.process_phash_batch` (hash-once-per-blob,
+    bucketed band state read in place, candidate-pruned hash point reads),
+    COMPACT mid-stream after the first batch (the fold must be invisible
+    to later batches), and exceptAll-diff the accumulated (later, earlier,
+    hamming) pairs against the batch operator's banded pipeline over ALL
+    blobs under the arrival pairing rule (cross-batch: later arrived
+    later; within-batch: later > earlier). The hash is the SHARED
+    `phash_projection`, so the parity burden is exactly the streaming
+    machinery: state layout, pre-batch reads, candidate pruning, replay
+    discipline. The DuckDB oracle recomputes pair count / hamming sum /
+    cross-vs-within split from the same chunk-parity hash (shared SQL
+    generator) by brute force — exact at the threshold by pigeonhole —
+    and pins mismatches = 0. Note the stream gates ALL blobs (an exact
+    duplicate is a hamming-0 pair), unlike the rep-level corpus summary
+    `media_phash_neardup`."""
+    from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
+        _phash_pairs,
+        media_table,
+        phash_projection,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.phash_stream import (
+        compact_phash_state,
+        drop_state,
+        process_phash_batch,
+    )
+
+    nb = PHASH_STREAM_BATCHES
+    media = media_table(spark, sf_dir).select("media_id", "modality", "payload")
+    tmp = tempfile.mkdtemp(prefix="phash_stream_")
+    state = f"{tmp}/state"
+    pairs_dir = f"{tmp}/pairs"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for i in range(nb):
+            process_phash_batch(
+                media.filter(F.col("media_id") % nb == i), i, state, pairs_dir
+            )
+            if i == 0:
+                compact_phash_state(spark, state)
+        got = materialize_barrier(
+            spark.read.parquet(pairs_dir).select(
+                "later_id", "earlier_id", "hamming"
+            )
+        )
+        batch_pairs = _phash_pairs(phash_projection(media).transform(materialize))
+        ba = F.col("a_id") % nb
+        bb = F.col("b_id") % nb
+        # arrival orientation: later = the endpoint whose batch is later;
+        # same batch → the greater id (a_id < b_id in the batch frame)
+        want = materialize_barrier(
+            batch_pairs.select(
+                F.when(ba > bb, F.col("a_id"))
+                .otherwise(F.col("b_id"))
+                .alias("later_id"),
+                F.when(ba > bb, F.col("b_id"))
+                .otherwise(F.col("a_id"))
+                .alias("earlier_id"),
+                "hamming",
+            )
+        )
+        mismatches = (
+            got.exceptAll(want).count() + want.exceptAll(got).count()
+        )
+        agg = got.agg(
+            F.count("*").cast("long").alias("np"),
+            F.sum("hamming").cast("long").alias("hs"),
+            F.sum(
+                F.when(
+                    F.col("later_id") % nb != F.col("earlier_id") % nb, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("ncross"),
+        ).first()
+        n_blobs = media.count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        drop_state(spark, state)
+        shutil.rmtree(tmp, ignore_errors=True)
+    n_pairs = int(agg["np"] or 0)
+    n_cross = int(agg["ncross"] or 0)
+    return spark.range(1).select(
+        F.lit(n_blobs).cast("long").alias("n_blobs"),
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        F.lit(int(agg["hs"] or 0)).cast("long").alias("hamming_sum"),
+        F.lit(n_cross).cast("long").alias("n_cross_batch"),
+        F.lit(n_pairs - n_cross).cast("long").alias("n_within_batch"),
+        F.lit(nb).cast("int").alias("n_batches"),
+        F.lit(mismatches).cast("long").alias("n_mismatches"),
+        F.lit(mismatches == 0).alias("stream_equals_batch"),
+    )
+
+
+def _phash_stream_parity_sql() -> str:
+    """Batch side recomputed by brute force from the shared chunk-parity
+    hash SQL — pair totals and the cross/within split are value-exact
+    (banding is pigeonhole-exact at the threshold); mismatches pinned 0."""
+    from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
+        PHASH_BANDS,
+        PHASH_HAMMING_T,
+        phash_band_sql,
+    )
+
+    nb = PHASH_STREAM_BATCHES
+    bands = ",\n                   ".join(
+        f"{phash_band_sql(k, 'text', 'duck')} AS b{k}"
+        for k in range(PHASH_BANDS)
+    )
+    hamming = " + ".join(
+        f"bit_count(CAST(xor(a.b{k}, b.b{k}) AS BIGINT))"
+        for k in range(PHASH_BANDS)
+    )
+    return f"""
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   text
+            FROM documents),
+        hashed AS (
+            SELECT media_id, modality,
+                   {bands}
+            FROM media),
+        verified AS (
+            SELECT a.media_id AS a_id, b.media_id AS b_id,
+                   {hamming} AS hamming
+            FROM hashed a JOIN hashed b
+                 ON a.modality = b.modality AND a.media_id < b.media_id
+            WHERE {hamming} <= {PHASH_HAMMING_T})
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM media) AS n_blobs,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(coalesce(sum(hamming), 0) AS BIGINT) AS hamming_sum,
+               CAST(coalesce(sum(CASE WHEN a_id % {nb} != b_id % {nb}
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_cross_batch,
+               CAST(coalesce(sum(CASE WHEN a_id % {nb} = b_id % {nb}
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_within_batch,
+               CAST({nb} AS INT) AS n_batches,
+               CAST(0 AS BIGINT) AS n_mismatches,
+               true AS stream_equals_batch
+        FROM verified
+    """
+
+
 def cluster_state_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops accounting for the incremental-clustering state — the numbers a
     deployment monitors to schedule redirect-log compaction
@@ -1768,6 +1925,7 @@ def _oracles() -> dict[str, str]:
         "crawl_steady_batch": _crawl_steady_sql(),
         "neardup_state_report": _neardup_report_sql(),
         "cluster_state_report": _cluster_report_sql(),
+        "media_phash_stream_parity": _phash_stream_parity_sql(),
         # split sizes SQL-exact; mismatch counters pinned 0, invariants
         # literal true (the maintenance-audit pattern, ivfpq.py)
         "ann_ingest_stream_parity": f"""
@@ -1877,4 +2035,5 @@ QUERIES = {
     "crawl_steady_batch": crawl_steady_batch,
     "neardup_state_report": neardup_state_report,
     "cluster_state_report": cluster_state_report,
+    "media_phash_stream_parity": media_phash_stream_parity,
 }

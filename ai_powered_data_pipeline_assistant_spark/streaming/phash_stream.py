@@ -1,0 +1,380 @@
+"""Incremental streaming PERCEPTUAL near-dup detection for media — the
+pHash tier's daily-crawl ingest shape: each arriving micro-batch of blobs
+is checked against EVERYTHING seen before it AND against itself at
+hamming ≤ PHASH_HAMMING_T, then its hashes join the seen state.
+
+Extension lineage: `streaming/neardup.py` (MinHash-LSH over text) is the
+template, specialized to the perceptual hash `operators/multimodal.py`
+introduced in round 11 — a continuous media crawl needs the incremental
+form for the same reason text does: re-banding 10^11 accumulated blobs
+per micro-batch is the O(corpus-age) per-batch cost the streaming designs
+exist to avoid. The hash itself is the SHARED `phash_projection` (64-bit
+chunk-parity over the decoded signal, JVM-side SQL, locality-preserving;
+codec decode stays stubbed per multimodal.py), so stream and batch cannot
+drift — `media_phash_stream_parity` (operators/stream_parity.py) pins the
+accumulated pairs row-equal to the batch banded pipeline under the
+arrival pairing rule.
+
+Incrementality: the expensive step — decoding-fake + 64 chunk md5s per
+blob — runs exactly once per blob, in the micro-batch that delivers it.
+State stores the derived artifacts only, as catalog-backed BUCKETED
+tables (the neardup state discipline):
+
+- ``pbands  (media_id, modality, band, band_val, batch_id)`` — the 4
+  blocking keys per blob, PRE-BUCKETED on (band, band_val): the
+  per-batch candidate join shuffles ONLY the arriving batch's bands into
+  the state's bucket layout; the state side is read in place.
+- ``phashes (media_id, modality, b0..b3, batch_id)`` — the 4 band values
+  per blob, bucketed + sorted on media_id: hamming verification fetches
+  ONLY candidate partners' hashes via the doc_id-pruned point-read path
+  (`neardup._partner_pruned` — IN-literal bucket pruning under the cap,
+  bucketed LEFT-SEMI above it), never a full state scan per batch.
+
+Banding is pigeonhole-exact at the threshold (4 bands, hamming ≤ 3 —
+multimodal.py's argument), so the stream misses nothing the batch
+operator would find. Pair semantics: a batch emits (later, earlier,
+hamming) against all EARLIER batches and within itself (same batch:
+later > earlier) — the neardup pairing rule. All three writes (pairs +
+two state tables) are batch_id-partitioned dynamic overwrites; reads are
+strictly pre-batch; the media_id-uniqueness contract is ENFORCED exactly
+as in neardup.py (a re-arrived id fails loudly; replays of the newest
+batch stay legal). `compact_phash_state` folds per-batch file sets via
+the shared `state_compaction` core (fold-all-but-newest, swap-in-place
+with the remnant guard).
+
+Note the stream does NOT reduce to exact-dedup representatives the way
+the batch summary does: at ingest every blob must be gated (an exact
+duplicate IS a hamming-0 pair), so rep selection is the consumer's
+policy, not the gate's.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_powered_data_pipeline_assistant_spark import hadoop_fs
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
+from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
+    PHASH_BANDS,
+    PHASH_HAMMING_T,
+    phash_projection,
+)
+from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+    NEARDUP_ISIN_CAP,
+    _insert_dynamic,
+    _partner_pruned,
+)
+
+PHASH_STATE_BUCKETS = 4
+PAIRS_SCHEMA = "later_id long, earlier_id long, hamming long"
+
+_BAND_COLS = [f"b{k}" for k in range(PHASH_BANDS)]
+
+# (schema, bucket columns) per state table — the neardup _STATE_SPECS
+# pattern: bucket layout is the contract the band join and the hash
+# point reads depend on.
+_STATE_SPECS: dict[str, tuple[str, list[str]]] = {
+    "pbands": (
+        "media_id long, modality string, band int, band_val long, "
+        "batch_id long",
+        ["band", "band_val"],
+    ),
+    "phashes": (
+        "media_id long, modality string, "
+        + ", ".join(f"{c} long" for c in _BAND_COLS)
+        + ", batch_id long",
+        ["media_id"],
+    ),
+}
+
+
+def _state_tables(state_dir: str) -> dict[str, str]:
+    if ":" in state_dir.split("/", 1)[0]:
+        key = state_dir.rstrip("/")
+    else:
+        key = os.path.abspath(state_dir)
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    return {
+        "pbands": f"phash_bands_{tag}",
+        "phashes": f"phash_hashes_{tag}",
+    }
+
+
+def _table_path(state_dir: str, key: str) -> str:
+    return f"{state_dir.rstrip('/')}/{key}"
+
+
+def _create_state(
+    spark: SparkSession, state_dir: str, tables: dict[str, str]
+) -> None:
+    """Create the two state tables with their bucket layouts, or
+    re-register surviving files in a fresh session; refuses to bootstrap
+    empty state over a crashed compaction swap's intact aside (the shared
+    `guard_swap_remnants`). Idempotent per table (a crash between the two
+    creations leaves a partial catalog the next call completes)."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.state_compaction import (
+        guard_swap_remnants,
+    )
+
+    for key, (schema, bucket_cols) in _STATE_SPECS.items():
+        if spark.catalog.tableExists(tables[key]):
+            continue
+        live_has_data = guard_swap_remnants(
+            spark, state_dir, key, "phash stream"
+        )
+        path = _table_path(state_dir, key)
+        if live_has_data:
+            cols = ", ".join(bucket_cols)
+            data_cols = ", ".join(
+                c.strip() for c in schema.split(",") if "batch_id" not in c
+            )
+            spark.sql(
+                f"CREATE TABLE {tables[key]} ({data_cols}, batch_id long) "
+                f"USING PARQUET PARTITIONED BY (batch_id) "
+                f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                f"INTO {PHASH_STATE_BUCKETS} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+            spark.sql(f"ALTER TABLE {tables[key]} RECOVER PARTITIONS")
+        else:
+            (
+                spark.createDataFrame([], schema)
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .bucketBy(PHASH_STATE_BUCKETS, *bucket_cols)
+                .sortBy(*bucket_cols)
+                .option("path", path)
+                .format("parquet")
+                .saveAsTable(tables[key])
+            )
+
+
+def drop_state(spark: SparkSession, state_dir: str) -> None:
+    for name in _state_tables(state_dir).values():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def process_phash_batch(
+    media: DataFrame, batch_id: int, state_dir: str, pairs_dir: str
+) -> None:
+    """One micro-batch of the incremental perceptual gate over a
+    (media_id, modality, payload) frame — module-level so tests can
+    replay a completed batch and pin identical pairs and state (the
+    streaming-module convention)."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
+        idempotent_append,
+    )
+
+    spark = media.sparkSession
+    tables = _state_tables(state_dir)
+    if not all(spark.catalog.tableExists(t) for t in tables.values()):
+        _create_state(spark, state_dir, tables)
+
+    # hash ONCE per arriving blob; the frame feeds bands, verify, and
+    # both state appends
+    hashed_b = materialize(
+        phash_projection(media.select("media_id", "modality", "payload"))
+    )
+    own_ids = hashed_b.select("media_id")
+
+    # strictly PRE-batch state + identity exclusion (replay rule) — the
+    # neardup discipline verbatim
+    pre = F.col("batch_id") < batch_id
+
+    def _not_own(state_df: DataFrame) -> DataFrame:
+        return state_df.join(
+            F.broadcast(own_ids), "media_id", "left_anti"
+        )
+
+    # media_id-uniqueness enforcement (module docstring): an arriving id
+    # with state in a STRICTLY-EARLIER partition is a re-arrival, never a
+    # replay (the newest batch keeps its own partition, excluded by
+    # `pre`; compaction never folds the newest batch). Bucket-pruned
+    # point-read path — O(batch), not O(corpus).
+    own_head = own_ids.take(NEARDUP_ISIN_CAP + 1)
+    own_lit: list[int] | None = None
+    if len(own_head) <= NEARDUP_ISIN_CAP:
+        own_lit = sorted(int(r["media_id"]) for r in own_head)
+    hashes_state = spark.table(tables["phashes"]).filter(pre)
+    rearrived = (
+        _partner_pruned(
+            hashes_state.withColumnRenamed("media_id", "doc_id"),
+            own_lit,
+            own_ids.withColumnRenamed("media_id", "doc_id"),
+        )
+        .select("doc_id")
+        .limit(5)
+        .collect()
+    )
+    if rearrived:
+        raise ValueError(
+            "phash stream received media_ids that already have state "
+            f"from an earlier batch (sample: "
+            f"{sorted(int(r['doc_id']) for r in rearrived)}); re-crawled "
+            "blobs must arrive under fresh (version-suffixed) media_ids "
+            "or state must be deduped before ingest (module docstring)"
+        )
+
+    bands_b = materialize(
+        hashed_b.select(
+            "media_id",
+            "modality",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("int").alias("band"),
+                            F.col(f"b{k}").alias("band_val"),
+                        )
+                        for k in range(PHASH_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("media_id", "modality", "bk.band", "bk.band_val")
+    )
+    bands_s = _not_own(spark.table(tables["pbands"]).filter(pre))
+
+    a = bands_b.select(
+        F.col("media_id").alias("a_id"), "modality", "band", "band_val"
+    )
+    # cross-batch candidates: only the batch side shuffles into the
+    # state's bucket layout
+    b_state = bands_s.select(
+        F.col("media_id").alias("b_id"), "modality", "band", "band_val"
+    )
+    cross = a.join(b_state, ["modality", "band", "band_val"]).select(
+        "a_id", "b_id"
+    )
+    # within-batch: two near-dup blobs arriving together are still caught
+    b_self = bands_b.select(
+        F.col("media_id").alias("b_id"), "modality", "band", "band_val"
+    )
+    within = (
+        a.join(b_self, ["modality", "band", "band_val"])
+        .filter(F.col("a_id") > F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    candidates = cross.unionByName(within).distinct().transform(materialize)
+
+    # partner hashes: candidate-pruned state point reads + the batch's own
+    cand_ids = (
+        candidates.select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .transform(materialize)
+    )
+    head = cand_ids.take(NEARDUP_ISIN_CAP + 1)
+    partner_ids: list[int] | None = None
+    if len(head) <= NEARDUP_ISIN_CAP:
+        partner_ids = sorted(int(r["doc_id"]) for r in head)
+    partners = _partner_pruned(
+        _not_own(hashes_state)
+        .withColumnRenamed("media_id", "doc_id")
+        .select("doc_id", *_BAND_COLS),
+        partner_ids,
+        cand_ids,
+    ).unionByName(
+        hashed_b.select(
+            F.col("media_id").alias("doc_id"), *_BAND_COLS
+        )
+    )
+    ha = hashed_b.select(
+        F.col("media_id").alias("a_id"),
+        *[F.col(c).alias(f"a_{c}") for c in _BAND_COLS],
+    )
+    hb = partners.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(c).alias(f"p_{c}") for c in _BAND_COLS],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"p_{c}")))
+        for c in _BAND_COLS
+    )
+    pairs = (
+        candidates.join(ha, "a_id")
+        .join(hb, "b_id")
+        .select(
+            F.col("a_id").alias("later_id"),
+            F.col("b_id").alias("earlier_id"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_T)
+    )
+    idempotent_append(pairs, batch_id, pairs_dir)
+    bid = F.lit(batch_id).cast("long")
+    _insert_dynamic(
+        bands_b.select(
+            "media_id", "modality", "band", "band_val", bid.alias("batch_id")
+        ),
+        tables["pbands"],
+    )
+    _insert_dynamic(
+        hashed_b.select(
+            "media_id", "modality", *_BAND_COLS, bid.alias("batch_id")
+        ),
+        tables["phashes"],
+    )
+
+
+def run_phash_stream(
+    media_stream: DataFrame, state_dir: str, pairs_dir: str, checkpoint: str
+):
+    """Wire the incremental perceptual gate over a (media_id, modality,
+    payload) source. Returns the started StreamingQuery (availableNow)."""
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        process_phash_batch(batch_df, batch_id, state_dir, pairs_dir)
+
+    return (
+        media_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_phash_state(spark: SparkSession, state_dir: str) -> dict[str, int]:
+    """Offline state compaction (stream stopped): fold every batch
+    partition except the newest into ``batch_id = -1`` per table, via the
+    shared `state_compaction` core (fold selection + bucketing-disabled
+    staged write) and the substring-style in-place dir swap (the remnant
+    guard in `_create_state` covers a crash between the renames). Rows
+    are relabeled, never collapsed — each blob's band/hash rows are
+    written exactly once, at its arrival batch. Returns {table: parquet
+    files after compaction}."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.state_compaction import (
+        fold_expr,
+        newest_batch_id,
+        write_staged_bucketed,
+    )
+
+    tables = _state_tables(state_dir)
+    _create_state(spark, state_dir, tables)
+    max_bid = newest_batch_id(spark, list(tables.values()))
+    out: dict[str, int] = {}
+    for key, name in tables.items():
+        live = _table_path(state_dir, key)
+        if max_bid is None:
+            out[key] = hadoop_fs.count_parquet(spark, live)
+            continue
+        staged = f"{live}_staged"
+        hadoop_fs.delete_recursive(spark, staged)
+        tmp_name = f"{name}_compact"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        cols = [c for c in spark.table(name).columns if c != "batch_id"]
+        folded = spark.table(name).select(
+            *cols, fold_expr(max_bid).alias("batch_id")
+        )
+        write_staged_bucketed(
+            folded, _STATE_SPECS[key][1], PHASH_STATE_BUCKETS, tmp_name, staged
+        )
+        spark.sql(f"DROP TABLE {tmp_name}")
+        spark.sql(f"DROP TABLE {name}")
+        hadoop_fs.swap_dirs(spark, live, staged)
+        out[key] = hadoop_fs.count_parquet(spark, live)
+    _create_state(spark, state_dir, tables)
+    return out
