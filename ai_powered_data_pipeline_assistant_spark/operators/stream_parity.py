@@ -744,8 +744,11 @@ def media_phash_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     media table as ``PHASH_STREAM_BATCHES`` arrival batches through the
     real `streaming/phash_stream.process_phash_batch` (hash-once-per-blob,
     bucketed band state read in place, candidate-pruned hash point reads),
-    COMPACT mid-stream after the first batch (the fold must be invisible
-    to later batches), and exceptAll-diff the accumulated (later, earlier,
+    COMPACT mid-stream after the SECOND batch — at that point batch 0
+    actually folds into the ``batch_id = -1`` history partition, so
+    batches 2+ genuinely read folded state (compacting after batch 0
+    would fold nothing: batch 0 IS the newest; round-11 review) — and
+    exceptAll-diff the accumulated (later, earlier,
     hamming) pairs against the batch operator's banded pipeline over ALL
     blobs under the arrival pairing rule (cross-batch: later arrived
     later; within-batch: later > earlier). The hash is the SHARED
@@ -763,6 +766,7 @@ def media_phash_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_projection,
     )
     from ai_powered_data_pipeline_assistant_spark.streaming.phash_stream import (
+        PAIRS_SCHEMA,
         compact_phash_state,
         drop_state,
         process_phash_batch,
@@ -780,12 +784,15 @@ def media_phash_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             process_phash_batch(
                 media.filter(F.col("media_id") % nb == i), i, state, pairs_dir
             )
-            if i == 0:
+            if i == 1:
                 compact_phash_state(spark, state)
+        # explicit schema: a zero-pair corpus leaves only _SUCCESS markers
+        # in the batch partitions, and schema inference would crash where
+        # the oracle correctly reports n_pairs = 0 (round-11 review)
         got = materialize_barrier(
-            spark.read.parquet(pairs_dir).select(
-                "later_id", "earlier_id", "hamming"
-            )
+            spark.read.schema(f"{PAIRS_SCHEMA}, batch_id long")
+            .parquet(pairs_dir)
+            .select("later_id", "earlier_id", "hamming")
         )
         batch_pairs = _phash_pairs(phash_projection(media).transform(materialize))
         ba = F.col("a_id") % nb

@@ -296,6 +296,20 @@ def _insert_dynamic(df: DataFrame, table: str) -> None:
         spark.conf.set(key, prev)
 
 
+def _ids_under_cap(ids_df: DataFrame) -> list[int] | None:
+    """The access-path selector for `_partner_pruned`: ONE bounded driver
+    round-trip — take(cap+1) returns every id when there are ≤ cap of
+    them (use them as the IN literal for bucket pruning) and cap+1 rows
+    when there are more (return None → the bucketed LEFT-SEMI path,
+    without ever collecting the full set). ``ids_df`` must be a
+    single-column id frame."""
+    col = ids_df.columns[0]
+    head = ids_df.take(NEARDUP_ISIN_CAP + 1)
+    if len(head) <= NEARDUP_ISIN_CAP:
+        return sorted(int(r[col]) for r in head)
+    return None
+
+
 def _partner_pruned(
     state_df: DataFrame,
     partner_ids: list[int] | None,
@@ -376,10 +390,7 @@ def process_neardup_batch(
     # admission would suppress pairs against the prior version while
     # duplicate state rows accumulate; raise instead. Same bucket-pruned
     # doc_id point-read path as verification — O(batch), not O(corpus).
-    own_head = own_ids.take(NEARDUP_ISIN_CAP + 1)
-    own_lit: list[int] | None = None
-    if len(own_head) <= NEARDUP_ISIN_CAP:
-        own_lit = sorted(int(r["doc_id"]) for r in own_head)
+    own_lit = _ids_under_cap(own_ids)
     rearrived = (
         _partner_pruned(
             spark.table(tables["sizes"]).filter(pre), own_lit, own_ids
@@ -419,19 +430,14 @@ def process_neardup_batch(
     # batch docs (within): fetch state rows by candidate ids only
     # (bucket-pruned point reads under the cap, doc_id-bucketed semi-join
     # above it — never a per-batch full postings scan) and union the
-    # batch's own in-memory frames. ONE bounded driver round-trip decides
-    # the path: take(cap+1) returns every id when there are ≤ cap of them
-    # (use them as the IN literal) and cap+1 rows when there are more
-    # (switch to the semi-join without ever collecting the full set).
+    # batch's own in-memory frames. `_ids_under_cap` makes the path
+    # choice in one bounded driver round-trip.
     cand_ids = (
         candidates.select(F.col("b_id").alias("doc_id"))
         .distinct()
         .transform(materialize)
     )
-    head = cand_ids.take(NEARDUP_ISIN_CAP + 1)
-    partner_ids: list[int] | None = None
-    if len(head) <= NEARDUP_ISIN_CAP:
-        partner_ids = sorted(int(r["doc_id"]) for r in head)
+    partner_ids = _ids_under_cap(cand_ids)
     postings_part = _partner_pruned(
         _not_own(spark.table(tables["postings"]).filter(pre)).select(
             "doc_id", "h"

@@ -64,7 +64,7 @@ from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
     phash_projection,
 )
 from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
-    NEARDUP_ISIN_CAP,
+    _ids_under_cap,
     _insert_dynamic,
     _partner_pruned,
 )
@@ -190,15 +190,29 @@ def process_phash_batch(
             F.broadcast(own_ids), "media_id", "left_anti"
         )
 
-    # media_id-uniqueness enforcement (module docstring): an arriving id
-    # with state in a STRICTLY-EARLIER partition is a re-arrival, never a
+    # media_id-uniqueness enforcement (module docstring), BOTH directions:
+    # (a) WITHIN the batch — a slice delivering the same id twice would
+    # write duplicate state rows and fan duplicate pairs through the
+    # verify join (round-11 review; neardup's groupBy collapse has no
+    # analogue here because the hash frame is already one row per input);
+    # (b) against STRICTLY-EARLIER partitions — a re-arrival, never a
     # replay (the newest batch keeps its own partition, excluded by
-    # `pre`; compaction never folds the newest batch). Bucket-pruned
-    # point-read path — O(batch), not O(corpus).
-    own_head = own_ids.take(NEARDUP_ISIN_CAP + 1)
-    own_lit: list[int] | None = None
-    if len(own_head) <= NEARDUP_ISIN_CAP:
-        own_lit = sorted(int(r["media_id"]) for r in own_head)
+    # `pre`; compaction never folds the newest batch), via the
+    # bucket-pruned point-read path — O(batch), not O(corpus).
+    within_dups = (
+        hashed_b.groupBy("media_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(5)
+        .collect()
+    )
+    if within_dups:
+        raise ValueError(
+            "phash stream batch contains duplicate media_ids (sample: "
+            f"{sorted(int(r['media_id']) for r in within_dups)}); each "
+            "blob must arrive exactly once (module docstring)"
+        )
+    own_lit = _ids_under_cap(own_ids)
     hashes_state = spark.table(tables["phashes"]).filter(pre)
     rearrived = (
         _partner_pruned(
@@ -266,10 +280,7 @@ def process_phash_batch(
         .distinct()
         .transform(materialize)
     )
-    head = cand_ids.take(NEARDUP_ISIN_CAP + 1)
-    partner_ids: list[int] | None = None
-    if len(head) <= NEARDUP_ISIN_CAP:
-        partner_ids = sorted(int(r["doc_id"]) for r in head)
+    partner_ids = _ids_under_cap(cand_ids)
     partners = _partner_pruned(
         _not_own(hashes_state)
         .withColumnRenamed("media_id", "doc_id")

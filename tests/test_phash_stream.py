@@ -13,7 +13,6 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
-from ai_powered_data_pipeline_assistant_spark.catalog import load_table
 from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
     media_table,
 )
@@ -148,3 +147,56 @@ def test_compaction_preserves_state_and_stream_continues(spark, sf_dir, dirs):
         )
     finally:
         drop_state(spark, state)
+
+
+def test_run_phash_stream_wiring(spark, sf_dir, dirs):
+    """End-to-end through the actual writeStream wiring (round-11 review:
+    the parity drives process_phash_batch directly, so a defect confined
+    to run_phash_stream's outputMode/checkpoint/trigger plumbing would
+    otherwise ship untested): a file-source stream at one file per
+    micro-batch must terminate and produce exactly the batch operator's
+    banded pair set (unordered — the file order is the source's, not
+    ours)."""
+    import tempfile as _tf
+
+    from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
+        _phash_pairs,
+        phash_projection,
+    )
+    from ai_powered_data_pipeline_assistant_spark.execution import materialize
+    from ai_powered_data_pipeline_assistant_spark.streaming.phash_stream import (
+        run_phash_stream,
+    )
+
+    state, pairs_dir = dirs
+    tmp = _tf.mkdtemp(prefix="phash_wire_")
+    src = f"{tmp}/src"
+    media = _media(spark, sf_dir, cap=200)
+    try:
+        # 3 input files → 3 micro-batches under maxFilesPerTrigger=1
+        media.withColumn("_f", F.col("media_id") % 3).repartition(
+            3, "_f"
+        ).drop("_f").write.parquet(src)
+        stream = (
+            spark.readStream.schema(media.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = run_phash_stream(stream, state, pairs_dir, f"{tmp}/ckpt")
+        q.awaitTermination(120)
+        got = {
+            (min(r["later_id"], r["earlier_id"]),
+             max(r["later_id"], r["earlier_id"]),
+             r["hamming"])
+            for r in spark.read.parquet(pairs_dir).collect()
+        }
+        want = {
+            (r["a_id"], r["b_id"], r["hamming"])
+            for r in _phash_pairs(
+                materialize(phash_projection(media))
+            ).collect()
+        }
+        assert got == want and got
+    finally:
+        drop_state(spark, state)
+        shutil.rmtree(tmp, ignore_errors=True)
