@@ -241,14 +241,15 @@ def main() -> None:
     # kernel on a quiet host each round (scripts in TUNING.md "Bench
     # calibration row"), record the dated samples there, and update the
     # default below — or pass SPARK_GRAFT_CAL_IDLE_SEC for a run-time
-    # override. 0.48 = round-10: the MEDIAN of three same-day idle
-    # measurement minima (0.437 / 0.477 / 0.514 — full samples in
-    # TUNING.md; idle itself wanders ~±8% with unobservable neighbor
-    # tenancy, so the median is the defensible center, not the luckiest
-    # minimum). The normalizer is only valid for SAME-HOST load
-    # normalization; raw fields are always reported alongside and are
-    # the primary grading numbers.
-    cal_idle = float(os.environ.get("SPARK_GRAFT_CAL_IDLE_SEC", "0.48"))
+    # override. 0.50 = round-11: the MEDIAN of the five most recent
+    # quiet-session minima (r10: 0.437 / 0.477 / 0.514; r11: 0.501 /
+    # 0.547 — full dated samples in TUNING.md; idle itself wanders ~±8%
+    # with unobservable neighbor tenancy, so the median is the defensible
+    # center, not the luckiest minimum). The normalizer is only valid for
+    # SAME-HOST load normalization; raw fields are always reported
+    # alongside, and the cross-round PRIMARY metric since r11 is the
+    # host-unit ratio common22/calibration (the idle constant cancels).
+    cal_idle = float(os.environ.get("SPARK_GRAFT_CAL_IDLE_SEC", "0.50"))
     scale = max(calibration / cal_idle, 1e-9)
     print(
         json.dumps(
