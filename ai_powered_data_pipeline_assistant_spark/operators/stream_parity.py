@@ -896,6 +896,88 @@ def _phash_stream_parity_sql() -> str:
     """
 
 
+def phash_state_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops accounting for the streaming perceptual-gate state — the
+    numbers a deployment monitors to schedule phash-state compaction
+    (TUNING.md media pHash sizing): ingest the media table as
+    ``PHASH_STREAM_BATCHES`` arrival batches through the real per-batch
+    handler, COMPACT, and report the state row accounting (all counts
+    taken AFTER `compact_phash_state`, the neardup_state_report
+    pattern). Driver-pins: pbands holds exactly PHASH_BANDS blocking
+    rows per blob ever ingested, phashes exactly one hash row per blob
+    (both recomputed by the SQL twin from the corpus), compaction
+    preserves every row, and never increases the file count."""
+    from ai_powered_data_pipeline_assistant_spark import hadoop_fs
+    from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
+        media_table,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.phash_stream import (
+        _state_tables,
+        _table_path,
+        compact_phash_state,
+        drop_state,
+        process_phash_batch,
+    )
+
+    nb = PHASH_STREAM_BATCHES
+    media = media_table(spark, sf_dir).select("media_id", "modality", "payload")
+    tmp = tempfile.mkdtemp(prefix="phash_report_")
+    state = f"{tmp}/state"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for i in range(nb):
+            process_phash_batch(
+                media.filter(F.col("media_id") % nb == i),
+                i,
+                state,
+                f"{tmp}/pairs",
+            )
+        tables = _state_tables(state)
+        pre = {k: spark.table(n).count() for k, n in tables.items()}
+        pre_files = {
+            k: hadoop_fs.count_parquet(spark, _table_path(state, k))
+            for k in tables
+        }
+        post_files = compact_phash_state(spark, state)
+        post = {k: spark.table(n).count() for k, n in tables.items()}
+        n_blobs = media.count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        drop_state(spark, state)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(n_blobs).cast("long").alias("n_blobs"),
+        F.lit(nb).cast("int").alias("n_batches"),
+        F.lit(post["pbands"]).cast("long").alias("pbands_rows"),
+        F.lit(post["phashes"]).cast("long").alias("phashes_rows"),
+        F.lit(pre == post).alias("rows_preserved"),
+        F.lit(
+            all(post_files[k] <= pre_files[k] for k in post_files)
+        ).alias("files_not_increased"),
+    )
+
+
+def _phash_report_sql() -> str:
+    """The state accounting recomputed independently: one hash row per
+    blob, PHASH_BANDS band rows per blob — structural facts of the
+    arrival-time build the fold must preserve."""
+    from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
+        PHASH_BANDS,
+    )
+
+    return f"""
+        SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_blobs,
+               CAST({PHASH_STREAM_BATCHES} AS INT) AS n_batches,
+               CAST((SELECT count(*) FROM documents) * {PHASH_BANDS}
+                    AS BIGINT) AS pbands_rows,
+               CAST((SELECT count(*) FROM documents) AS BIGINT)
+                   AS phashes_rows,
+               true AS rows_preserved,
+               true AS files_not_increased
+    """
+
+
 def cluster_state_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops accounting for the incremental-clustering state — the numbers a
     deployment monitors to schedule redirect-log compaction
@@ -1933,6 +2015,7 @@ def _oracles() -> dict[str, str]:
         "neardup_state_report": _neardup_report_sql(),
         "cluster_state_report": _cluster_report_sql(),
         "media_phash_stream_parity": _phash_stream_parity_sql(),
+        "phash_state_report": _phash_report_sql(),
         # split sizes SQL-exact; mismatch counters pinned 0, invariants
         # literal true (the maintenance-audit pattern, ivfpq.py)
         "ann_ingest_stream_parity": f"""
@@ -2043,4 +2126,5 @@ QUERIES = {
     "neardup_state_report": neardup_state_report,
     "cluster_state_report": cluster_state_report,
     "media_phash_stream_parity": media_phash_stream_parity,
+    "phash_state_report": phash_state_report,
 }

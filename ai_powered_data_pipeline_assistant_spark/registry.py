@@ -150,6 +150,7 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "neardup_state_report",
         "cluster_state_report",
         "media_phash_stream_parity",
+        "phash_state_report",
     }
 )
 
@@ -157,12 +158,13 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # ordering decides which queries get a driver verdict. Round-11 window
 # (VERDICT r10 task #1 — drain ALL remaining r4 staleness; the pre-rotation
 # record is 21 names at r4, 44 at r5, everything else >= r6):
-# (a) the five NEW round-11 operators, windowed on arrival:
+# (a) the six NEW round-11 operators, windowed on arrival:
 # cluster_state_report (the cluster-stream compactor's driver-scorable
 # accounting, r10 task #3) and media_phash_neardup /
 # media_phash_probe_audit / media_phash_keep_best /
-# media_phash_stream_parity (the perceptual media near-dup tier, r10
-# task #4, and its streaming ingest twin) — all value-verified MATCH by targeted
+# media_phash_stream_parity / phash_state_report (the perceptual media
+# near-dup tier, r10 task #4, its streaming ingest twin, and the twin's
+# ops report) — all value-verified MATCH by targeted
 # driver_sim at sf0.01 at their landing commits, but the driver is the
 # arbiter;
 # (b) insurance re-checks for every name whose implementing module
@@ -179,11 +181,12 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # (c) ALL 21 remaining r4-greens (exactly ROADMAP's "Round-11 window
 # plan" list, value-verified by r9's 296/296 and r10's 297/297 full
 # sweeps) — after this window lands the oldest non-window green is r5;
-# (d) 9 alphabetically-first r5-greens (44 at round start; with
-# media_dedup/media_probe_audit above that covers 11;
-# compression_ratio_audit and cluster_safe_split were displaced by the
-# late media_phash_keep_best / media_phash_stream_parity arrivals,
-# leaving 33 for the r12 plan in ROADMAP).
+# (d) 8 alphabetically-first r5-greens (44 at round start; with
+# media_dedup/media_probe_audit above that covers 10;
+# compression_ratio_audit, cluster_safe_split and churn_risk_flags were
+# displaced by the late media_phash_keep_best /
+# media_phash_stream_parity / phash_state_report arrivals,
+# leaving 34 for the r12 plan in ROADMAP).
 # Every slot carries an oracle AND is driver-representable — both halves
 # enforced on every pytest by tests/test_driver_sim_hardening.py
 # (oracle presence + driver_representable over the built window frames).
@@ -201,6 +204,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "media_phash_probe_audit",
     "media_phash_keep_best",
     "media_phash_stream_parity",
+    "phash_state_report",
     # -- changed-module insurance (operators/curation.py: skew-safe
     # keeper_ids exact-dedup replaced the content-hash windows) --
     "curate_corpus",
@@ -262,7 +266,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "cdc_apply",
     "cdc_stream_parity",
     "channel_fanout_parity",
-    "churn_risk_flags",
 )
 
 
