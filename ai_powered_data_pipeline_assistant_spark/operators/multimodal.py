@@ -570,6 +570,95 @@ def _phash_keep_best_oracle() -> str:
     """
 
 
+def media_phash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket load factors for the perceptual blocking — the
+    observability view that decides WHEN to widen bands (TUNING.md's
+    media-pHash sizing lever): candidate-join work is Σ bucket(bucket−1)/2
+    per blocking key, so the per-band max bucket size and total candidate
+    count are the skew signal a deployment watches as the corpus grows
+    (the `ivf_balance_report` pattern, applied to LSH blocking keys).
+
+    One row per band: distinct blocking keys, hashed rows, the largest
+    bucket, and the exact candidate-pair workload the band contributes.
+    One band explode + ONE two-phase aggregate pipeline (bucket counts →
+    per-band rollup) over exact-dedup representatives; never a pair
+    enumeration — the workload is computed from bucket sizes."""
+    hashed = _phash_frame(media_table(spark, sf_dir))
+    bands = hashed.select(
+        "media_id",
+        "modality",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("band"),
+                        F.col(f"b{k}").alias("band_val"),
+                    )
+                    for k in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("modality", "bk.band", "bk.band_val")
+    buckets = bands.groupBy("band", "modality", "band_val").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_bucket"),
+            # per-bucket n(n−1)/2 cast long BEFORE the sum: the product is
+            # even so the halving is exact, and the rollup stays integer
+            F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("long"))
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
+def _phash_band_stats_oracle() -> str:
+    bands = ",\n                   ".join(
+        f"{phash_band_sql(k, 'text', 'duck')} AS b{k}"
+        for k in range(PHASH_BANDS)
+    )
+    unions = "\n            UNION ALL ".join(
+        f"SELECT media_id, modality, {k} AS band, b{k} AS band_val FROM hashed"
+        for k in range(PHASH_BANDS)
+    )
+    return f"""
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   text
+            FROM documents),
+        reps AS (
+            SELECT modality, min(media_id) AS media_id
+            FROM media GROUP BY modality, text),
+        hashed AS (
+            SELECT m.media_id, m.modality,
+                   {bands}
+            FROM media m JOIN reps r USING (media_id)),
+        bands AS (
+            {unions}),
+        buckets AS (
+            SELECT band, modality, band_val, count(*) AS n
+            FROM bands GROUP BY 1, 2, 3)
+        SELECT CAST(band AS INT) AS band,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(max(n) AS BIGINT) AS max_bucket,
+               CAST(sum(CAST(n * (n - 1) / 2 AS BIGINT)) AS BIGINT)
+                   AS candidate_pairs
+        FROM buckets
+        GROUP BY band
+        ORDER BY band
+    """
+
+
 # Probe payloads for the golden pHash audit: a 256-char base (64 chunks of
 # 4 chars), single-region edits at increasing distances from the base, an
 # unrelated payload, and an exact duplicate of the base under a new id.
@@ -894,6 +983,7 @@ ORACLES: dict[str, str] = {
     "media_phash_neardup": _phash_neardup_oracle(),
     "media_phash_probe_audit": _phash_probe_oracle(),
     "media_phash_keep_best": _phash_keep_best_oracle(),
+    "media_phash_band_stats": _phash_band_stats_oracle(),
 }
 
 QUERIES = {
@@ -906,4 +996,5 @@ QUERIES = {
     "media_phash_neardup": media_phash_neardup,
     "media_phash_probe_audit": media_phash_probe_audit,
     "media_phash_keep_best": media_phash_keep_best,
+    "media_phash_band_stats": media_phash_band_stats,
 }

@@ -158,13 +158,14 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # ordering decides which queries get a driver verdict. Round-11 window
 # (VERDICT r10 task #1 — drain ALL remaining r4 staleness; the pre-rotation
 # record is 21 names at r4, 44 at r5, everything else >= r6):
-# (a) the six NEW round-11 operators, windowed on arrival:
+# (a) the seven NEW round-11 operators, windowed on arrival:
 # cluster_state_report (the cluster-stream compactor's driver-scorable
 # accounting, r10 task #3) and media_phash_neardup /
 # media_phash_probe_audit / media_phash_keep_best /
-# media_phash_stream_parity / phash_state_report (the perceptual media
-# near-dup tier, r10 task #4, its streaming ingest twin, and the twin's
-# ops report) — all value-verified MATCH by targeted
+# media_phash_stream_parity / phash_state_report /
+# media_phash_band_stats (the perceptual media near-dup tier, r10 task
+# #4, its streaming ingest twin, and the tier's two ops views) — all
+# value-verified MATCH by targeted
 # driver_sim at sf0.01 at their landing commits, but the driver is the
 # arbiter;
 # (b) insurance re-checks for every name whose implementing module
@@ -181,12 +182,11 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # (c) ALL 21 remaining r4-greens (exactly ROADMAP's "Round-11 window
 # plan" list, value-verified by r9's 296/296 and r10's 297/297 full
 # sweeps) — after this window lands the oldest non-window green is r5;
-# (d) 8 alphabetically-first r5-greens (44 at round start; with
-# media_dedup/media_probe_audit above that covers 10;
-# compression_ratio_audit, cluster_safe_split and churn_risk_flags were
-# displaced by the late media_phash_keep_best /
-# media_phash_stream_parity / phash_state_report arrivals,
-# leaving 34 for the r12 plan in ROADMAP).
+# (d) 7 alphabetically-first r5-greens (44 at round start; with
+# media_dedup/media_probe_audit above that covers 9;
+# compression_ratio_audit, cluster_safe_split, churn_risk_flags and
+# channel_fanout_parity were displaced by the four late perceptual-tier
+# arrivals, leaving 35 for the r12 plan in ROADMAP).
 # Every slot carries an oracle AND is driver-representable — both halves
 # enforced on every pytest by tests/test_driver_sim_hardening.py
 # (oracle presence + driver_representable over the built window frames).
@@ -205,6 +205,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "media_phash_keep_best",
     "media_phash_stream_parity",
     "phash_state_report",
+    "media_phash_band_stats",
     # -- changed-module insurance (operators/curation.py: skew-safe
     # keeper_ids exact-dedup replaced the content-hash windows) --
     "curate_corpus",
@@ -265,7 +266,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "cache_hit_simulation",
     "cdc_apply",
     "cdc_stream_parity",
-    "channel_fanout_parity",
 )
 
 

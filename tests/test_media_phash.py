@@ -138,3 +138,25 @@ def test_keep_best_families_reconcile_with_pairs(spark, sf_dir):
         assert sized[r["keeper_id"]] == r["keeper_bytes"], r
         # the family label is the min member id, and the keeper is a member
         assert r["keeper_id"] >= r["family_id"], r
+
+
+def test_band_stats_reconcile_with_pipeline(spark, sf_dir):
+    """Band-bucket accounting must reconcile with the pipeline it sizes:
+    every band holds exactly one row per representative, the candidate
+    workload (Σ per-bucket n(n−1)/2 across bands) upper-bounds the
+    deduplicated candidate set, which upper-bounds the verified pairs."""
+    from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
+        media_phash_band_stats,
+    )
+
+    hashed = _phash_frame(media_table(spark, sf_dir))
+    n_reps = hashed.count()
+    stats = media_phash_band_stats(spark, sf_dir).collect()
+    assert len(stats) == PHASH_BANDS
+    for r in stats:
+        assert r["n_rows"] == n_reps, r
+        assert 1 <= r["max_bucket"] <= n_reps, r
+        assert r["n_buckets"] <= r["n_rows"], r
+    total_candidates = sum(r["candidate_pairs"] for r in stats)
+    n_verified = _phash_pairs(hashed).count()
+    assert total_candidates >= n_verified
