@@ -608,9 +608,9 @@ def media_phash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_buckets"),
             F.sum("n").cast("long").alias("n_rows"),
             F.max("n").cast("long").alias("max_bucket"),
-            # per-bucket n(n−1)/2 cast long BEFORE the sum: the product is
-            # even so the halving is exact, and the rollup stays integer
-            F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("long"))
+            # integer `div` keeps the per-bucket n(n−1)/2 exact at ANY
+            # bucket size (float '/' loses integer exactness past 2^53)
+            F.sum(F.expr("n * (n - 1) div 2"))
             .cast("long")
             .alias("candidate_pairs"),
         )
@@ -651,7 +651,7 @@ def _phash_band_stats_oracle() -> str:
                CAST(count(*) AS BIGINT) AS n_buckets,
                CAST(sum(n) AS BIGINT) AS n_rows,
                CAST(max(n) AS BIGINT) AS max_bucket,
-               CAST(sum(CAST(n * (n - 1) / 2 AS BIGINT)) AS BIGINT)
+               CAST(sum(n * (n - 1) // 2) AS BIGINT)
                    AS candidate_pairs
         FROM buckets
         GROUP BY band

@@ -256,9 +256,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "temporal_split",
     "train_test_split",
     "weighted_median",
-    # -- staleness: 11 alphabetically-first r5-greens (44 remain at round
-    # start; media_dedup/media_probe_audit above cover 2 more, leaving 31
-    # for r12) --
+    # -- staleness: 7 alphabetically-first r5-greens (44 remained at
+    # round start; media_dedup/media_probe_audit above cover 2 more, and
+    # 4 of the intended 11 — compression_ratio_audit, cluster_safe_split,
+    # churn_risk_flags, channel_fanout_parity — were displaced by the
+    # four late perceptual-tier arrivals, leaving 35 for r12) --
     "ab_test_report",
     "ann_brute_topk",
     "bigram_logprob",
