@@ -978,6 +978,488 @@ def _phash_report_sql() -> str:
     """
 
 
+# 4 pair-batches for the media cluster stream — coprime with the 3-way
+# modality split for the same reason as PHASH_STREAM_BATCHES.
+MEDIA_CLUSTER_BATCHES = 4
+
+
+def media_cluster_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual FAMILIES ≡ batch keep-best (VERDICT r11 task
+    #3): generate the corpus's verified pHash pairs once (banded, over
+    exact-dedup reps — the batch operator's own `_phash_pairs`), assign
+    each pair the arrival batch of its LATER endpoint (batch = media_id %
+    MEDIA_CLUSTER_BATCHES), replay the pair-batches through the
+    pair-generic append-only union-find
+    (`streaming/cluster_stream.process_cluster_batch`), COMPACT
+    mid-stream after the second batch (batch 0's roots genuinely fold
+    and its redirects are absorbed — the shared `state_compaction` core
+    exercised inside the run), then maintain keep-best INCREMENTALLY:
+    resolved family labels joined to payload sizes, one max-struct
+    keeper aggregate. The final families are exceptAll-diffed against
+    the batch operator `media_phash_keep_best` row-for-row — CC labels
+    are min-id and order-independent, so stream ≡ batch exactly, and
+    the DuckDB oracle recomputes every scalar via the recursive-CTE
+    transitive closure over the shared chunk-parity hash SQL."""
+    from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
+        _phash_frame,
+        _phash_pairs,
+        media_phash_keep_best,
+        media_table,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.cluster_stream import (
+        compact_cluster_state,
+        drop_state,
+        process_cluster_batch,
+        resolved_roots,
+    )
+
+    nb = MEDIA_CLUSTER_BATCHES
+    tmp = tempfile.mkdtemp(prefix="media_cc_stream_")
+    state = f"{tmp}/state"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        media = media_table(spark, sf_dir)
+        pairs = materialize_barrier(
+            _phash_pairs(_phash_frame(media)).select("a_id", "b_id")
+        )
+        arrival = F.greatest(F.col("a_id") % nb, F.col("b_id") % nb)
+        for i in range(nb):
+            process_cluster_batch(pairs.filter(arrival == i), i, state)
+            if i == 1:
+                compact_cluster_state(spark, state)
+        sized = media.select(
+            F.col("media_id").alias("doc_id"),
+            "modality",
+            F.octet_length("payload").cast("long").alias("bytes"),
+        )
+        fam = resolved_roots(spark, state).join(sized, "doc_id")
+        got = materialize_barrier(
+            fam.groupBy("cluster_id")
+            .agg(
+                F.count("*").cast("long").alias("family_size"),
+                F.max(
+                    F.struct(F.col("bytes"), (-F.col("doc_id")).alias("ni"))
+                ).alias("_s"),
+                F.min("modality").alias("modality"),
+            )
+            .select(
+                F.col("cluster_id").alias("family_id"),
+                "modality",
+                "family_size",
+                (-F.col("_s.ni")).cast("long").alias("keeper_id"),
+                F.col("_s.bytes").cast("long").alias("keeper_bytes"),
+            )
+        )
+        want = materialize_barrier(
+            media_phash_keep_best(spark, sf_dir).select(
+                "family_id", "modality", "family_size",
+                "keeper_id", "keeper_bytes",
+            )
+        )
+        mismatches = got.exceptAll(want).count() + want.exceptAll(got).count()
+        agg = got.agg(
+            F.count("*").cast("long").alias("nf"),
+            F.max("family_size").cast("long").alias("lf"),
+            F.sum("keeper_id").cast("long").alias("kc"),
+            F.sum("keeper_bytes").cast("long").alias("kb"),
+        ).first()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        drop_state(spark, state)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(int(agg["nf"] or 0)).cast("long").alias("n_families"),
+        F.lit(int(agg["lf"] or 0)).cast("long").alias("largest_family"),
+        F.lit(int(agg["kc"] or 0)).cast("long").alias("keeper_id_checksum"),
+        F.lit(int(agg["kb"] or 0)).cast("long").alias("keeper_bytes_sum"),
+        F.lit(nb).cast("int").alias("n_batches"),
+        F.lit(mismatches).cast("long").alias("n_mismatches"),
+        F.lit(mismatches == 0).alias("stream_equals_batch"),
+    )
+
+
+def _media_cluster_parity_sql() -> str:
+    """Family scalars recomputed from the batch keep-best oracle (the
+    recursive-CTE closure over the shared hash SQL), aggregated; stream
+    mismatches pinned 0."""
+    from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
+        _phash_keep_best_oracle,
+    )
+
+    return f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_families,
+               CAST(coalesce(max(family_size), 0) AS BIGINT)
+                   AS largest_family,
+               CAST(coalesce(sum(keeper_id), 0) AS BIGINT)
+                   AS keeper_id_checksum,
+               CAST(coalesce(sum(keeper_bytes), 0) AS BIGINT)
+                   AS keeper_bytes_sum,
+               CAST({MEDIA_CLUSTER_BATCHES} AS INT) AS n_batches,
+               CAST(0 AS BIGINT) AS n_mismatches,
+               true AS stream_equals_batch
+        FROM ({_phash_keep_best_oracle()}) t
+    """
+
+
+# 4 arrival batches for the composed media pipeline — coprime with the
+# 3-way modality split (the PHASH_STREAM_BATCHES rationale).
+MEDIA_CRAWL_BATCHES = 4
+
+
+def _media_keep_cte(nb: int) -> str:
+    """Shared DuckDB CTE chain for the composed media pipeline oracles:
+    arrival-rule EXACT keepers (first batch containing the content, min
+    id within it — `min(struct(batch, id))` in the engine), their
+    chunk-parity hashes (shared SQL generator), brute-force verified
+    pairs, and the distinct later-side ids the perceptual gate drops.
+    Text equality stands in for payload-digest equality (payload =
+    utf-8(text), the module fixture)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
+        PHASH_BANDS,
+        PHASH_HAMMING_T,
+        phash_band_sql,
+    )
+
+    bands = ",\n                   ".join(
+        f"{phash_band_sql(k, 'text', 'duck')} AS b{k}"
+        for k in range(PHASH_BANDS)
+    )
+    hamming = " + ".join(
+        f"bit_count(CAST(xor(a.b{k}, b.b{k}) AS BIGINT))"
+        for k in range(PHASH_BANDS)
+    )
+    return f"""media AS (
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   text
+            FROM documents),
+        arr AS (SELECT *, media_id % {nb} AS b FROM media),
+        grp AS (SELECT modality, text, min(b) AS b0
+                FROM arr GROUP BY 1, 2),
+        keep AS (
+            SELECT a.modality, a.text, min(a.media_id) AS media_id
+            FROM arr a JOIN grp g
+                 ON a.modality = g.modality AND a.text = g.text
+                    AND a.b = g.b0
+            GROUP BY 1, 2),
+        hashed AS (
+            SELECT k.media_id, k.modality,
+                   {bands}
+            FROM keep k),
+        verified AS (
+            SELECT a.media_id AS a_id, b.media_id AS b_id,
+                   {hamming} AS hamming
+            FROM hashed a JOIN hashed b
+                 ON a.modality = b.modality AND a.media_id < b.media_id
+            WHERE {hamming} <= {PHASH_HAMMING_T}),
+        later AS (
+            SELECT DISTINCT CASE WHEN a_id % {nb} > b_id % {nb}
+                                 THEN a_id ELSE b_id END AS media_id
+            FROM verified)"""
+
+
+def media_crawl_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED media ingest pipeline
+    (`streaming/media_pipeline.py`: exact sha256 keeper gate →
+    perceptual pHash gate with BOUNDED decisions → incremental
+    union-find families → keep-best) replayed as ``MEDIA_CRAWL_BATCHES``
+    ordered micro-batches through the real per-batch handler — with the
+    in-pipeline maintenance cadence armed (``compact_every=2``, so all
+    four state surfaces compact INSIDE the run at batch 2) — and pinned
+    end to end against the batch arrival-rule recompute:
+
+    - curated membership: streamed keep-set ≡ arrival-rule exact keepers
+      minus perceptual later-side ids (set equality via exceptAll);
+    - families: the incremental keep-best view ≡ CC + max-struct keeper
+      over the keepers' verified pairs (set equality);
+    - every scalar (exact drops, perceptual drops, curated checksum,
+      family keeper checksum) recomputed independently by the DuckDB
+      oracle from the shared chunk-parity hash SQL."""
+    from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
+        _phash_pairs,
+        media_table,
+        phash_projection,
+    )
+    from ai_powered_data_pipeline_assistant_spark.operators.neardup_cluster import (
+        connected_components,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.media_pipeline import (
+        drop_state,
+        media_keep_best_state,
+        process_media_batch,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.phash_stream import (
+        DECISIONS_SCHEMA,
+    )
+
+    nb = MEDIA_CRAWL_BATCHES
+    tmp = tempfile.mkdtemp(prefix="media_crawl_")
+    state, out = f"{tmp}/state", f"{tmp}/out"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        media = media_table(spark, sf_dir).select(
+            "media_id", "modality", "payload"
+        )
+        for i in range(nb):
+            process_media_batch(
+                media.filter(F.col("media_id") % nb == i), i, state, out,
+                compact_every=2,
+            )
+        got_curated = materialize_barrier(
+            spark.read.schema("media_id long, modality string, batch_id long")
+            .parquet(f"{out}/curated")
+            .select("media_id", "modality")
+        )
+        got_fams = materialize_barrier(
+            media_keep_best_state(spark, state).select(
+                "family_id", "modality", "family_size",
+                "keeper_id", "keeper_bytes",
+            )
+        )
+        # batch arrival-rule recompute (Spark side of the pin)
+        sized = media.select(
+            "media_id",
+            "modality",
+            F.sha2("payload", 256).alias("d"),
+            F.octet_length("payload").cast("long").alias("bytes"),
+            (F.col("media_id") % nb).alias("b"),
+        )
+        keeper_ids = (
+            sized.groupBy("modality", "d")
+            .agg(F.min(F.struct("b", "media_id")).alias("s"))
+            .select(F.col("s.media_id").alias("media_id"))
+        )
+        keepers = media.join(F.broadcast(keeper_ids), "media_id", "left_semi")
+        khash = materialize(phash_projection(keepers))
+        kpairs = materialize(_phash_pairs(khash))
+        later_ids = kpairs.select(
+            F.when(
+                F.col("a_id") % nb > F.col("b_id") % nb, F.col("a_id")
+            )
+            .otherwise(F.col("b_id"))
+            .alias("media_id")
+        ).distinct()
+        want_curated = materialize_barrier(
+            keepers.select("media_id", "modality").join(
+                later_ids, "media_id", "left_anti"
+            )
+        )
+        comp = connected_components(kpairs.select("a_id", "b_id")).select(
+            F.col("node").alias("media_id"), F.col("label").alias("family_id")
+        )
+        want_fams = materialize_barrier(
+            comp.join(sized.select("media_id", "modality", "bytes"), "media_id")
+            .groupBy("family_id")
+            .agg(
+                F.count("*").cast("long").alias("family_size"),
+                F.max(
+                    F.struct(F.col("bytes"), (-F.col("media_id")).alias("ni"))
+                ).alias("_s"),
+                F.min("modality").alias("modality"),
+            )
+            .select(
+                "family_id", "modality", "family_size",
+                (-F.col("_s.ni")).cast("long").alias("keeper_id"),
+                F.col("_s.bytes").cast("long").alias("keeper_bytes"),
+            )
+        )
+        mismatches = (
+            got_curated.exceptAll(want_curated).count()
+            + want_curated.exceptAll(got_curated).count()
+            + got_fams.exceptAll(want_fams).count()
+            + want_fams.exceptAll(got_fams).count()
+        )
+        n_arrivals = media.count()
+        n_exact_dropped = (
+            spark.read.schema(
+                "media_id long, modality string, keeper_id long, batch_id long"
+            )
+            .parquet(f"{out}/exact_dropped")
+            .count()
+        )
+        n_perc_dropped = (
+            spark.read.schema(f"{DECISIONS_SCHEMA}, batch_id long")
+            .parquet(f"{out}/decisions")
+            .filter("is_dup")
+            .count()
+        )
+        cagg = got_curated.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("media_id").cast("long").alias("ck"),
+        ).first()
+        fagg = got_fams.agg(
+            F.count("*").cast("long").alias("nf"),
+            F.sum("keeper_id").cast("long").alias("kc"),
+        ).first()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        drop_state(spark, state)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(n_arrivals).cast("long").alias("n_arrivals"),
+        F.lit(nb).cast("int").alias("n_batches"),
+        F.lit(n_exact_dropped).cast("long").alias("n_exact_dropped"),
+        F.lit(n_perc_dropped).cast("long").alias("n_perceptual_dropped"),
+        F.lit(int(cagg["n"] or 0)).cast("long").alias("n_curated"),
+        F.lit(int(cagg["ck"] or 0)).cast("long").alias("curated_checksum"),
+        F.lit(int(fagg["nf"] or 0)).cast("long").alias("n_families"),
+        F.lit(int(fagg["kc"] or 0)).cast("long").alias("keeper_id_checksum"),
+        F.lit(mismatches).cast("long").alias("n_mismatches"),
+        F.lit(mismatches == 0).alias("stream_equals_batch"),
+    )
+
+
+def _media_crawl_parity_sql() -> str:
+    """Every pipeline outcome recomputed independently: arrival-rule
+    exact keepers, brute-force perceptual drops, curated set checksum,
+    and the family keeper checksum via the recursive closure — all from
+    the shared hash SQL. Mismatches pinned 0."""
+    nb = MEDIA_CRAWL_BATCHES
+    return f"""
+        WITH RECURSIVE {_media_keep_cte(nb)},
+        curated AS (
+            SELECT media_id FROM keep
+            WHERE media_id NOT IN (SELECT media_id FROM later)),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM verified
+                  UNION ALL SELECT b_id, a_id FROM verified),
+        reach(src, dst) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS media_id, min(dst) AS family_id
+                 FROM reach GROUP BY 1),
+        fam AS (
+            SELECT c.family_id, k.media_id,
+                   CAST(strlen(k.text) AS BIGINT) AS bytes
+            FROM comp c JOIN keep k USING (media_id)),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY family_id
+                                         ORDER BY bytes DESC, media_id) AS rn
+            FROM fam)
+        SELECT CAST((SELECT count(*) FROM media) AS BIGINT) AS n_arrivals,
+               CAST({nb} AS INT) AS n_batches,
+               CAST((SELECT count(*) FROM media)
+                    - (SELECT count(*) FROM keep) AS BIGINT)
+                   AS n_exact_dropped,
+               CAST((SELECT count(*) FROM later) AS BIGINT)
+                   AS n_perceptual_dropped,
+               CAST((SELECT count(*) FROM curated) AS BIGINT) AS n_curated,
+               CAST((SELECT coalesce(sum(media_id), 0) FROM curated)
+                    AS BIGINT) AS curated_checksum,
+               CAST((SELECT count(DISTINCT family_id) FROM fam) AS BIGINT)
+                   AS n_families,
+               CAST((SELECT coalesce(sum(media_id), 0) FROM ranked
+                     WHERE rn = 1) AS BIGINT) AS keeper_id_checksum,
+               CAST(0 AS BIGINT) AS n_mismatches,
+               true AS stream_equals_batch
+    """
+
+
+def media_pipeline_state_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops accounting for the composed media pipeline's four state
+    surfaces — the numbers that prove the EXACT-FIRST composition bounds
+    state by distinct CONTENTS, not arrivals (the r11 scale fix): after
+    ``MEDIA_CRAWL_BATCHES`` arrival batches with the in-pipeline
+    compaction cadence armed, mdigest holds one row per distinct
+    (modality, content) ever seen, msizes/phashes one row per exact
+    survivor, pbands exactly PHASH_BANDS rows per survivor — every count
+    recomputed by the DuckDB twin from the corpus — and one more offline
+    `compact_media_state` pass preserves every row (rows_preserved)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
+        media_table,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.media_pipeline import (
+        _state_tables,
+        compact_media_state,
+        drop_state,
+        process_media_batch,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.phash_stream import (
+        _state_tables as _phash_tables,
+    )
+
+    nb = MEDIA_CRAWL_BATCHES
+    tmp = tempfile.mkdtemp(prefix="media_report_")
+    state, out = f"{tmp}/state", f"{tmp}/out"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        media = media_table(spark, sf_dir).select(
+            "media_id", "modality", "payload"
+        )
+        for i in range(nb):
+            process_media_batch(
+                media.filter(F.col("media_id") % nb == i), i, state, out,
+                compact_every=2,
+            )
+        tables = dict(_state_tables(state))
+        tables.update(_phash_tables(f"{state}/phash"))
+        pre = {k: spark.table(n).count() for k, n in tables.items()}
+        compact_media_state(spark, state)
+        post = {k: spark.table(n).count() for k, n in tables.items()}
+        n_curated = (
+            spark.read.schema("media_id long, modality string, batch_id long")
+            .parquet(f"{out}/curated")
+            .count()
+        )
+        n_exact_dropped = (
+            spark.read.schema(
+                "media_id long, modality string, keeper_id long, batch_id long"
+            )
+            .parquet(f"{out}/exact_dropped")
+            .count()
+        )
+        n_arrivals = media.count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        drop_state(spark, state)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(n_arrivals).cast("long").alias("n_arrivals"),
+        F.lit(nb).cast("int").alias("n_batches"),
+        F.lit(post["mdigest"]).cast("long").alias("mdigest_rows"),
+        F.lit(post["msizes"]).cast("long").alias("msizes_rows"),
+        F.lit(post["pbands"]).cast("long").alias("pbands_rows"),
+        F.lit(post["phashes"]).cast("long").alias("phashes_rows"),
+        F.lit(n_curated).cast("long").alias("curated_total"),
+        F.lit(n_exact_dropped).cast("long").alias("exact_dropped_total"),
+        F.lit(pre == post).alias("rows_preserved"),
+    )
+
+
+def _media_report_sql() -> str:
+    """State accounting recomputed independently: the exact-first
+    composition stores one digest row per distinct (modality, content),
+    one size/hash row per arrival-rule keeper, PHASH_BANDS band rows per
+    keeper; curated = keepers minus perceptual later-side ids."""
+    from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
+        PHASH_BANDS,
+    )
+
+    nb = MEDIA_CRAWL_BATCHES
+    return f"""
+        WITH {_media_keep_cte(nb)}
+        SELECT CAST((SELECT count(*) FROM media) AS BIGINT) AS n_arrivals,
+               CAST({nb} AS INT) AS n_batches,
+               CAST((SELECT count(*) FROM grp) AS BIGINT) AS mdigest_rows,
+               CAST((SELECT count(*) FROM keep) AS BIGINT) AS msizes_rows,
+               CAST((SELECT count(*) FROM keep) * {PHASH_BANDS} AS BIGINT)
+                   AS pbands_rows,
+               CAST((SELECT count(*) FROM keep) AS BIGINT) AS phashes_rows,
+               CAST((SELECT count(*) FROM keep)
+                    - (SELECT count(*) FROM later) AS BIGINT)
+                   AS curated_total,
+               CAST((SELECT count(*) FROM media)
+                    - (SELECT count(*) FROM keep) AS BIGINT)
+                   AS exact_dropped_total,
+               true AS rows_preserved
+    """
+
+
 def cluster_state_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops accounting for the incremental-clustering state — the numbers a
     deployment monitors to schedule redirect-log compaction
@@ -2016,6 +2498,9 @@ def _oracles() -> dict[str, str]:
         "cluster_state_report": _cluster_report_sql(),
         "media_phash_stream_parity": _phash_stream_parity_sql(),
         "phash_state_report": _phash_report_sql(),
+        "media_cluster_stream_parity": _media_cluster_parity_sql(),
+        "media_crawl_parity": _media_crawl_parity_sql(),
+        "media_pipeline_state_report": _media_report_sql(),
         # split sizes SQL-exact; mismatch counters pinned 0, invariants
         # literal true (the maintenance-audit pattern, ivfpq.py)
         "ann_ingest_stream_parity": f"""
@@ -2127,4 +2612,7 @@ QUERIES = {
     "cluster_state_report": cluster_state_report,
     "media_phash_stream_parity": media_phash_stream_parity,
     "phash_state_report": phash_state_report,
+    "media_cluster_stream_parity": media_cluster_stream_parity,
+    "media_crawl_parity": media_crawl_parity,
+    "media_pipeline_state_report": media_pipeline_state_report,
 }

@@ -151,42 +151,38 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
         "cluster_state_report",
         "media_phash_stream_parity",
         "phash_state_report",
+        "media_cluster_stream_parity",
+        "media_crawl_parity",
+        "media_pipeline_state_report",
     }
 )
 
 # The correctness driver checks the FIRST 50 registry entries per round, so
-# ordering decides which queries get a driver verdict. Round-11 window
-# (VERDICT r10 task #1 — drain ALL remaining r4 staleness; the pre-rotation
-# record is 21 names at r4, 44 at r5, everything else >= r6):
-# (a) the seven NEW round-11 operators, windowed on arrival:
-# cluster_state_report (the cluster-stream compactor's driver-scorable
-# accounting, r10 task #3) and media_phash_neardup /
-# media_phash_probe_audit / media_phash_keep_best /
-# media_phash_stream_parity / phash_state_report /
-# media_phash_band_stats (the perceptual media near-dup tier, r10 task
-# #4, its streaming ingest twin, and the tier's two ops views) — all
-# value-verified MATCH by targeted
-# driver_sim at sf0.01 at their landing commits, but the driver is the
-# arbiter;
+# ordering decides which queries get a driver verdict. Round-12 window
+# (VERDICT r11 task #1 — rotate ALL 35 remaining r5 staleness names; the
+# pre-rotation record is 35 names at r5, everything else >= r6):
+# (a) the three NEW round-12 operators, windowed on arrival:
+# media_cluster_stream_parity (the pair-generic union-find instantiated
+# over the pHash pair stream with mid-stream compaction — r11 task #3),
+# media_crawl_parity (the composed exact-first media ingest pipeline
+# with bounded gate decisions + in-pipeline compaction cadence — r11
+# tasks #2b/#5), media_pipeline_state_report (its state accounting) —
+# all value-verified MATCH by targeted driver_sim at sf0.01 at their
+# landing commits, but the driver is the arbiter;
 # (b) insurance re-checks for every name whose implementing module
-# changed materially this round: operators/curation.py (skew-safe
-# keeper_ids first-wins replaced the sha2(text) row_number windows — all
-# 4 curation names), operators/multimodal.py (media_dedup keeper
-# aggregate; media_probe_audit rides along — both are ALSO r5
-# staleness), streaming/neardup.py (doc_id re-arrival enforcement +
-# shared compaction core: both neardup parity/report names),
-# streaming/cluster_stream.py (compactor + flatten-divergence guard),
-# streaming/substring_stream.py (compactor on the shared core),
-# sources/layout.py (maybe_rebuild batchedness introspection) and the
-# crawl pipeline that composes layout + neardup per batch;
-# (c) ALL 21 remaining r4-greens (exactly ROADMAP's "Round-11 window
-# plan" list, value-verified by r9's 296/296 and r10's 297/297 full
-# sweeps) — after this window lands the oldest non-window green is r5;
-# (d) 7 alphabetically-first r5-greens (44 at round start; with
-# media_dedup/media_probe_audit above that covers 9;
-# compression_ratio_audit, cluster_safe_split, churn_risk_flags and
-# channel_fanout_parity were displaced by the four late perceptual-tier
-# arrivals, leaving 35 for the r12 plan in ROADMAP).
+# changed materially this round: operators/multimodal.py (integer-div
+# candidate_pairs — media_phash_band_stats), streaming/phash_stream.py
+# and streaming/neardup.py (bounded decisions gate output + returned
+# pair frame: both phash rows, both neardup rows), and
+# streaming/crawl_pipeline.py (compact_every cadence: both crawl rows);
+# neardup_cluster_stream_parity rides along as the cluster-stream
+# machinery the two new media rows now lean on;
+# (c) ALL 35 remaining r5-greens (exactly ROADMAP's "Round-12 window
+# plan" list, value-verified by every full sweep since r5, most recently
+# round-11's 306/306) — after this window lands the oldest non-window
+# green is r6;
+# (d) 4 alphabetically-first r6-greens (48 at round start) as fills:
+# ann_ivf_pruned, arrow_byte_stats, backfill_plan, bm25_search.
 # Every slot carries an oracle AND is driver-representable — both halves
 # enforced on every pytest by tests/test_driver_sim_hardening.py
 # (oracle presence + driver_representable over the built window frames).
@@ -195,79 +191,64 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 # unigram_vocab_table, unigram_token_counts, tokenizer_fertility_report)
 # are NEVER windowed — their currency is their scalarized audit twins.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- NEW round-11 operators, windowed on arrival (media_phash_keep_best
-    # and media_phash_stream_parity displaced the two youngest r5 fills,
-    # compression_ratio_audit and cluster_safe_split — both rotate in
-    # r12, see ROADMAP) --
-    "cluster_state_report",
-    "media_phash_neardup",
-    "media_phash_probe_audit",
-    "media_phash_keep_best",
+    # -- NEW round-12 operators, windowed on arrival --
+    "media_cluster_stream_parity",
+    "media_crawl_parity",
+    "media_pipeline_state_report",
+    # -- changed-module insurance (operators/multimodal.py integer-div;
+    # streaming/phash_stream.py + streaming/neardup.py bounded gate
+    # outputs; streaming/crawl_pipeline.py compaction cadence;
+    # cluster-stream machinery under new load) --
+    "media_phash_band_stats",
     "media_phash_stream_parity",
     "phash_state_report",
-    "media_phash_band_stats",
-    # -- changed-module insurance (operators/curation.py: skew-safe
-    # keeper_ids exact-dedup replaced the content-hash windows) --
-    "curate_corpus",
-    "curation_funnel",
-    "curation_dropped_audit",
-    "gate_overlap_matrix",
-    # -- changed-module insurance (operators/multimodal.py: media_dedup
-    # keeper aggregate + the new pHash tier; both also r5 staleness) --
-    "media_dedup",
-    "media_probe_audit",
-    # -- changed-module insurance (streaming/neardup.py: doc_id
-    # re-arrival enforcement + shared compaction core) --
     "neardup_stream_parity",
     "neardup_state_report",
-    # -- changed-module insurance (streaming/cluster_stream.py: compactor
-    # + flatten-divergence guard) --
-    "neardup_cluster_stream_parity",
-    # -- changed-module insurance (streaming/substring_stream.py:
-    # compactor refactored onto the shared core) --
-    "substring_stream_parity",
-    "substring_state_report",
-    # -- changed-module insurance (sources/layout.py: maybe_rebuild
-    # batchedness introspection; crawl pipeline composes both) --
-    "ivfpq_drift_audit",
-    "ivfpq_incremental_parity",
     "crawl_pipeline_parity",
     "crawl_steady_batch",
-    # -- staleness: ALL 21 remaining r4-greens (ROADMAP r11 window plan;
-    # after this window lands the oldest non-window green is r5) --
-    "event_trigrams",
-    "hybrid_search_rrf",
-    "ivf_balance_report",
-    "ivf_probe_recall_sweep",
-    "jsonl_roundtrip_agg",
-    "knn_join",
-    "lexical_diversity",
-    "lsh_parameter_plan",
-    "markov_prediction_audit",
-    "minhash_calibration_audit",
-    "neardup_triangles",
-    "normalize_text",
-    "orc_roundtrip_agg",
-    "readability_scores",
-    "retrieval_ndcg",
-    "semantic_decontaminate",
-    "semantic_dedup",
-    "table_inventory",
-    "temporal_split",
-    "train_test_split",
-    "weighted_median",
-    # -- staleness: 7 alphabetically-first r5-greens (44 remained at
-    # round start; media_dedup/media_probe_audit above cover 2 more, and
-    # 4 of the intended 11 — compression_ratio_audit, cluster_safe_split,
-    # churn_risk_flags, channel_fanout_parity — were displaced by the
-    # four late perceptual-tier arrivals, leaving 35 for r12) --
-    "ab_test_report",
-    "ann_brute_topk",
-    "bigram_logprob",
-    "brand_revenue_share",
-    "cache_hit_simulation",
-    "cdc_apply",
-    "cdc_stream_parity",
+    "neardup_cluster_stream_parity",
+    # -- staleness: ALL 35 remaining r5-greens (ROADMAP r12 window plan;
+    # after this window lands the oldest non-window green is r6) --
+    "channel_fanout_parity",
+    "churn_risk_flags",
+    "cluster_safe_split",
+    "compression_ratio_audit",
+    "conversion_latency",
+    "customer_running_revenue",
+    "decayed_engagement",
+    "dimension_variance_report",
+    "discount_effectiveness",
+    "docs_profile",
+    "embedding_drift_report",
+    "entity_clusters",
+    "forecast_baseline_report",
+    "funnel_stream_parity",
+    "hot_keys",
+    "incremental_daily_rollup",
+    "job_stream_parity",
+    "key_skew_stats",
+    "label_balance_report",
+    "monthly_revenue_yoy",
+    "neardup_cluster_sizes",
+    "neardup_keep_best",
+    "order_to_ship_latency",
+    "quality_classifier",
+    "rfm_segments",
+    "salting_plan",
+    "session_stream_parity",
+    "source_mix_resample",
+    "split_contamination_audit",
+    "stickiness_report",
+    "stratified_sample",
+    "unigram_logprob",
+    "user_activity_pareto",
+    "watermark_planner",
+    "weighted_sample",
+    # -- fills: 4 alphabetically-first r6-greens --
+    "ann_ivf_pruned",
+    "arrow_byte_stats",
+    "backfill_plan",
+    "bm25_search",
 )
 
 

@@ -45,6 +45,7 @@ def process_crawl_batch(
     out_dir: str,
     rebuild_corpus=None,
     record_drift: bool = False,
+    compact_every: int | None = None,
 ) -> None:
     """One micro-batch of the composed pipeline — module-level so the
     stream wiring, the parity replays, and the steady-state bench row
@@ -162,6 +163,18 @@ def process_crawl_batch(
             batch_id=batch_id,
         )
         idempotent_append(curated.select("doc_id"), batch_id, curated_dir)
+        # maintenance cadence (VERDICT r11 task #5): fold the near-dup
+        # state's per-batch file sets every N batches, AFTER this batch's
+        # writes — the current batch is then the newest partition, which
+        # the shared fold-all-but-newest core never folds, so a
+        # crash-window replay of this batch stays idempotent (the same
+        # argument as media_pipeline's in-pipeline compaction).
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+                compact_neardup_state,
+            )
+
+            compact_neardup_state(spark, state_dir)
     finally:
         batch_df.unpersist()
 
@@ -174,6 +187,7 @@ def run_crawl_pipeline(
     checkpoint: str,
     rebuild_corpus=None,
     record_drift: bool = False,
+    compact_every: int | None = None,
 ):
     """Wire the composed pipeline over a (doc_id, text, embedding) source
     against a BATCHED IVF-PQ layout (`write_ivfpq_layout_for(batched=True)`)
@@ -189,6 +203,7 @@ def run_crawl_pipeline(
         process_crawl_batch(
             batch_df, batch_id, state_dir, layout_path, out_dir,
             rebuild_corpus=rebuild_corpus, record_drift=record_drift,
+            compact_every=compact_every,
         )
 
     return (

@@ -339,3 +339,67 @@ def test_maybe_rebuild_introspects_batchedness(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compaction_cadence_inside_pipeline(spark, sf_dir):
+    """VERDICT r11 task #5: `compact_every` runs `compact_neardup_state`
+    INSIDE the per-batch path (after the batch's writes, so the newest
+    partition never folds) without changing any output — curated sets
+    equal a cadence-less twin run, and the final batch replayed after
+    compaction reproduces itself (replay idempotency through the
+    compacted state)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.stream_parity import (
+        _crawl_splits,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.state_compaction import (
+        HISTORY_BATCH_ID,
+    )
+    from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+        _state_tables,
+    )
+
+    nb = 3
+    arrivals, base = _crawl_splits(spark, sf_dir)
+    arrivals = arrivals.filter(F.col("doc_id") < 2000)
+    base = base.filter(F.col("vec_id") < 2000)
+    bidx = (F.col("doc_id") / 4).cast("long") % nb
+    tmp = tempfile.mkdtemp(prefix="crawl_cadence_")
+    try:
+        outs = {}
+        for tag, cadence in (("plain", None), ("cadence", 2)):
+            root = f"{tmp}/{tag}"
+            write_ivfpq_layout_for(
+                spark, base, f"{root}/index", batched=True
+            )
+            for i in range(nb):
+                process_crawl_batch(
+                    arrivals.filter(bidx == i), i, f"{root}/state",
+                    f"{root}/index", f"{root}/out", compact_every=cadence,
+                )
+            outs[tag] = sorted(
+                r.doc_id
+                for r in spark.read.parquet(f"{root}/out/curated").collect()
+            )
+        assert outs["plain"] == outs["cadence"]
+        # the cadence run genuinely folded: history partition present
+        tables = _state_tables(f"{tmp}/cadence/state")
+        bids = {
+            r.batch_id
+            for r in spark.table(tables["bands"])
+            .select("batch_id").distinct().collect()
+        }
+        assert HISTORY_BATCH_ID in bids
+        # replay the final batch through the compacted state
+        process_crawl_batch(
+            arrivals.filter(bidx == nb - 1), nb - 1, f"{tmp}/cadence/state",
+            f"{tmp}/cadence/index", f"{tmp}/cadence/out", compact_every=2,
+        )
+        replay = sorted(
+            r.doc_id
+            for r in spark.read.parquet(f"{tmp}/cadence/out/curated").collect()
+        )
+        assert replay == outs["cadence"]
+    finally:
+        for tag in ("plain", "cadence"):
+            drop_state(spark, f"{tmp}/{tag}/state")
+        shutil.rmtree(tmp, ignore_errors=True)
