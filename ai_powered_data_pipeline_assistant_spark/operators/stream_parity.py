@@ -2201,22 +2201,20 @@ def crawl_steady_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     last = F.col("batch_id") == nb - 1
     n_arrivals = final.count()
-    from ai_powered_data_pipeline_assistant_spark import hadoop_fs
+    from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+        DECISIONS_SCHEMA,
+    )
 
-    # explicit no-files check, not a broad AnalysisException catch: only
-    # "no pair was ever flagged across ANY batch" (nothing to infer a
-    # schema from) maps to zero drops — a malformed pairs layout should
-    # still error loudly, not report n_dropped = 0
-    if hadoop_fs.has_parquet(spark, f"{root}/out/pairs"):
-        n_dropped = (
-            spark.read.parquet(f"{root}/out/pairs")
-            .filter(last)
-            .select("later_id")
-            .distinct()
-            .count()
-        )
-    else:
-        n_dropped = 0
+    # the final batch's drop count from the gate's BOUNDED decisions
+    # (round 12 — the pair read-back this replaces was the composed text
+    # path's one quadratic output); explicit schema, the stream-output
+    # read rule
+    n_dropped = (
+        spark.read.schema(f"{DECISIONS_SCHEMA}, batch_id long")
+        .parquet(f"{root}/out/decisions")
+        .filter(last & F.col("is_dup"))
+        .count()
+    )
     n_curated = spark.read.parquet(f"{root}/out/curated").filter(last).count()
     n_indexed = (
         spark.read.parquet(f"{root}/index/codes").filter(last).count()

@@ -5,12 +5,14 @@ parts so nothing here introduces new math:
 
 1. `neardup.process_neardup_batch` checks the arriving docs against the
    accumulated bucketed band state (and against each other) and lands the
-   flagged (later, earlier) pairs exactly-once;
-2. the batch's CURATED slice = arrivals that were not flagged as the
-   LATER side of any pair this batch — note dropped docs still enter the
-   near-dup state (their content has been seen; a later near-copy of a
-   dropped doc must also be dropped), which is what makes the stream's
-   keep-set equal the batch rule's;
+   gate's BOUNDED per-arrival decisions exactly-once (round 12: the full
+   pair list is the opt-in ``emit_pairs`` analysis output — quadratic in
+   family size, never in the default hot path);
+2. the batch's CURATED slice = arrivals whose decision is not ``is_dup``
+   (the later side of any pair this batch) — note dropped docs still
+   enter the near-dup state (their content has been seen; a later
+   near-copy of a dropped doc must also be dropped), which is what makes
+   the stream's keep-set equal the batch rule's;
 3. `layout.append_ivfpq_layout(batch_id=N)` routes ONLY the curated docs'
    vectors through the index's stored artifacts into their
    (list_id, batch_id) partitions — replays overwrite themselves;
@@ -46,6 +48,7 @@ def process_crawl_batch(
     rebuild_corpus=None,
     record_drift: bool = False,
     compact_every: int | None = None,
+    emit_pairs: bool = False,
 ) -> None:
     """One micro-batch of the composed pipeline — module-level so the
     stream wiring, the parity replays, and the steady-state bench row
@@ -89,39 +92,41 @@ def process_crawl_batch(
         process_neardup_batch,
     )
 
-    pairs_dir = f"{out_dir}/pairs"
+    decisions_dir = f"{out_dir}/decisions"
     curated_dir = f"{out_dir}/curated"
     spark = batch_df.sparkSession
     batch_df = batch_df.persist()
     try:
-        process_neardup_batch(
-            batch_df.select("doc_id", "text"), batch_id, state_dir, pairs_dir
+        from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
+            DECISIONS_SCHEMA,
         )
-        # this batch's later-side ids — the docs the gate drops. An
-        # explicit no-files check (not a broad AnalysisException catch):
-        # only "no pair flagged so far" (no parquet to infer a schema
-        # from) means nothing is dropped; a malformed pairs layout still
-        # errors loudly.
-        from ai_powered_data_pipeline_assistant_spark import hadoop_fs
 
-        if hadoop_fs.has_parquet(spark, pairs_dir):
-            later = (
-                spark.read.parquet(pairs_dir)
-                .filter(F.col("batch_id") == batch_id)
-                .select(F.col("later_id").alias("doc_id"))
-                .distinct()
-            )
-            # two consumers below (index append + curated sink):
-            # materialize so the pairs read + anti-join run once
-            from ai_powered_data_pipeline_assistant_spark.execution import (
-                materialize,
-            )
+        process_neardup_batch(
+            batch_df.select("doc_id", "text"), batch_id, state_dir,
+            pairs_dir=f"{out_dir}/pairs" if emit_pairs else None,
+            decisions_dir=decisions_dir,
+        )
+        # this batch's drop set, from the gate's BOUNDED per-arrival
+        # decisions (round-12 review: the pair read-back this replaces
+        # was the one remaining quadratic output in the composed text
+        # path — the full pair list is now the opt-in ``emit_pairs``
+        # analysis product, exactly as in the media twin). Explicit
+        # schema: a batch with no docs leaves only _SUCCESS markers.
+        later = (
+            spark.read.schema(f"{DECISIONS_SCHEMA}, batch_id long")
+            .parquet(decisions_dir)
+            .filter((F.col("batch_id") == batch_id) & F.col("is_dup"))
+            .select("doc_id")
+        )
+        # two consumers below (index append + curated sink):
+        # materialize so the decisions read + anti-join run once
+        from ai_powered_data_pipeline_assistant_spark.execution import (
+            materialize,
+        )
 
-            curated = batch_df.join(later, "doc_id", "left_anti").transform(
-                materialize
-            )
-        else:  # no pairs parquet yet → nothing dropped
-            curated = batch_df
+        curated = batch_df.join(later, "doc_id", "left_anti").transform(
+            materialize
+        )
         # drift rule before the append (replay convergence — docstring);
         # armed pipelines check every batch, unarmed ones opt in. The
         # batch's OWN partitions are excluded from the current counts: a
@@ -188,11 +193,14 @@ def run_crawl_pipeline(
     rebuild_corpus=None,
     record_drift: bool = False,
     compact_every: int | None = None,
+    emit_pairs: bool = False,
 ):
     """Wire the composed pipeline over a (doc_id, text, embedding) source
     against a BATCHED IVF-PQ layout (`write_ivfpq_layout_for(batched=True)`)
     and an (initially empty) near-dup state dir. Outputs under ``out_dir``:
-    ``pairs/`` (flagged near-dup pairs), ``curated/`` (kept doc ids), and
+    ``decisions/`` (the gate's bounded per-arrival verdicts — the
+    curation input), ``curated/`` (kept doc ids), ``pairs/`` only under
+    the ``emit_pairs`` analysis flag (quadratic in family size), and
     — when the drift loop is armed or ``record_drift`` — ``drift/`` (the
     per-batch IVF-PQ drift-rule record), all batch_id-partitioned.
     ``rebuild_corpus`` arms the automated drift→rebuild loop (see
@@ -203,7 +211,7 @@ def run_crawl_pipeline(
         process_crawl_batch(
             batch_df, batch_id, state_dir, layout_path, out_dir,
             rebuild_corpus=rebuild_corpus, record_drift=record_drift,
-            compact_every=compact_every,
+            compact_every=compact_every, emit_pairs=emit_pairs,
         )
 
     return (

@@ -53,7 +53,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ai_powered_data_pipeline_assistant_spark import hadoop_fs
 from ai_powered_data_pipeline_assistant_spark.execution import materialize
 
 MEDIA_STATE_BUCKETS = 4
@@ -89,10 +88,6 @@ def _state_tables(state_dir: str) -> dict[str, str]:
     }
 
 
-def _table_path(state_dir: str, key: str) -> str:
-    return f"{state_dir.rstrip('/')}/{key}"
-
-
 def _phash_dir(state_dir: str) -> str:
     return f"{state_dir.rstrip('/')}/phash"
 
@@ -105,44 +100,17 @@ def _create_state(
     spark: SparkSession, state_dir: str, tables: dict[str, str]
 ) -> None:
     """Create the two pipeline-local state tables with their bucket
-    layouts, or re-register surviving files in a fresh session; refuses
-    to bootstrap empty state over a crashed compaction swap's intact
-    aside (the shared `guard_swap_remnants`). Idempotent per table."""
+    layouts, or re-register surviving files in a fresh session — the
+    shared `state_compaction.create_bucketed_state` lifecycle (remnant
+    guard, per-table idempotency)."""
     from ai_powered_data_pipeline_assistant_spark.streaming.state_compaction import (
-        guard_swap_remnants,
+        create_bucketed_state,
     )
 
-    for key, (schema, bucket_cols) in _STATE_SPECS.items():
-        if spark.catalog.tableExists(tables[key]):
-            continue
-        live_has_data = guard_swap_remnants(
-            spark, state_dir, key, "media pipeline"
-        )
-        path = _table_path(state_dir, key)
-        if live_has_data:
-            cols = ", ".join(bucket_cols)
-            data_cols = ", ".join(
-                c.strip() for c in schema.split(",") if "batch_id" not in c
-            )
-            spark.sql(
-                f"CREATE TABLE {tables[key]} ({data_cols}, batch_id long) "
-                f"USING PARQUET PARTITIONED BY (batch_id) "
-                f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
-                f"INTO {MEDIA_STATE_BUCKETS} BUCKETS "
-                f"LOCATION '{path}'"
-            )
-            spark.sql(f"ALTER TABLE {tables[key]} RECOVER PARTITIONS")
-        else:
-            (
-                spark.createDataFrame([], schema)
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .bucketBy(MEDIA_STATE_BUCKETS, *bucket_cols)
-                .sortBy(*bucket_cols)
-                .option("path", path)
-                .format("parquet")
-                .saveAsTable(tables[key])
-            )
+    create_bucketed_state(
+        spark, state_dir, _STATE_SPECS, MEDIA_STATE_BUCKETS, tables,
+        "media pipeline",
+    )
 
 
 def drop_state(spark: SparkSession, state_dir: str) -> None:
@@ -397,36 +365,14 @@ def compact_media_state(spark: SparkSession, state_dir: str) -> dict[str, int]:
         compact_phash_state,
     )
     from ai_powered_data_pipeline_assistant_spark.streaming.state_compaction import (
-        fold_expr,
-        newest_batch_id,
-        write_staged_bucketed,
+        compact_bucketed_state,
     )
 
     tables = _state_tables(state_dir)
-    _create_state(spark, state_dir, tables)
-    max_bid = newest_batch_id(spark, list(tables.values()))
-    out: dict[str, int] = {}
-    for key, name in tables.items():
-        live = _table_path(state_dir, key)
-        if max_bid is None:
-            out[key] = hadoop_fs.count_parquet(spark, live)
-            continue
-        staged = f"{live}_staged"
-        hadoop_fs.delete_recursive(spark, staged)
-        tmp_name = f"{name}_compact"
-        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
-        cols = [c for c in spark.table(name).columns if c != "batch_id"]
-        folded = spark.table(name).select(
-            *cols, fold_expr(max_bid).alias("batch_id")
-        )
-        write_staged_bucketed(
-            folded, _STATE_SPECS[key][1], MEDIA_STATE_BUCKETS, tmp_name, staged
-        )
-        spark.sql(f"DROP TABLE {tmp_name}")
-        spark.sql(f"DROP TABLE {name}")
-        hadoop_fs.swap_dirs(spark, live, staged)
-        out[key] = hadoop_fs.count_parquet(spark, live)
-    _create_state(spark, state_dir, tables)
+    out = compact_bucketed_state(
+        spark, state_dir, _STATE_SPECS, MEDIA_STATE_BUCKETS, tables,
+        lambda: _create_state(spark, state_dir, tables),
+    )
     phash_files = compact_phash_state(spark, _phash_dir(state_dir))
     out.update({f"phash_{k}": v for k, v in phash_files.items()})
     cluster = compact_cluster_state(spark, _cluster_dir(state_dir))

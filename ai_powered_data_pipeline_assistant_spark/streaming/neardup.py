@@ -490,9 +490,10 @@ def process_neardup_batch(
         F.col("b_id").alias("earlier_id"),
         "jaccard",
     )
-    if pairs_dir is not None and decisions_dir is not None:
-        # both outputs consume the verified set — cut the shared lineage
-        # (band join + postings verify) so it runs once
+    if decisions_dir is not None or pairs_dir is not None:
+        # the verified set always has a second potential consumer (the
+        # returned frame feeds composed pipelines); cut the band-join +
+        # postings-verify lineage so it runs once (round-12 review)
         out = materialize(out)
     if pairs_dir is not None:
         # Exactly-once pair output: batch_id-partitioned dynamic overwrite.
@@ -553,13 +554,18 @@ def run_neardup_stream(
     docs_stream: DataFrame,
     state_dir: str,
     pairs_dir: str | None = None,
-    checkpoint: str = "",
+    checkpoint: str | None = None,
     decisions_dir: str | None = None,
 ):
     """Wire the incremental near-dup stream over a (doc_id, text) source.
     ``decisions_dir`` lands the bounded per-arrival gate decisions;
     ``pairs_dir`` the full pair list (analysis flag). Returns the started
     StreamingQuery (availableNow)."""
+    if not checkpoint:
+        raise ValueError(
+            "run_neardup_stream requires a checkpoint location (the "
+            "parameter is positional-after-pairs_dir for compatibility)"
+        )
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         process_neardup_batch(

@@ -62,7 +62,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ai_powered_data_pipeline_assistant_spark import hadoop_fs
 from ai_powered_data_pipeline_assistant_spark.execution import materialize
 from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
     PHASH_BANDS,
@@ -122,45 +121,17 @@ def _create_state(
     spark: SparkSession, state_dir: str, tables: dict[str, str]
 ) -> None:
     """Create the two state tables with their bucket layouts, or
-    re-register surviving files in a fresh session; refuses to bootstrap
-    empty state over a crashed compaction swap's intact aside (the shared
-    `guard_swap_remnants`). Idempotent per table (a crash between the two
-    creations leaves a partial catalog the next call completes)."""
+    re-register surviving files in a fresh session — the shared
+    `state_compaction.create_bucketed_state` lifecycle (remnant guard,
+    per-table idempotency)."""
     from ai_powered_data_pipeline_assistant_spark.streaming.state_compaction import (
-        guard_swap_remnants,
+        create_bucketed_state,
     )
 
-    for key, (schema, bucket_cols) in _STATE_SPECS.items():
-        if spark.catalog.tableExists(tables[key]):
-            continue
-        live_has_data = guard_swap_remnants(
-            spark, state_dir, key, "phash stream"
-        )
-        path = _table_path(state_dir, key)
-        if live_has_data:
-            cols = ", ".join(bucket_cols)
-            data_cols = ", ".join(
-                c.strip() for c in schema.split(",") if "batch_id" not in c
-            )
-            spark.sql(
-                f"CREATE TABLE {tables[key]} ({data_cols}, batch_id long) "
-                f"USING PARQUET PARTITIONED BY (batch_id) "
-                f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
-                f"INTO {PHASH_STATE_BUCKETS} BUCKETS "
-                f"LOCATION '{path}'"
-            )
-            spark.sql(f"ALTER TABLE {tables[key]} RECOVER PARTITIONS")
-        else:
-            (
-                spark.createDataFrame([], schema)
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .bucketBy(PHASH_STATE_BUCKETS, *bucket_cols)
-                .sortBy(*bucket_cols)
-                .option("path", path)
-                .format("parquet")
-                .saveAsTable(tables[key])
-            )
+    create_bucketed_state(
+        spark, state_dir, _STATE_SPECS, PHASH_STATE_BUCKETS, tables,
+        "phash stream",
+    )
 
 
 def drop_state(spark: SparkSession, state_dir: str) -> None:
@@ -355,9 +326,12 @@ def process_phash_batch(
         )
         .filter(F.col("hamming") <= PHASH_HAMMING_T)
     )
-    if pairs_dir is not None and decisions_dir is not None:
-        # both outputs consume the verified set — cut the shared lineage
-        # (band join + two hash joins) so it runs once
+    if decisions_dir is not None or pairs_dir is not None:
+        # the verified set always has a second potential consumer — the
+        # returned frame feeds composed pipelines' clusterers — and the
+        # lineage behind it (candidate-pruned state point reads + two
+        # hash joins) is exactly what must not run twice; cut it once
+        # here (round-12 review)
         pairs = materialize(pairs)
     if pairs_dir is not None:
         idempotent_append(pairs, batch_id, pairs_dir)
@@ -406,7 +380,7 @@ def run_phash_stream(
     media_stream: DataFrame,
     state_dir: str,
     pairs_dir: str | None = None,
-    checkpoint: str = "",
+    checkpoint: str | None = None,
     decisions_dir: str | None = None,
 ):
     """Wire the incremental perceptual gate over a (media_id, modality,
@@ -414,6 +388,11 @@ def run_phash_stream(
     decisions; ``pairs_dir`` the full pair list (analysis flag — see
     `process_phash_batch`). Returns the started StreamingQuery
     (availableNow)."""
+    if not checkpoint:
+        raise ValueError(
+            "run_phash_stream requires a checkpoint location (the "
+            "parameter is positional-after-pairs_dir for compatibility)"
+        )
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         process_phash_batch(
@@ -431,42 +410,19 @@ def run_phash_stream(
 
 def compact_phash_state(spark: SparkSession, state_dir: str) -> dict[str, int]:
     """Offline state compaction (stream stopped): fold every batch
-    partition except the newest into ``batch_id = -1`` per table, via the
-    shared `state_compaction` core (fold selection + bucketing-disabled
-    staged write) and the substring-style in-place dir swap (the remnant
-    guard in `_create_state` covers a crash between the renames). Rows
-    are relabeled, never collapsed — each blob's band/hash rows are
+    partition except the newest into ``batch_id = -1`` per table via the
+    shared `state_compaction.compact_bucketed_state` lifecycle (fold
+    selection + bucketing-disabled staged write + in-place dir swap;
+    `_create_state`'s remnant guard covers a crash between the renames).
+    Rows are relabeled, never collapsed — each blob's band/hash rows are
     written exactly once, at its arrival batch. Returns {table: parquet
     files after compaction}."""
     from ai_powered_data_pipeline_assistant_spark.streaming.state_compaction import (
-        fold_expr,
-        newest_batch_id,
-        write_staged_bucketed,
+        compact_bucketed_state,
     )
 
     tables = _state_tables(state_dir)
-    _create_state(spark, state_dir, tables)
-    max_bid = newest_batch_id(spark, list(tables.values()))
-    out: dict[str, int] = {}
-    for key, name in tables.items():
-        live = _table_path(state_dir, key)
-        if max_bid is None:
-            out[key] = hadoop_fs.count_parquet(spark, live)
-            continue
-        staged = f"{live}_staged"
-        hadoop_fs.delete_recursive(spark, staged)
-        tmp_name = f"{name}_compact"
-        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
-        cols = [c for c in spark.table(name).columns if c != "batch_id"]
-        folded = spark.table(name).select(
-            *cols, fold_expr(max_bid).alias("batch_id")
-        )
-        write_staged_bucketed(
-            folded, _STATE_SPECS[key][1], PHASH_STATE_BUCKETS, tmp_name, staged
-        )
-        spark.sql(f"DROP TABLE {tmp_name}")
-        spark.sql(f"DROP TABLE {name}")
-        hadoop_fs.swap_dirs(spark, live, staged)
-        out[key] = hadoop_fs.count_parquet(spark, live)
-    _create_state(spark, state_dir, tables)
-    return out
+    return compact_bucketed_state(
+        spark, state_dir, _STATE_SPECS, PHASH_STATE_BUCKETS, tables,
+        lambda: _create_state(spark, state_dir, tables),
+    )

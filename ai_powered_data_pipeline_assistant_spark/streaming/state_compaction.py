@@ -141,3 +141,94 @@ def write_staged_bucketed(
         )
     finally:
         spark.conf.set(bkey, prev)
+
+
+def create_bucketed_state(
+    spark: SparkSession,
+    state_dir: str,
+    specs: dict[str, tuple[str, list[str]]],
+    n_buckets: int,
+    tables: dict[str, str],
+    what: str,
+) -> None:
+    """Create a multi-table bucketed state (one ``batch_id``-partitioned
+    table per spec) or re-register surviving files in a fresh session —
+    the create/recover lifecycle the phash stream introduced and the
+    media pipeline reuses (round-12 review: one implementation, not one
+    copy per module). Refuses to bootstrap empty state over a crashed
+    in-place-swap's intact aside (`guard_swap_remnants`). Idempotent per
+    table: a crash between creations leaves a partial catalog the next
+    call completes. ``specs`` maps table key -> (schema containing a
+    trailing ``batch_id long``, bucket columns); table dirs live at
+    ``{state_dir}/{key}``."""
+    for key, (schema, bucket_cols) in specs.items():
+        if spark.catalog.tableExists(tables[key]):
+            continue
+        live_has_data = guard_swap_remnants(spark, state_dir, key, what)
+        path = f"{state_dir.rstrip('/')}/{key}"
+        if live_has_data:
+            cols = ", ".join(bucket_cols)
+            data_cols = ", ".join(
+                c.strip() for c in schema.split(",") if "batch_id" not in c
+            )
+            spark.sql(
+                f"CREATE TABLE {tables[key]} ({data_cols}, batch_id long) "
+                f"USING PARQUET PARTITIONED BY (batch_id) "
+                f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                f"INTO {n_buckets} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+            spark.sql(f"ALTER TABLE {tables[key]} RECOVER PARTITIONS")
+        else:
+            (
+                spark.createDataFrame([], schema)
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .bucketBy(n_buckets, *bucket_cols)
+                .sortBy(*bucket_cols)
+                .option("path", path)
+                .format("parquet")
+                .saveAsTable(tables[key])
+            )
+
+
+def compact_bucketed_state(
+    spark: SparkSession,
+    state_dir: str,
+    specs: dict[str, tuple[str, list[str]]],
+    n_buckets: int,
+    tables: dict[str, str],
+    create_state,
+) -> dict[str, int]:
+    """Fold-all-but-newest + in-place swap for a `create_bucketed_state`
+    lifecycle (offline, stream stopped): per table, relabel every batch
+    partition except the global newest into ``batch_id = -1`` via ONE
+    staged bucketed write, swap the staged dir over the live one
+    (`hadoop_fs.swap_dirs`; `guard_swap_remnants` inside ``create_state``
+    covers a crash between the renames), and re-register. Rows are
+    relabeled, never collapsed. ``create_state`` is the caller's
+    zero-arg (re)registration hook, invoked before and after the swaps.
+    Returns {table key: parquet files after compaction}."""
+    create_state()
+    max_bid = newest_batch_id(spark, list(tables.values()))
+    out: dict[str, int] = {}
+    for key, name in tables.items():
+        live = f"{state_dir.rstrip('/')}/{key}"
+        if max_bid is None:
+            out[key] = hadoop_fs.count_parquet(spark, live)
+            continue
+        staged = f"{live}_staged"
+        hadoop_fs.delete_recursive(spark, staged)
+        tmp_name = f"{name}_compact"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        cols = [c for c in spark.table(name).columns if c != "batch_id"]
+        folded = spark.table(name).select(
+            *cols, fold_expr(max_bid).alias("batch_id")
+        )
+        write_staged_bucketed(folded, specs[key][1], n_buckets, tmp_name, staged)
+        spark.sql(f"DROP TABLE {tmp_name}")
+        spark.sql(f"DROP TABLE {name}")
+        hadoop_fs.swap_dirs(spark, live, staged)
+        out[key] = hadoop_fs.count_parquet(spark, live)
+    create_state()
+    return out
