@@ -50,7 +50,18 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A chunk occurrence survives iff it is the FIRST occurrence of that
     chunk text in (doc_id, chunk position) order. Returns per document the
-    surviving text, total chunks, and how many were dropped."""
+    surviving text, total chunks, and how many were dropped.
+
+    First-wins selection is the skew-safe ``min(struct(doc_id, pos))``
+    aggregate per chunk hash — the curation/substring keeper discipline
+    (round 12): a boilerplate chunk repeated millions of times is exactly
+    the hot partition a ``row_number() OVER (PARTITION BY h)`` window
+    would serialize into one task, while the aggregate partial-combines
+    map-side. The surviving text then re-aggregates from the
+    distinct-chunk-order firsts frame (the chunk text is single-valued
+    per hash, so it rides the same aggregate); the full occurrence set is
+    never shuffled a second time — its only other consumer is the
+    map-side-combined per-doc count."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     chunks = F.expr(
@@ -62,24 +73,40 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
         .select("doc_id", "pos", "chunk", md5_int(F.col("chunk")).alias("h"))
     )
-    w = Window.partitionBy("h").orderBy("doc_id", "pos")
-    kept = occ.withColumn("rn", F.row_number().over(w))
-    return (
-        kept.groupBy("doc_id")
+    firsts = (
+        occ.groupBy("h")
         .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("rn") == 1, F.struct("pos", "chunk"))
-                        )
-                    ),
-                    lambda s: s["chunk"],
-                ),
-                " ",
-            ).alias("kept_text"),
+            F.min(F.struct("doc_id", "pos")).alias("f"),
+            # md5-keyed group → one distinct chunk text per group; min is
+            # the deterministic way to say "the" value
+            F.min("chunk").alias("chunk"),
+        )
+        .select(
+            F.col("f.doc_id").alias("doc_id"),
+            F.col("f.pos").alias("pos"),
+            "chunk",
+        )
+    )
+    kept_per_doc = firsts.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    totals = occ.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return (
+        totals.join(kept_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
         .orderBy("doc_id")
     )

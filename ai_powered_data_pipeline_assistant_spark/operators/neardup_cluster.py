@@ -182,7 +182,13 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster dedup decision: keep the highest-quality document of
     each near-dup cluster (ties → lowest doc_id). One row per cluster with
-    the keeper and the family size; `cluster_size - 1` docs get dropped."""
+    the keeper and the family size; `cluster_size - 1` docs get dropped.
+
+    Keeper selection is the skew-safe ``max(struct(quality, -doc_id))``
+    aggregate (round 12 — the curation/media keeper discipline: a
+    template-spam family is exactly the hot cluster_id a per-family
+    row_number window would serialize into one task), which also folds
+    the family-size count into the same map-side-combined pass."""
     pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
     labels, n_edges = connected_components_counted(pairs)
     clusters = labels.select(
@@ -194,24 +200,18 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count proves it small; on a 30-50%-duplicate web corpus it is
     # corpus-order and goes through a shuffle join instead.
     joined = _labels_maybe_broadcast(clusters, n_edges).join(quality, "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
-    ranked = joined.select(
+    best = joined.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("ni"))
+        ).alias("_s"),
+        F.count("*").alias("cluster_size"),
+    )
+    return best.select(
         "cluster_id",
-        "doc_id",
-        "quality",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
-    )
-    return (
-        ranked.filter(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("keeper_id"),
-            "cluster_size",
-            F.col("quality").alias("keeper_quality"),
-        )
-        .orderBy("cluster_id")
-    )
+        (-F.col("_s.ni")).cast("long").alias("keeper_id"),
+        "cluster_size",
+        F.col("_s.quality").alias("keeper_quality"),
+    ).orderBy("cluster_id")
 
 
 def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -383,3 +383,21 @@ def test_curation_exact_dedup_no_content_window(spark, sf_dir):
     # map-side partial + final aggregate around the keeper Exchange
     assert plan.count("HashAggregate") >= 2, plan
     assert "Exchange hashpartitioning" in plan, plan
+
+
+def test_family_keyed_keepers_have_no_window(spark, sf_dir):
+    """Round 12: the two remaining family/content-keyed first-wins ops —
+    neardup_keep_best (per-cluster keeper) and span_dedup (first
+    occurrence per chunk hash) — must use the skew-safe min/max-struct
+    keeper aggregate (map-side-combined HashAggregates), never a
+    row_number window partitioned by the family/content key: a
+    template-spam cluster or a boilerplate chunk is exactly the hot
+    partition such a window serializes into one task at 100 TB."""
+    for name in ("neardup_keep_best", "span_dedup"):
+        plan = _initial_plan(QUERIES[name](spark, sf_dir))
+        assert "Window" not in plan, (name, plan)
+        # two-phase aggregate with a map-side partial before the family
+        # Exchange (struct-buffered keepers compile to SortAggregate, not
+        # HashAggregate — the partial_ prefix is the skew-safety witness)
+        assert "partial_" in plan, (name, plan)
+        assert plan.count("Aggregate") >= 2, (name, plan)
