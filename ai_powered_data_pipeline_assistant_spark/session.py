@@ -47,4 +47,12 @@ def get_spark(app_name: str = "ai-pipeline-spark", master: str | None = None) ->
         # (floor to micros — matches DuckDB's truncation of the same files).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Deployment hook: arbitrary extra conf pairs via environment, e.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.eventLog.enabled=true;spark.eventLog.dir=/tmp/ev"
+    # (profiling) or cluster-side shuffle/memory sizing — keeps
+    # scale-dependent settings parameterised without code edits.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
