@@ -42,33 +42,12 @@ W_LEN, W_AWL, W_PUNCT, W_UPPER, BIAS = 2.0, 0.3, -8.0, -4.0, -0.5
 
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean negative log-probability under the corpus's own
-    unigram distribution (lower = more typical of the corpus).
-
-    Round 12 (guide §2.3 "aggregate before you shuffle"): the token stream
-    is reduced to per-(doc, token) COUNTS in one map-side-combined pass,
-    and every downstream stage runs on that aggregate — the vocab is a
-    re-aggregation of it (never a second explode over the corpus) and the
-    scoring join moves one row per DISTINCT (doc, token) instead of one
-    per token occurrence. sum_lp = Σ c·lp_int is the identical integer
-    (multiplication distributes over the per-occurrence adds), so the
-    result is bit-equal to the per-occurrence formulation the oracle
-    states."""
-    from ai_powered_data_pipeline_assistant_spark.execution import materialize
-
+    unigram distribution (lower = more typical of the corpus)."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    tok_counts = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-            ).alias("tok"),
-        )
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-        # two consumers (vocab re-aggregation + scoring join)
-        .transform(materialize)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
     )
-    vocab = tok_counts.groupBy("tok").agg(F.sum("c").alias("cnt"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     lp = vocab.crossJoin(F.broadcast(total)).select(
         "tok",
@@ -79,12 +58,9 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lp_int"),
     )
     return (
-        tok_counts.join(lp, "tok")
+        toks.join(lp, "tok")
         .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("lp_int") * F.col("c")).alias("sum_lp"),
-            F.sum("c").alias("n_tokens"),
-        )
+        .agg(F.sum("lp_int").alias("sum_lp"), F.count("*").alias("n_tokens"))
         .select(
             "doc_id",
             "n_tokens",
