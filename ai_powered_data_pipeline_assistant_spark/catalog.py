@@ -37,6 +37,28 @@ _TS_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
+# Parquet SCHEMA cache, keyed by (path, file mtime): creating a DataFrame
+# with spark.read.parquet() runs a footer-read JOB on the driver to infer
+# the schema, every single call — ~30-50 ms plus a scheduling gap per
+# load_table, paid by every query (guide §1.1's empirical loop surfaced it
+# as the recurring "parquet at NativeMethodAccessorImpl" jobs). Schemas are
+# static per file version, so they are cached and replayed through
+# spark.read.schema(...), which skips inference entirely. Only METADATA is
+# cached — file listing and all data reads stay fresh per query (the mtime
+# in the key invalidates on rewrite), so this is catalog behavior (what a
+# metastore provides on a real deployment), not result caching.
+_SCHEMA_CACHE: dict = {}
+
+
+def _parquet_mtime(path: str) -> float:
+    import os
+
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
 ) -> DataFrame:
@@ -59,7 +81,14 @@ def load_table(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # already set at session build, or conf locked — read will tell
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (path, _parquet_mtime(path))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     for ts_col in _TS_COLUMNS.get(name, ()):
         field = df.schema[ts_col]
         if isinstance(field.dataType, LongType):

@@ -130,8 +130,18 @@ def connected_components_counted(
     parts = max(1, min(n_edges // 500_000 + 1, 2048))
     if parts < sym.rdd.getNumPartitions():
         sym = materialize(sym.repartition(parts, "node"), require_barrier=True)
+    # Label init folds the FIRST propagation round into the same shuffle the
+    # old `select("node").distinct()` already paid: grouping by node costs
+    # one exchange either way, and aggregating min(nbr) alongside seeds
+    # label(u) = min(N(u) ∪ {u}) instead of u. Most post-LSH families are
+    # pairs/triangles, which now converge one join+groupBy round earlier
+    # (round 12; the min-label invariant is unchanged — init labels are
+    # still component-member ids, so propagation and the pointer-doubling
+    # hop stay sound).
     labels = (
-        sym.select("node").distinct().select("node", F.col("node").alias("label"))
+        sym.groupBy("node")
+        .agg(F.min("nbr").alias("_mn"))
+        .select("node", F.least(F.col("node"), F.col("_mn")).alias("label"))
     ).transform(materialize_barrier)
     connected_components.last_rounds = 0
     prev = labels.agg(F.sum("label")).first()[0]
