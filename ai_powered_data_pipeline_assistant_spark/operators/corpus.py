@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
 from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
     md5_int,
     md5_int_sql,
@@ -264,35 +265,45 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ln over integer ratios matches, as with `unigram_logprob`). Ranking
     ties break on doc_id; the final rounded score is the output.
 
-    Scale: one token explode → (doc, term) counts filtered to the query
-    terms (predicate pushdown keeps the aggregation tiny), df and avgdl are
-    1-row/`|terms|`-row broadcast frames, and the top-k compiles to
-    TakeOrderedAndProject — no global sort."""
+    Scale (round 12, guide §2.3/§2.4): ONE tokenize + explode pass feeds a
+    map-side-combined groupBy(doc_id) computing dl and the per-term tfs
+    together (a doc's tokens never straddle a scan partition, so the
+    partial aggregate collapses to one row per doc before the exchange) —
+    the old shape tokenized the corpus three times (lengths, filtered
+    stream, corpus-total) and pivot-joined the pieces back on doc_id
+    across ~7 exchanges. The narrow per-doc stats frame (5 longs/doc) is
+    materialized once and feeds both consumers (the 1-row corpus/df
+    aggregate, which broadcasts, and the scoring projection). All counts
+    are the same integers as the pivot formulation and the score
+    expression tree is unchanged, so floats match bit-for-bit; the top-k
+    still compiles to TakeOrderedAndProject — no global sort."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    lengths = docs.select("doc_id", F.size(toks).cast("long").alias("dl"))
-    stream = docs.select("doc_id", F.explode(toks).alias("term")).filter(
-        F.col("term").isin(*BM25_TERMS)
+    per_doc = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum((F.col("term") == t).cast("long")).alias(f"tf_{t}")
+                for t in BM25_TERMS
+            ],
+        )
+        .transform(materialize)  # two consumers: corpus stats + scoring
     )
-    tf = stream.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    corpus = docs.agg(
-        F.count("*").alias("n_docs"), F.sum(F.size(toks).cast("long")).alias("toks")
+    corpus = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("toks"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
     )
-    # pivot tf to one column per query term (fixed literal order)
-    wide = lengths.join(
-        tf.groupBy("doc_id").pivot("term", list(BM25_TERMS)).sum("tf"),
-        "doc_id",
-        "left",
-    ).crossJoin(F.broadcast(corpus))
-    df_map = df.groupBy().pivot("term", list(BM25_TERMS)).sum("df")
-    wide = wide.crossJoin(F.broadcast(df_map.select(
-        *[F.col(t).alias(f"df_{t}") for t in BM25_TERMS]
-    )))
+    wide = per_doc.crossJoin(F.broadcast(corpus))
     avgdl = F.col("toks") / F.col("n_docs").cast("double")
 
     def term_score(t: str) -> F.Column:
-        tf_c = F.coalesce(F.col(t), F.lit(0)).cast("double")
+        tf_c = F.coalesce(F.col(f"tf_{t}"), F.lit(0)).cast("double")
         df_c = F.coalesce(F.col(f"df_{t}"), F.lit(0)).cast("double")
         idf = F.log(
             (F.col("n_docs") - df_c + 0.5) / (df_c + 0.5) + 1.0

@@ -2140,9 +2140,12 @@ def ensure_crawl_state(spark: SparkSession, sf_dir: str) -> str:
     )
 
     nb = CRAWL_BATCHES
+    # v2: state/index appends land bucket-aligned, rebalanced files
+    # (round 12) — bump invalidates cached v1 state whose per-batch file
+    # sprawl the timed steady-state reads would otherwise keep paying.
     tag = (
         f"{_source_fingerprint(sf_dir)}_"
-        f"{_source_fingerprint(sf_dir, 'documents').rsplit('_', 1)[1]}"
+        f"{_source_fingerprint(sf_dir, 'documents').rsplit('_', 1)[1]}_v2"
     )
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_crawl_{tag}")
     marker = os.path.join(root, "_SUCCESS")

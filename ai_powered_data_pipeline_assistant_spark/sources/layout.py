@@ -183,9 +183,14 @@ def write_ivfpq_layout_for(
     if batched:
         codes_out = codes_out.withColumn("batch_id", F.lit(-1).cast("long"))
         part_cols = ["list_id", "batch_id"]
-    codes_out.write.mode("overwrite").partitionBy(*part_cols).parquet(
-        os.path.join(out_path, "codes")
-    )
+    # Keyed REBALANCE before the partitioned write (guide §6): without it
+    # every build task writes a file into every list dir it routed to —
+    # O(tasks × lists) near-empty files that every pruned query re-lists
+    # and re-opens. Rebalanced on list_id, each list's codes land in
+    # whole, advisory-sized files (~one per list here).
+    codes_out.hint("rebalance", "list_id").write.mode("overwrite").partitionBy(
+        *part_cols
+    ).parquet(os.path.join(out_path, "codes"))
     spark.createDataFrame(
         sorted(cent_map.items()), "list_id long, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_path, "coarse"))
@@ -267,6 +272,13 @@ def append_ivfpq_layout(
         "vec_id", "list_id", *[F.col(f"_c{m}") for m in range(PQ_M)]
     )
     codes_path = os.path.join(layout_path, "codes")
+    # REBALANCE keyed on the partition column (round 12, guide §6): the
+    # append otherwise writes one file per (task, routed list) — a
+    # 32-partition batch into ~n_lists dirs lands hundreds of near-empty
+    # files per append, which every later pruned query re-lists. Keyed
+    # rebalance groups each list's rows into whole output partitions at
+    # AQE's advisory size, so an append lands ~one file per routed list.
+    new_codes = new_codes.hint("rebalance", "list_id")
     if batch_id is None:
         new_codes.write.mode("append").partitionBy("list_id").parquet(codes_path)
     else:
@@ -540,7 +552,10 @@ def ensure_ivfpq_layout(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     train_sample = float(os.environ.get("PQ_TRAIN_SAMPLE", "1.0"))
-    tag = f"{_source_fingerprint(sf_dir)}_ts{train_sample:g}"
+    # v2: codes rebalanced to ~one file per list at build (round 12) —
+    # the version bump invalidates cached v1 layouts whose per-list file
+    # sprawl the pruned query path would otherwise keep paying.
+    tag = f"{_source_fingerprint(sf_dir)}_ts{train_sample:g}_v2"
     out = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}")
     if not os.path.isfile(os.path.join(out, "codes", "_SUCCESS")):
         write_ivfpq_layout(spark, sf_dir, out)

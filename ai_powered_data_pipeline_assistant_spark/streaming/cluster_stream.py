@@ -281,9 +281,17 @@ def process_cluster_batch(
     # exactly-once appends: dynamic overwrite of the batch's own
     # partitions (bucketed insertInto for roots, plain parquet for the
     # merge log)
-    _insert_dynamic(new_roots.select("doc_id", "root", "batch_id"), table)
+    _insert_dynamic(
+        new_roots.select("doc_id", "root", "batch_id"),
+        table,
+        bucket_cols=["doc_id"],
+        n_buckets=CLUSTER_STATE_BUCKETS,
+    )
     (
-        new_redirects.write.mode("overwrite")
+        # rebalance: one advisory-sized file per batch partition instead
+        # of one per upstream task (guide §6 — see jobs.idempotent_append)
+        new_redirects.hint("rebalance")
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(_redirects_path(state_dir))

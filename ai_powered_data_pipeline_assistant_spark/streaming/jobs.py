@@ -122,9 +122,17 @@ def idempotent_append(batch_df: DataFrame, batch_id: int, path: str) -> None:
     the checkpoint commit — the at-least-once hole of a plain
     ``mode("append")`` foreachBatch) REPLACES its own output instead of
     appending duplicates. Readers see the union of all batch partitions;
-    the batch_id column doubles as write provenance."""
+    the batch_id column doubles as write provenance.
+
+    The REBALANCE hint (round 12, guide §6 "coalesce on write") sizes the
+    batch partition's files adaptively: AQE packs the write into
+    advisory-size output partitions, so a small micro-batch lands ONE
+    file instead of one near-empty file per upstream task (32 here —
+    commit overhead locally, a per-batch small-files leak for every
+    downstream reader at scale), while a large batch still fans out."""
     (
         batch_df.withColumn("batch_id", F.lit(batch_id))
+        .hint("rebalance")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")

@@ -270,11 +270,15 @@ def process_media_batch(
             bid.alias("batch_id"),
         ),
         tables["mdigest"],
+        bucket_cols=_STATE_SPECS["mdigest"][1],
+        n_buckets=MEDIA_STATE_BUCKETS,
     )
     _insert_dynamic(
         hashed.join(F.broadcast(survivor_ids), "media_id", "left_semi")
         .select("media_id", "modality", "bytes", bid.alias("batch_id")),
         tables["msizes"],
+        bucket_cols=_STATE_SPECS["msizes"][1],
+        n_buckets=MEDIA_STATE_BUCKETS,
     )
 
     # -- maintenance cadence (VERDICT r11 task #5) --------------------

@@ -290,13 +290,31 @@ def drop_state(spark: SparkSession, state_dir: str) -> None:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
-def _insert_dynamic(df: DataFrame, table: str) -> None:
+def _insert_dynamic(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | None = None,
+    n_buckets: int | None = None,
+) -> None:
     """Dynamic-partition-overwrite insert: the batch's own ``batch_id``
     partition is REPLACED, other partitions untouched — replays after a
     crash between state commits and the checkpoint commit are idempotent.
     The mode must be set on the session (the per-writer option is ignored
-    by insertInto); saved/restored around the write."""
+    by insertInto); saved/restored around the write.
+
+    ``bucket_cols``/``n_buckets`` (round 12, guide §6): align write tasks
+    to the target table's bucket layout — the same pre-write repartition
+    `state_compaction.write_staged_bucketed` already does. Without it a
+    bucketed insertInto writes one file per (task, bucket) it holds: a
+    32-partition batch frame into a 4-bucket table landed up to 128 tiny
+    files per table per batch (commit/fsync-bound locally, a small-files
+    explosion for every later state read at scale). Repartitioned on the
+    bucket expression, tasks hold whole buckets and the append lands
+    ~n_buckets files. HashPartitioning is the same function bucketing
+    uses, so this can never change which bucket a row lands in."""
     spark = df.sparkSession
+    if bucket_cols:
+        df = df.repartition(n_buckets or NEARDUP_STATE_BUCKETS, *bucket_cols)
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(key)
     spark.conf.set(key, "dynamic")
@@ -538,14 +556,17 @@ def process_neardup_batch(
     _insert_dynamic(
         bands_b.select("doc_id", "band", "band_key", bid.alias("batch_id")),
         tables["bands"],
+        bucket_cols=_STATE_SPECS["bands"][1],
     )
     _insert_dynamic(
         postings_b.select("doc_id", "h", bid.alias("batch_id")),
         tables["postings"],
+        bucket_cols=_STATE_SPECS["postings"][1],
     )
     _insert_dynamic(
         sizes_b.select("doc_id", "sz", bid.alias("batch_id")),
         tables["sizes"],
+        bucket_cols=_STATE_SPECS["sizes"][1],
     )
     return out
 

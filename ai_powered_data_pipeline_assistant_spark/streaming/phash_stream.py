@@ -366,12 +366,16 @@ def process_phash_batch(
             "media_id", "modality", "band", "band_val", bid.alias("batch_id")
         ),
         tables["pbands"],
+        bucket_cols=_STATE_SPECS["pbands"][1],
+        n_buckets=PHASH_STATE_BUCKETS,
     )
     _insert_dynamic(
         hashed_b.select(
             "media_id", "modality", *_BAND_COLS, bid.alias("batch_id")
         ),
         tables["phashes"],
+        bucket_cols=_STATE_SPECS["phashes"][1],
+        n_buckets=PHASH_STATE_BUCKETS,
     )
     return pairs
 

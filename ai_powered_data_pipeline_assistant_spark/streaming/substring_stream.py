@@ -235,6 +235,8 @@ def process_substring_batch(
             "h", F.lit(batch_id).cast("long").alias("batch_id")
         ),
         table,
+        bucket_cols=["h"],
+        n_buckets=SUBSTR_STATE_BUCKETS,
     )
 
 
