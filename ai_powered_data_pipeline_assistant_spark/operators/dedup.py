@@ -523,11 +523,17 @@ def dedup_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    tokens = (
-        docs.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
-        .distinct()
-        .withColumn("h", md5_int(F.col("tok"), 8))
-    )
+    # Dedupe IN-ROW (array_distinct) before exploding — the `_shingles`
+    # discipline (round 12): doc_id is unique per input row, so
+    # (doc_id, tok) is globally distinct by construction and the old
+    # explode→distinct() exchange over the whole token stream disappears;
+    # the per-doc bit-vote aggregation then collapses map-side (a doc's
+    # tokens never straddle a scan partition). Same distinct set per doc,
+    # so every downstream vote is identical.
+    toks = F.split(F.trim("text"), r"\s+")
+    tokens = docs.select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("tok")
+    ).withColumn("h", md5_int(F.col("tok"), 8))
     bit_aggs = []
     for i in range(SIMHASH_BITS):
         vote = F.sum(

@@ -153,7 +153,7 @@ def process_media_batch(
         idempotent_append,
     )
     from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
-        _insert_dynamic,
+        _insert_dynamic_many,
     )
     from ai_powered_data_pipeline_assistant_spark.streaming.phash_stream import (
         DECISIONS_SCHEMA,
@@ -262,23 +262,33 @@ def process_media_batch(
 
     # -- state appends ------------------------------------------------
     bid = F.lit(batch_id).cast("long")
-    _insert_dynamic(
-        groups.filter("is_new").select(
-            "digest",
-            "modality",
-            F.col("final_keeper").alias("keeper_id"),
-            bid.alias("batch_id"),
-        ),
-        tables["mdigest"],
-        bucket_cols=_STATE_SPECS["mdigest"][1],
-        n_buckets=MEDIA_STATE_BUCKETS,
-    )
-    _insert_dynamic(
-        hashed.join(F.broadcast(survivor_ids), "media_id", "left_semi")
-        .select("media_id", "modality", "bytes", bid.alias("batch_id")),
-        tables["msizes"],
-        bucket_cols=_STATE_SPECS["msizes"][1],
-        n_buckets=MEDIA_STATE_BUCKETS,
+    # concurrent appends (guide §2.6): disjoint tables, idempotent
+    # per-partition overwrites, order-free crash-window semantics
+    _insert_dynamic_many(
+        hashed.sparkSession,
+        [
+            (
+                groups.filter("is_new").select(
+                    "digest",
+                    "modality",
+                    F.col("final_keeper").alias("keeper_id"),
+                    bid.alias("batch_id"),
+                ),
+                tables["mdigest"],
+                _STATE_SPECS["mdigest"][1],
+                MEDIA_STATE_BUCKETS,
+            ),
+            (
+                hashed.join(
+                    F.broadcast(survivor_ids), "media_id", "left_semi"
+                ).select(
+                    "media_id", "modality", "bytes", bid.alias("batch_id")
+                ),
+                tables["msizes"],
+                _STATE_SPECS["msizes"][1],
+                MEDIA_STATE_BUCKETS,
+            ),
+        ],
     )
 
     # -- maintenance cadence (VERDICT r11 task #5) --------------------

@@ -312,14 +312,50 @@ def _insert_dynamic(
     bucket expression, tasks hold whole buckets and the append lands
     ~n_buckets files. HashPartitioning is the same function bucketing
     uses, so this can never change which bucket a row lands in."""
-    spark = df.sparkSession
-    if bucket_cols:
-        df = df.repartition(n_buckets or NEARDUP_STATE_BUCKETS, *bucket_cols)
+    _insert_dynamic_many(
+        df.sparkSession, [(df, table, bucket_cols, n_buckets)]
+    )
+
+
+def _insert_dynamic_many(
+    spark: SparkSession,
+    inserts: list[tuple[DataFrame, str, list[str] | None, int | None]],
+) -> None:
+    """Run several independent dynamic-overwrite inserts CONCURRENTLY from
+    a small driver thread pool (round 12, guide §2.6 "overlap independent
+    jobs"): the per-table state appends of one batch touch disjoint
+    tables, are each idempotent under replay, and their commit ORDER was
+    never load-bearing (the crash-window argument in the module docstring
+    holds for any partial subset) — so the later writes' tasks back-fill
+    executors idled by the earlier writes' commit latency. The session's
+    partitionOverwriteMode is toggled ONCE around the pool (per-write
+    toggling from concurrent threads would race on the shared session
+    conf); any write failure propagates before the caller can commit its
+    checkpoint, exactly as with sequential writes."""
+    prepped = []
+    for df, table, bucket_cols, n_buckets in inserts:
+        if bucket_cols:
+            df = df.repartition(
+                n_buckets or NEARDUP_STATE_BUCKETS, *bucket_cols
+            )
+        prepped.append((df, table))
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(key)
     spark.conf.set(key, "dynamic")
     try:
-        df.write.insertInto(table, overwrite=True)
+        if len(prepped) == 1:
+            df, table = prepped[0]
+            df.write.insertInto(table, overwrite=True)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(prepped)) as pool:
+                futures = [
+                    pool.submit(df.write.insertInto, table, True)
+                    for df, table in prepped
+                ]
+                for f in futures:
+                    f.result()
     finally:
         spark.conf.set(key, prev)
 
@@ -553,20 +589,32 @@ def process_neardup_batch(
     # needed (columns ordered to each table's schema; insertInto is
     # position-based).
     bid = F.lit(batch_id).cast("long")
-    _insert_dynamic(
-        bands_b.select("doc_id", "band", "band_key", bid.alias("batch_id")),
-        tables["bands"],
-        bucket_cols=_STATE_SPECS["bands"][1],
-    )
-    _insert_dynamic(
-        postings_b.select("doc_id", "h", bid.alias("batch_id")),
-        tables["postings"],
-        bucket_cols=_STATE_SPECS["postings"][1],
-    )
-    _insert_dynamic(
-        sizes_b.select("doc_id", "sz", bid.alias("batch_id")),
-        tables["sizes"],
-        bucket_cols=_STATE_SPECS["sizes"][1],
+    # concurrent appends (guide §2.6): disjoint tables, idempotent
+    # per-partition overwrites, order-free crash-window semantics
+    _insert_dynamic_many(
+        spark,
+        [
+            (
+                bands_b.select(
+                    "doc_id", "band", "band_key", bid.alias("batch_id")
+                ),
+                tables["bands"],
+                _STATE_SPECS["bands"][1],
+                None,
+            ),
+            (
+                postings_b.select("doc_id", "h", bid.alias("batch_id")),
+                tables["postings"],
+                _STATE_SPECS["postings"][1],
+                None,
+            ),
+            (
+                sizes_b.select("doc_id", "sz", bid.alias("batch_id")),
+                tables["sizes"],
+                _STATE_SPECS["sizes"][1],
+                None,
+            ),
+        ],
     )
     return out
 

@@ -71,6 +71,7 @@ from ai_powered_data_pipeline_assistant_spark.operators.multimodal import (
 from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
     _ids_under_cap,
     _insert_dynamic,
+    _insert_dynamic_many,
     _partner_pruned,
 )
 
@@ -361,21 +362,32 @@ def process_phash_batch(
         )
         idempotent_append(decisions, batch_id, decisions_dir)
     bid = F.lit(batch_id).cast("long")
-    _insert_dynamic(
-        bands_b.select(
-            "media_id", "modality", "band", "band_val", bid.alias("batch_id")
-        ),
-        tables["pbands"],
-        bucket_cols=_STATE_SPECS["pbands"][1],
-        n_buckets=PHASH_STATE_BUCKETS,
-    )
-    _insert_dynamic(
-        hashed_b.select(
-            "media_id", "modality", *_BAND_COLS, bid.alias("batch_id")
-        ),
-        tables["phashes"],
-        bucket_cols=_STATE_SPECS["phashes"][1],
-        n_buckets=PHASH_STATE_BUCKETS,
+    # concurrent appends (guide §2.6): disjoint tables, idempotent
+    # per-partition overwrites, order-free crash-window semantics
+    _insert_dynamic_many(
+        spark,
+        [
+            (
+                bands_b.select(
+                    "media_id",
+                    "modality",
+                    "band",
+                    "band_val",
+                    bid.alias("batch_id"),
+                ),
+                tables["pbands"],
+                _STATE_SPECS["pbands"][1],
+                PHASH_STATE_BUCKETS,
+            ),
+            (
+                hashed_b.select(
+                    "media_id", "modality", *_BAND_COLS, bid.alias("batch_id")
+                ),
+                tables["phashes"],
+                _STATE_SPECS["phashes"][1],
+                PHASH_STATE_BUCKETS,
+            ),
+        ],
     )
     return pairs
 
