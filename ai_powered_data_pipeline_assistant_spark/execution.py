@@ -87,3 +87,25 @@ def materialize_barrier(df: DataFrame) -> DataFrame:
     """``.transform``-friendly wrapper: lazy materialize with a mandatory
     lineage barrier (see ``require_barrier`` above)."""
     return materialize(df, require_barrier=True)
+
+
+def run_concurrently(*thunks):
+    """Run independent driver actions concurrently from a small thread
+    pool (guide §2.6 "overlap independent jobs"): Spark happily schedules
+    several jobs at once inside one application, and FIFO scheduling
+    back-fills executors idled by an earlier job's straggler tail or
+    commit latency with the later jobs' tasks. Callers must only pass
+    thunks whose jobs are mutually independent (disjoint outputs,
+    order-free semantics — the per-batch state appends and read-only
+    summary counts qualify; anything whose commit ORDER is load-bearing
+    does not). Returns results in thunk order. The first failure
+    propagates to the caller, but only after every thunk has run to
+    completion (pool shutdown waits), so no write job is abandoned
+    mid-flight with its committer state ambiguous."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+    return [f.result() for f in futures]

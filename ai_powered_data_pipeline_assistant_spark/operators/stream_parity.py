@@ -2203,7 +2203,9 @@ def crawl_steady_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     last = F.col("batch_id") == nb - 1
-    n_arrivals = final.count()
+    from ai_powered_data_pipeline_assistant_spark.execution import (
+        run_concurrently,
+    )
     from ai_powered_data_pipeline_assistant_spark.streaming.neardup import (
         DECISIONS_SCHEMA,
     )
@@ -2211,16 +2213,22 @@ def crawl_steady_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final batch's drop count from the gate's BOUNDED decisions
     # (round 12 — the pair read-back this replaces was the composed text
     # path's one quadratic output); explicit schema, the stream-output
-    # read rule
-    n_dropped = (
-        spark.read.schema(f"{DECISIONS_SCHEMA}, batch_id long")
-        .parquet(f"{root}/out/decisions")
-        .filter(last & F.col("is_dup"))
-        .count()
-    )
-    n_curated = spark.read.parquet(f"{root}/out/curated").filter(last).count()
-    n_indexed = (
-        spark.read.parquet(f"{root}/index/codes").filter(last).count()
+    # read rule. The four summary counts are independent read-only jobs
+    # over already-committed outputs — overlapped (guide §2.6).
+    n_arrivals, n_dropped, n_curated, n_indexed = run_concurrently(
+        final.count,
+        lambda: (
+            spark.read.schema(f"{DECISIONS_SCHEMA}, batch_id long")
+            .parquet(f"{root}/out/decisions")
+            .filter(last & F.col("is_dup"))
+            .count()
+        ),
+        lambda: (
+            spark.read.parquet(f"{root}/out/curated").filter(last).count()
+        ),
+        lambda: (
+            spark.read.parquet(f"{root}/index/codes").filter(last).count()
+        ),
     )
     return spark.createDataFrame(
         [(n_arrivals, n_dropped, n_curated, n_indexed)],

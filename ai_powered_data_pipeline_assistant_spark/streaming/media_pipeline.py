@@ -233,19 +233,22 @@ def process_media_batch(
         pairs_dir=f"{out_dir}/pairs" if emit_pairs else None,
         decisions_dir=decisions_dir,
     )
-    # -- incremental perceptual families -----------------------------
-    # the pair frame is lazy (stable post-write — pre-batch reads +
-    # identity exclusion); it feeds the union-find without the pair
-    # list ever landing as an output
-    process_cluster_batch(
-        pairs.select(
-            F.col("later_id").alias("a_id"), F.col("earlier_id").alias("b_id")
-        ),
-        batch_id,
-        _cluster_dir(state_dir),
+    # -- incremental perceptual families + outputs + state appends ----
+    # The four tails below are mutually independent once the perceptual
+    # gate has landed its decisions: the union-find consumes the (lazy,
+    # post-write-stable) pair frame and touches only the cluster state;
+    # the curated/exact_dropped sinks are idempotent batch-partitioned
+    # overwrites of disjoint output dirs; the state appends consume only
+    # the already-materialized hashed/groups frames. Overlapped from a
+    # driver pool (round 12, guide §2.6) so the sinks' commit latency
+    # hides under the clusterer's pointer-doubling jobs; the reentrant
+    # `_dynamic_overwrite_mode` guard makes the concurrent session-conf
+    # toggles safe. Failures propagate before the checkpoint commit,
+    # exactly as sequentially.
+    from ai_powered_data_pipeline_assistant_spark.execution import (
+        run_concurrently,
     )
 
-    # -- curated output ----------------------------------------------
     # read back the bounded decisions the gate just landed (explicit
     # schema: a zero-dup batch leaves only _SUCCESS markers)
     dup_ids = (
@@ -257,38 +260,46 @@ def process_media_batch(
     curated = survivors.select("media_id", "modality").join(
         dup_ids, "media_id", "left_anti"
     )
-    idempotent_append(curated, batch_id, f"{out_dir}/curated")
-    idempotent_append(dropped_exact, batch_id, f"{out_dir}/exact_dropped")
-
-    # -- state appends ------------------------------------------------
     bid = F.lit(batch_id).cast("long")
-    # concurrent appends (guide §2.6): disjoint tables, idempotent
-    # per-partition overwrites, order-free crash-window semantics
-    _insert_dynamic_many(
-        hashed.sparkSession,
-        [
-            (
-                groups.filter("is_new").select(
-                    "digest",
-                    "modality",
-                    F.col("final_keeper").alias("keeper_id"),
-                    bid.alias("batch_id"),
-                ),
-                tables["mdigest"],
-                _STATE_SPECS["mdigest"][1],
-                MEDIA_STATE_BUCKETS,
+    run_concurrently(
+        lambda: process_cluster_batch(
+            pairs.select(
+                F.col("later_id").alias("a_id"),
+                F.col("earlier_id").alias("b_id"),
             ),
-            (
-                hashed.join(
-                    F.broadcast(survivor_ids), "media_id", "left_semi"
-                ).select(
-                    "media_id", "modality", "bytes", bid.alias("batch_id")
+            batch_id,
+            _cluster_dir(state_dir),
+        ),
+        lambda: idempotent_append(curated, batch_id, f"{out_dir}/curated"),
+        lambda: idempotent_append(
+            dropped_exact, batch_id, f"{out_dir}/exact_dropped"
+        ),
+        lambda: _insert_dynamic_many(
+            hashed.sparkSession,
+            [
+                (
+                    groups.filter("is_new").select(
+                        "digest",
+                        "modality",
+                        F.col("final_keeper").alias("keeper_id"),
+                        bid.alias("batch_id"),
+                    ),
+                    tables["mdigest"],
+                    _STATE_SPECS["mdigest"][1],
+                    MEDIA_STATE_BUCKETS,
                 ),
-                tables["msizes"],
-                _STATE_SPECS["msizes"][1],
-                MEDIA_STATE_BUCKETS,
-            ),
-        ],
+                (
+                    hashed.join(
+                        F.broadcast(survivor_ids), "media_id", "left_semi"
+                    ).select(
+                        "media_id", "modality", "bytes", bid.alias("batch_id")
+                    ),
+                    tables["msizes"],
+                    _STATE_SPECS["msizes"][1],
+                    MEDIA_STATE_BUCKETS,
+                ),
+            ],
+        ),
     )
 
     # -- maintenance cadence (VERDICT r11 task #5) --------------------

@@ -84,6 +84,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -317,6 +318,42 @@ def _insert_dynamic(
     )
 
 
+# Reentrant, thread-safe guard for the session-level dynamic-overwrite
+# toggle (round 12): once batch handlers overlap independent write jobs
+# from driver threads (guide §2.6), two naive save/set/restore blocks can
+# interleave so that the first exit restores "static" WHILE the second
+# thread's insertInto is still planning — silently turning its dynamic
+# per-partition overwrite into a table-truncating static one. Depth-count
+# per session: the first entrant saves+sets, only the last exit restores.
+_POM_KEY = "spark.sql.sources.partitionOverwriteMode"
+_POM_LOCK = threading.Lock()
+_POM_STATE: dict[int, list] = {}  # id(session) -> [depth, saved_value]
+
+
+class _dynamic_overwrite_mode:
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+
+    def __enter__(self):
+        with _POM_LOCK:
+            st = _POM_STATE.get(id(self._spark))
+            if st is None:
+                st = [0, self._spark.conf.get(_POM_KEY)]
+                _POM_STATE[id(self._spark)] = st
+                self._spark.conf.set(_POM_KEY, "dynamic")
+            st[0] += 1
+        return self
+
+    def __exit__(self, *exc):
+        with _POM_LOCK:
+            st = _POM_STATE[id(self._spark)]
+            st[0] -= 1
+            if st[0] == 0:
+                del _POM_STATE[id(self._spark)]
+                self._spark.conf.set(_POM_KEY, st[1])
+        return False
+
+
 def _insert_dynamic_many(
     spark: SparkSession,
     inserts: list[tuple[DataFrame, str, list[str] | None, int | None]],
@@ -339,10 +376,7 @@ def _insert_dynamic_many(
                 n_buckets or NEARDUP_STATE_BUCKETS, *bucket_cols
             )
         prepped.append((df, table))
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "dynamic")
-    try:
+    with _dynamic_overwrite_mode(spark):
         if len(prepped) == 1:
             df, table = prepped[0]
             df.write.insertInto(table, overwrite=True)
@@ -356,8 +390,6 @@ def _insert_dynamic_many(
                 ]
                 for f in futures:
                     f.result()
-    finally:
-        spark.conf.set(key, prev)
 
 
 def _ids_under_cap(ids_df: DataFrame) -> list[int] | None:
@@ -415,25 +447,26 @@ def process_neardup_batch(
     the verified-pairs frame (lazy; stable to re-evaluate post-write —
     reads are strictly pre-batch + identity-excluded)."""
     from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
-        JACCARD_THRESHOLD,
         _shingles,
         minhash_band_frame,
         minhash_sig_aggs,
-        minhash_verified_pairs,
-    )
-    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
-        idempotent_append,
     )
 
     tables = _state_tables(state_dir)
     spark = docs.sparkSession
     docs = docs.select("doc_id", "text")
     # Shingle/sign ONCE per arriving doc; each frame feeds two
-    # consumers (candidate join/verify + state append).
+    # consumers (candidate join/verify + state append). sigs_b (and with
+    # it postings_b) is materialized EAGERLY: the uniqueness gate below
+    # runs on a pool thread concurrently with the main thread's candidate
+    # build, and both consume these frames — racing two jobs into the
+    # same lazy localCheckpoint makes the loser's tasks sit in block-lock
+    # waits (measured: zero-CPU 1.5 s/task stalls); one eager pass up
+    # front gives every overlapped consumer cached blocks instead.
     postings_b = _shingles(docs).transform(materialize)
-    sigs_b = (
-        postings_b.groupBy("doc_id").agg(*minhash_sig_aggs())
-    ).transform(materialize)
+    sigs_b = materialize(
+        postings_b.groupBy("doc_id").agg(*minhash_sig_aggs()), eager=True
+    )
     bands_b = minhash_band_frame(sigs_b).transform(materialize)
     sizes_b = sigs_b.select("doc_id", "sz")
 
@@ -469,23 +502,62 @@ def process_neardup_batch(
     # admission would suppress pairs against the prior version while
     # duplicate state rows accumulate; raise instead. Same bucket-pruned
     # doc_id point-read path as verification — O(batch), not O(corpus).
-    own_lit = _ids_under_cap(own_ids)
-    rearrived = (
-        _partner_pruned(
-            spark.table(tables["sizes"]).filter(pre), own_lit, own_ids
+    def _uniqueness_gate() -> None:
+        own_lit = _ids_under_cap(own_ids)
+        rearrived = (
+            _partner_pruned(
+                spark.table(tables["sizes"]).filter(pre), own_lit, own_ids
+            )
+            .select("doc_id")
+            .limit(5)
+            .collect()
         )
-        .select("doc_id")
-        .limit(5)
-        .collect()
+        if rearrived:
+            raise ValueError(
+                "near-dup stream received doc_ids that already have state "
+                f"from an earlier batch (sample: "
+                f"{sorted(int(r['doc_id']) for r in rearrived)}); re-crawled "
+                "content must arrive under fresh (version-suffixed) doc_ids "
+                "or state must be deduped before ingest (module docstring)"
+            )
+
+    # Overlap (round 12, guide §2.6): the gate's two bounded driver
+    # round-trips run on a pool thread while the main thread builds and
+    # materializes the candidate frames — both sides only READ. The gate
+    # is JOINED before any output or state write starts, so a rejected
+    # batch is still write-free (pinned by test_neardup_stream's
+    # rearrival test), and the state appends then run on the pool thread
+    # while the main thread executes the verify + gate-output writes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        gate = pool.submit(_uniqueness_gate)
+        out = _neardup_candidates_and_outputs(
+            spark, docs, batch_id, tables, pre, _not_own,
+            postings_b, sigs_b, bands_b, sizes_b,
+            pairs_dir, decisions_dir, gate, pool,
+        )
+    finally:
+        pool.shutdown(wait=True)
+    return out
+
+
+def _neardup_candidates_and_outputs(
+    spark, docs, batch_id, tables, pre, _not_own,
+    postings_b, sigs_b, bands_b, sizes_b,
+    pairs_dir, decisions_dir, gate, pool,
+):
+    """Candidate join + verify + gate outputs + state appends for one
+    batch (the tail of `process_neardup_batch`, factored so the overlap
+    pool wraps it; see that function for semantics)."""
+    from ai_powered_data_pipeline_assistant_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        minhash_verified_pairs,
     )
-    if rearrived:
-        raise ValueError(
-            "near-dup stream received doc_ids that already have state "
-            f"from an earlier batch (sample: "
-            f"{sorted(int(r['doc_id']) for r in rearrived)}); re-crawled "
-            "content must arrive under fresh (version-suffixed) doc_ids "
-            "or state must be deduped before ingest (module docstring)"
-        )
+    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
+        idempotent_append,
+    )
 
     bands_s = _not_own(spark.table(tables["bands"]).filter(pre))
 
@@ -517,6 +589,45 @@ def process_neardup_batch(
         .transform(materialize)
     )
     partner_ids = _ids_under_cap(cand_ids)
+    # join the uniqueness gate BEFORE any write starts: a rejected batch
+    # must stay write-free (test_neardup_stream's rearrival contract)
+    gate.result()
+    # State appends: each table's batch partition is replaced on
+    # replay, so a crash between ANY two of the three commits leaves a
+    # state the replay repairs in place — no write-order sentinel
+    # needed (columns ordered to each table's schema; insertInto is
+    # position-based). They consume only the already-materialized batch
+    # frames, so they run on the pool thread (guide §2.6) while the main
+    # thread executes the verify + gate-output writes below; joined
+    # before return so a failed append still propagates ahead of the
+    # caller's checkpoint commit.
+    bid = F.lit(batch_id).cast("long")
+    appends = pool.submit(
+        _insert_dynamic_many,
+        spark,
+        [
+            (
+                bands_b.select(
+                    "doc_id", "band", "band_key", bid.alias("batch_id")
+                ),
+                tables["bands"],
+                _STATE_SPECS["bands"][1],
+                None,
+            ),
+            (
+                postings_b.select("doc_id", "h", bid.alias("batch_id")),
+                tables["postings"],
+                _STATE_SPECS["postings"][1],
+                None,
+            ),
+            (
+                sizes_b.select("doc_id", "sz", bid.alias("batch_id")),
+                tables["sizes"],
+                _STATE_SPECS["sizes"][1],
+                None,
+            ),
+        ],
+    )
     postings_part = _partner_pruned(
         _not_own(spark.table(tables["postings"]).filter(pre)).select(
             "doc_id", "h"
@@ -583,39 +694,9 @@ def process_neardup_batch(
             )
         )
         idempotent_append(decisions, batch_id, decisions_dir)
-    # State appends: each table's batch partition is replaced on
-    # replay, so a crash between ANY two of the three commits leaves a
-    # state the replay repairs in place — no write-order sentinel
-    # needed (columns ordered to each table's schema; insertInto is
-    # position-based).
-    bid = F.lit(batch_id).cast("long")
-    # concurrent appends (guide §2.6): disjoint tables, idempotent
-    # per-partition overwrites, order-free crash-window semantics
-    _insert_dynamic_many(
-        spark,
-        [
-            (
-                bands_b.select(
-                    "doc_id", "band", "band_key", bid.alias("batch_id")
-                ),
-                tables["bands"],
-                _STATE_SPECS["bands"][1],
-                None,
-            ),
-            (
-                postings_b.select("doc_id", "h", bid.alias("batch_id")),
-                tables["postings"],
-                _STATE_SPECS["postings"][1],
-                None,
-            ),
-            (
-                sizes_b.select("doc_id", "sz", bid.alias("batch_id")),
-                tables["sizes"],
-                _STATE_SPECS["sizes"][1],
-                None,
-            ),
-        ],
-    )
+    # join the state appends launched above — failures propagate here,
+    # before the caller can commit its checkpoint
+    appends.result()
     return out
 
 

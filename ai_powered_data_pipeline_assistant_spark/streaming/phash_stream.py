@@ -178,19 +178,19 @@ def process_phash_batch(
     reads strictly pre-batch state partitions and excludes the arriving
     ids by identity, so re-evaluating it AFTER this batch's state writes
     still yields this batch's pairs."""
-    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
-        idempotent_append,
-    )
-
     spark = media.sparkSession
     tables = _state_tables(state_dir)
     if not all(spark.catalog.tableExists(t) for t in tables.values()):
         _create_state(spark, state_dir, tables)
 
     # hash ONCE per arriving blob; the frame feeds bands, verify, and
-    # both state appends
+    # both state appends. EAGER: the uniqueness gate (pool thread) and
+    # the band build (main thread) both consume it concurrently — racing
+    # two jobs into one lazy localCheckpoint costs block-lock waits (see
+    # the neardup twin); one eager pass gives both sides cached blocks.
     hashed_b = materialize(
-        phash_projection(media.select("media_id", "modality", "payload"))
+        phash_projection(media.select("media_id", "modality", "payload")),
+        eager=True,
     )
     own_ids = hashed_b.select("media_id")
 
@@ -212,39 +212,72 @@ def process_phash_batch(
     # replay (the newest batch keeps its own partition, excluded by
     # `pre`; compaction never folds the newest batch), via the
     # bucket-pruned point-read path — O(batch), not O(corpus).
-    within_dups = (
-        hashed_b.groupBy("media_id")
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(5)
-        .collect()
-    )
-    if within_dups:
-        raise ValueError(
-            "phash stream batch contains duplicate media_ids (sample: "
-            f"{sorted(int(r['media_id']) for r in within_dups)}); each "
-            "blob must arrive exactly once (module docstring)"
-        )
-    own_lit = _ids_under_cap(own_ids)
     hashes_state = spark.table(tables["phashes"]).filter(pre)
-    rearrived = (
-        _partner_pruned(
-            hashes_state.withColumnRenamed("media_id", "doc_id"),
-            own_lit,
-            own_ids.withColumnRenamed("media_id", "doc_id"),
+
+    def _uniqueness_gate() -> None:
+        within_dups = (
+            hashed_b.groupBy("media_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(5)
+            .collect()
         )
-        .select("doc_id")
-        .limit(5)
-        .collect()
+        if within_dups:
+            raise ValueError(
+                "phash stream batch contains duplicate media_ids (sample: "
+                f"{sorted(int(r['media_id']) for r in within_dups)}); each "
+                "blob must arrive exactly once (module docstring)"
+            )
+        own_lit = _ids_under_cap(own_ids)
+        rearrived = (
+            _partner_pruned(
+                hashes_state.withColumnRenamed("media_id", "doc_id"),
+                own_lit,
+                own_ids.withColumnRenamed("media_id", "doc_id"),
+            )
+            .select("doc_id")
+            .limit(5)
+            .collect()
+        )
+        if rearrived:
+            raise ValueError(
+                "phash stream received media_ids that already have state "
+                f"from an earlier batch (sample: "
+                f"{sorted(int(r['doc_id']) for r in rearrived)}); re-crawled "
+                "blobs must arrive under fresh (version-suffixed) media_ids "
+                "or state must be deduped before ingest (module docstring)"
+            )
+
+    # Overlap (round 12, guide §2.6 — the neardup twin's discipline): the
+    # gate's bounded driver round-trips run on a pool thread while the
+    # main thread builds and materializes the candidate frames (both
+    # sides only READ); the gate is joined before any write starts, so a
+    # rejected batch stays write-free (test_phash_stream's contract), and
+    # the state appends then ride the pool thread under the verify +
+    # gate-output writes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        gate = pool.submit(_uniqueness_gate)
+        return _phash_candidates_and_outputs(
+            spark, hashed_b, own_ids, hashes_state, batch_id, tables,
+            pre, _not_own, pairs_dir, decisions_dir, gate, pool,
+        )
+    finally:
+        pool.shutdown(wait=True)
+
+
+def _phash_candidates_and_outputs(
+    spark, hashed_b, own_ids, hashes_state, batch_id, tables,
+    pre, _not_own, pairs_dir, decisions_dir, gate, pool,
+):
+    """Candidate join + verify + gate outputs + state appends for one
+    batch (the tail of `process_phash_batch`, factored so the overlap
+    pool wraps it; see that function for semantics)."""
+    from ai_powered_data_pipeline_assistant_spark.streaming.jobs import (
+        idempotent_append,
     )
-    if rearrived:
-        raise ValueError(
-            "phash stream received media_ids that already have state "
-            f"from an earlier batch (sample: "
-            f"{sorted(int(r['doc_id']) for r in rearrived)}); re-crawled "
-            "blobs must arrive under fresh (version-suffixed) media_ids "
-            "or state must be deduped before ingest (module docstring)"
-        )
 
     bands_b = materialize(
         hashed_b.select(
@@ -294,6 +327,40 @@ def process_phash_batch(
         .transform(materialize)
     )
     partner_ids = _ids_under_cap(cand_ids)
+    # join the uniqueness gate BEFORE any write starts (write-free
+    # rejection), then launch the state appends on the pool thread: they
+    # consume only the already-materialized batch frames, are disjoint
+    # idempotent per-partition overwrites, and their commit order was
+    # never load-bearing — joined before return so failures propagate
+    # ahead of the caller's checkpoint commit (guide §2.6).
+    gate.result()
+    bid = F.lit(batch_id).cast("long")
+    appends = pool.submit(
+        _insert_dynamic_many,
+        spark,
+        [
+            (
+                bands_b.select(
+                    "media_id",
+                    "modality",
+                    "band",
+                    "band_val",
+                    bid.alias("batch_id"),
+                ),
+                tables["pbands"],
+                _STATE_SPECS["pbands"][1],
+                PHASH_STATE_BUCKETS,
+            ),
+            (
+                hashed_b.select(
+                    "media_id", "modality", *_BAND_COLS, bid.alias("batch_id")
+                ),
+                tables["phashes"],
+                _STATE_SPECS["phashes"][1],
+                PHASH_STATE_BUCKETS,
+            ),
+        ],
+    )
     partners = _partner_pruned(
         _not_own(hashes_state)
         .withColumnRenamed("media_id", "doc_id")
@@ -361,34 +428,9 @@ def process_phash_batch(
             )
         )
         idempotent_append(decisions, batch_id, decisions_dir)
-    bid = F.lit(batch_id).cast("long")
-    # concurrent appends (guide §2.6): disjoint tables, idempotent
-    # per-partition overwrites, order-free crash-window semantics
-    _insert_dynamic_many(
-        spark,
-        [
-            (
-                bands_b.select(
-                    "media_id",
-                    "modality",
-                    "band",
-                    "band_val",
-                    bid.alias("batch_id"),
-                ),
-                tables["pbands"],
-                _STATE_SPECS["pbands"][1],
-                PHASH_STATE_BUCKETS,
-            ),
-            (
-                hashed_b.select(
-                    "media_id", "modality", *_BAND_COLS, bid.alias("batch_id")
-                ),
-                tables["phashes"],
-                _STATE_SPECS["phashes"][1],
-                PHASH_STATE_BUCKETS,
-            ),
-        ],
-    )
+    # join the state appends launched above — failures propagate here,
+    # before the caller can commit its checkpoint
+    appends.result()
     return pairs
 
 

@@ -33,7 +33,8 @@ def main() -> int:
     # same config surface as get_spark(), plus event logging via the
     # SPARK_GRAFT_EXTRA_CONF environment hook
     os.environ["SPARK_GRAFT_EXTRA_CONF"] = (
-        f"spark.eventLog.enabled=true;spark.eventLog.dir={log_dir}"
+        f"spark.eventLog.enabled=true;spark.eventLog.dir={log_dir};"
+        "spark.eventLog.compress=false"
     )
     from ai_powered_data_pipeline_assistant_spark.session import get_spark
 

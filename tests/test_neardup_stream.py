@@ -664,13 +664,26 @@ def test_rearrived_doc_id_fails_loudly_but_replay_passes(spark, sf_dir):
         } == state_before
 
         # one already-seen id inside a LATER batch: loud failure, and the
-        # failed batch must not have appended state
+        # failed batch must not have appended state NOR landed any gate
+        # output (round 12: the uniqueness gate runs overlapped with the
+        # candidate build on a pool thread, but is joined before any
+        # write starts — a rejected batch stays entirely write-free)
         b1 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(b0.limit(1))
         with pytest.raises(ValueError, match="already have state"):
-            process_neardup_batch(b1, 1, state_dir, pairs_dir)
+            process_neardup_batch(
+                b1, 1, state_dir, pairs_dir, decisions_dir=f"{tmp}/decisions"
+            )
         assert {
             k: spark.table(n).count() for k, n in tables.items()
         } == state_before
+        import os
+
+        assert not os.path.exists(f"{tmp}/decisions/batch_id=1"), (
+            "rejected batch must not land gate decisions"
+        )
+        assert not os.path.exists(f"{pairs_dir}/batch_id=1"), (
+            "rejected batch must not land pair output"
+        )
 
         # fresh ids in the later batch: proceeds normally
         process_neardup_batch(
