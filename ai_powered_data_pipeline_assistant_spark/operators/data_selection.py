@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_powered_data_pipeline_assistant_spark.catalog import load_table
+from ai_powered_data_pipeline_assistant_spark.execution import materialize
 from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
     md5_int,
     md5_int_sql,
@@ -66,42 +67,36 @@ def _doc_bucket_stream(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, bucket) — one row per unigram AND adjacent bigram,
     hashed into [0, DSIR_BUCKETS). Array-adjacent extraction, no window."""
     base = docs.select("doc_id", "lang", _toks().alias("t"))
-    uni = base.select(
-        "doc_id", "lang", F.explode("t").alias("ng")
-    )
-    bi = (
-        base.filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 2), "
-                    "i -> concat_ws(' ', t[i], t[i + 1]))"
-                )
-            ).alias("ng"),
-        )
-    )
-    return uni.unionByName(bi).select(
+    # Unigrams and bigrams ride ONE explode (round 13): the old
+    # uni-UNION-bi shape scanned and re-split the corpus twice; appending
+    # the bigram array to the token array per doc emits the identical
+    # n-gram multiset from a single pass. size(t) == 1 docs get no bigrams
+    # (the guard also keeps sequence() from descending).
+    ngrams = F.when(
+        F.size("t") >= 2,
+        F.concat(
+            F.col("t"),
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> concat_ws(' ', t[i], t[i + 1]))"
+            ),
+        ),
+    ).otherwise(F.col("t"))
+    return base.select(
+        "doc_id", "lang", F.explode(ngrams).alias("ng")
+    ).select(
         "doc_id",
         "lang",
         (md5_int(F.col("ng")) % DSIR_BUCKETS).alias("bucket"),
     )
 
 
-def _bucket_logratio(stream: DataFrame) -> DataFrame:
-    """Per-bucket int64 log-likelihood ratio ln(p_target) - ln(p_raw), both
-    add-1 smoothed over DSIR_BUCKETS. Raw and target counts come from ONE
-    conditional aggregation over the n-gram stream (not two passes), and
-    the corpus totals are re-aggregated from the ≤DSIR_BUCKETS bucket frame
-    — so building the whole model costs exactly one pass over the corpus.
-    At most DSIR_BUCKETS rows → broadcasts."""
-    counts = stream.groupBy("bucket").agg(
-        F.count("*").alias("rc"),
-        F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("tc"),
-    )
+def _bucket_logratio_counts(counts: DataFrame) -> DataFrame:
+    """Per-bucket int64 log-likelihood ratio ln(p_target) - ln(p_raw) from a
+    pre-aggregated (bucket, rc, tc) frame, both add-1 smoothed over
+    DSIR_BUCKETS. The corpus totals are re-aggregated from the
+    ≤DSIR_BUCKETS bucket frame, so the model costs nothing beyond the
+    counts that feed it. At most DSIR_BUCKETS rows → broadcasts."""
     totals = counts.agg(
         F.sum("rc").alias("rtot"), F.sum("tc").alias("ttot")
     )
@@ -125,11 +120,34 @@ def _bucket_logratio(stream: DataFrame) -> DataFrame:
 def _doc_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     stream = _doc_bucket_stream(docs)
-    lr = _bucket_logratio(stream)
+    # ONE pass over the n-gram stream (round 13, guide §2.4): the stream fed
+    # two consumers — the bucket-count model and the per-doc scorer — and,
+    # unmaterialized, the explode+md5 ran twice end to end (profiled: the
+    # two heaviest stages of the query were the same computation). Collapse
+    # the stream to per-(doc, bucket) counts first (map-side-combined, ~min(
+    # n_ngrams, DSIR_BUCKETS) rows per doc), materialize THAT small frame,
+    # and derive both the model and the scores from it: counts re-aggregate
+    # per bucket, and the per-doc score weights lr_int by the local count.
+    per_doc = (
+        stream.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .transform(materialize)
+    )
+    lr = _bucket_logratio_counts(
+        per_doc.groupBy("bucket").agg(
+            F.sum("cnt").alias("rc"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("cnt")).otherwise(0)
+            ).alias("tc"),
+        )
+    )
     scored = (
-        stream.join(F.broadcast(lr), "bucket")
+        per_doc.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
-        .agg(F.sum("lr_int").alias("sum_lr"), F.count("*").alias("n_ngrams"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("lr_int")).alias("sum_lr"),
+            F.sum("cnt").alias("n_ngrams"),
+        )
     )
     return scored.join(docs.select("doc_id", "lang", "source"), "doc_id")
 

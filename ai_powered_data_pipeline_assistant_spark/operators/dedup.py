@@ -34,6 +34,7 @@ from ai_powered_data_pipeline_assistant_spark.catalog import load_table
 from ai_powered_data_pipeline_assistant_spark.execution import materialize
 from ai_powered_data_pipeline_assistant_spark.functions.hashing import (
     HASH_MOD,
+    MD5_PREFIX_LEN,
     md5_int,
     md5_int_sql,
 )
@@ -71,15 +72,29 @@ def _shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     collision behavior is the same on both engines.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    sh = F.expr(
-        "transform(sequence(0, size(toks) - {k}), i -> "
-        "concat_ws(' ', slice(toks, i + 1, {k})))".format(k=SHINGLE_K)
-    )
     # Hash + dedupe INSIDE the array (per doc) before exploding: doc_id is
     # unique per input row, so (doc_id, h) is globally distinct by
     # construction and the old explode→distinct shuffle (an exchange over
     # every posting) disappears — the postings build is map-only.
-    hashes = F.array_distinct(F.transform(sh, lambda g: md5_int(g)))
+    #
+    # ONE fused lambda instead of transform(transform(...)) (round 13,
+    # guide §1.2 "per-task work"): higher-order lambdas are interpreted
+    # (CodegenFallback), so the old two-pass shape paid a full interpreted
+    # array pass to build shingle strings and a second to hash them — plus
+    # a slice() array allocation per shingle. Building the shingle with
+    # element_at concat inside the hash lambda drops both (A/B: 0.398 →
+    # 0.278 s noop on the sf0.1 postings build, identical fingerprint).
+    # sequence(0, size-k) guarantees i+1..i+k are in bounds, so element_at
+    # never sees an out-of-range index.
+    parts = " , ' ', ".join(
+        f"element_at(toks, i + {j + 1})" for j in range(SHINGLE_K)
+    )
+    hashes = F.expr(
+        "array_distinct(transform(sequence(0, size(toks) - {k}), i -> "
+        "CAST(conv(substring(md5(concat({parts})), 1, {plen}), 16, 10) AS BIGINT)))".format(
+            k=SHINGLE_K, parts=parts, plen=MD5_PREFIX_LEN
+        )
+    )
     return (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
         # docs shorter than k tokens yield no shingles (and would otherwise
