@@ -60,17 +60,24 @@ def _parquet_mtime(path: str) -> float:
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    parallelize: bool = False,
+    min_shard_bytes: int | None = None,
 ) -> DataFrame:
     """Load one test table.
 
-    ``parallelize=True`` repartitions the scan to the session's default
-    parallelism when the file yields fewer partitions than cores. The test
-    parquet is a single row group, so CPU-heavy downstream stages (shingle
-    explode, mapInPandas feature extraction, embedding UDFs) would otherwise
-    run on ONE core. On a real 100 TB table the scan has thousands of
-    splits and this is a no-op; the guard keeps it from ever adding a
-    shuffle where the scan is already parallel.
+    ``parallelize=True`` repartitions the scan for CPU-heavy downstream
+    stages (shingle explode, mapInPandas feature extraction, embedding
+    UDFs) when the file yields fewer partitions than the data-proportional
+    target below. On a real 100 TB table the scan has thousands of splits
+    and this is a no-op; the guard keeps it from ever adding a shuffle
+    where the scan is already parallel.
+
+    ``min_shard_bytes`` lets a caller that MEASURED a preference for even
+    fewer, larger shards raise the per-shard byte floor above the session
+    default.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -98,7 +105,33 @@ def load_table(
                 ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)")
             )
     if parallelize:
+        # Data-proportional width cap (round 13, guide §2.5): width follows
+        # the file size — one shard per SPARK_GRAFT_PARALLELIZE_BYTES of
+        # compressed parquet — still capped at the session's core count.
+        # The divisor default (64 KiB ≈ 10 shards for the sf0.1 documents
+        # table, 13 for embeddings) was MEASURED, not assumed: interleaved
+        # best-of-4 width sweeps at sf0.1/local[32] found width 32 the
+        # WORST setting for every parallelize consumer tested — w10/w3 won
+        # 1.2-1.9× on span_dedup, bpe_pair_counts, simhash, unigram,
+        # length_batched_padding, bm25, curate_corpus, minhash, triangles
+        # (dozens of near-empty round-robin shards cost more scheduling
+        # and exchange fan-out than their contents; the same signal as the
+        # 18 bench rows that ran faster on 8 cores than 32 in PERF_r12).
+        # On a real table the scan already has more splits than the cap
+        # and the whole branch is a no-op.
         target = spark.sparkContext.defaultParallelism
+        try:
+            import os
+
+            nbytes = os.path.getsize(path)
+            per_part = int(
+                os.environ.get("SPARK_GRAFT_PARALLELIZE_BYTES", str(64 * 1024))
+            )
+            if min_shard_bytes is not None:
+                per_part = max(per_part, min_shard_bytes)
+            target = max(1, min(target, (nbytes + per_part - 1) // per_part))
+        except (OSError, ValueError):
+            pass  # no local size (remote path) → keep the core-count width
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
     return df

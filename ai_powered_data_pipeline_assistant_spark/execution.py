@@ -101,11 +101,22 @@ def run_concurrently(*thunks):
     does not). Returns results in thunk order. The first failure
     propagates to the caller, but only after every thunk has run to
     completion (pool shutdown waits), so no write job is abandoned
-    mid-flight with its committer state ambiguous."""
+    mid-flight with its committer state ambiguous. When several thunks
+    fail, the lowest-index exception propagates and the others are
+    recorded on it as ``__notes__`` (visible in the traceback), not
+    silently dropped."""
+    if not thunks:
+        return []
     if len(thunks) == 1:
         return [thunks[0]()]
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
         futures = [pool.submit(t) for t in thunks]
+    errs = [(i, f.exception()) for i, f in enumerate(futures) if f.exception()]
+    if errs:
+        first_i, first_e = errs[0]
+        for i, e in errs[1:]:
+            first_e.add_note(f"sibling thunk #{i} also failed: {e!r}")
+        raise first_e
     return [f.result() for f in futures]

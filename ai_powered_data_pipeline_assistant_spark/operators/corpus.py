@@ -279,11 +279,20 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     still compiles to TakeOrderedAndProject — no global sort."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # explode_OUTER + count(term) (round 13, VERDICT r12 #4/#8): a doc with
+    # NULL text must stay a document — the oracle's lens CTE keeps it with
+    # dl NULL and counts it in n_docs, so a plain explode (which drops it)
+    # would drift n_docs/avgdl and lose the row on a corpus with null
+    # text. explode_outer emits one NULL-term row for it; count("term")
+    # (non-null count) wrapped in when() reproduces the oracle's NULL dl,
+    # and the NULL-term row contributes NULL tf sums, which the score's
+    # coalesce already treats as 0 — pinned end to end by
+    # tests/test_dedup_edge.py::test_bm25_null_text_matches_oracle.
     per_doc = (
-        docs.select("doc_id", F.explode(toks).alias("term"))
+        docs.select("doc_id", F.explode_outer(toks).alias("term"))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("dl"),
+            F.when(F.count("term") > 0, F.count("term")).alias("dl"),
             *[
                 F.sum((F.col("term") == t).cast("long")).alias(f"tf_{t}")
                 for t in BM25_TERMS

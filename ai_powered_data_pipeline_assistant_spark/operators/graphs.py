@@ -125,27 +125,40 @@ def markov_prediction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = pairs.crossJoin(F.broadcast(bounds)).select(
         "prev_type", "next_type", (F.col("next_es") < F.col("cutoff")).alias("is_train")
     )
-    train_counts = (
-        tagged.filter("is_train")
-        .groupBy("prev_type", "next_type")
+    # ONE pass over the transition pairs (round 13, guide §2.4): train
+    # counting and test scoring both reduce to the tiny
+    # (prev, next, is_train) count cube — the old shape filtered `tagged`
+    # twice, re-running the lag window (the expensive user_id shuffle+sort)
+    # once per side. The cube is |event types|²·2 rows; materialized so its
+    # two consumers don't recompute the window either.
+    from ai_powered_data_pipeline_assistant_spark.execution import materialize
+
+    counts = (
+        tagged.groupBy("prev_type", "next_type", "is_train")
         .agg(F.count("*").alias("n"))
+        .transform(materialize)
     )
+    train_counts = counts.filter("is_train").select("prev_type", "next_type", "n")
     pick = Window.partitionBy("prev_type").orderBy(F.desc("n"), F.asc("next_type"))
     predicted = (
         train_counts.withColumn("rk", F.row_number().over(pick))
         .filter(F.col("rk") == 1)
         .select("prev_type", F.col("next_type").alias("predicted_next"))
     )
-    test = tagged.filter(~F.col("is_train"))
+    test_counts = counts.filter(~F.col("is_train")).select(
+        "prev_type", "next_type", "n"
+    )
     return (
-        test.join(F.broadcast(predicted), "prev_type", "left")
+        test_counts.join(F.broadcast(predicted), "prev_type", "left")
         .groupBy("prev_type", "predicted_next")
         .agg(
-            F.count("*").alias("n_test"),
+            F.sum("n").alias("n_test"),
             # when(...).otherwise(0) (not a bare cast) so a NULL prediction
             # counts as a miss on both engines
             F.sum(
-                F.when(F.col("next_type") == F.col("predicted_next"), 1).otherwise(0)
+                F.when(
+                    F.col("next_type") == F.col("predicted_next"), F.col("n")
+                ).otherwise(0)
             ).alias("n_correct"),
         )
         .select(

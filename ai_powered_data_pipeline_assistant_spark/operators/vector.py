@@ -494,8 +494,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str, n_lists: int = 8,
     """
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     centroids = ivf_centroids(emb, n_lists)
-    assigned = assign_lists(
-        emb.select("vec_id", "embedding"), "embedding", centroids, "list_id", 1
+    # Materialized (round 13): `assigned` feeds BOTH self-join sides and
+    # the final keep/drop join — three consumers, so the centroid
+    # assignment (broadcast join + fixed-point cosine + per-vector window)
+    # previously ran three times end to end.
+    assigned = materialize(
+        assign_lists(
+            emb.select("vec_id", "embedding"), "embedding", centroids, "list_id", 1
+        )
     )
     a = assigned.select(
         "list_id", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec")

@@ -327,29 +327,40 @@ def _insert_dynamic(
 # per session: the first entrant saves+sets, only the last exit restores.
 _POM_KEY = "spark.sql.sources.partitionOverwriteMode"
 _POM_LOCK = threading.Lock()
-_POM_STATE: dict[int, list] = {}  # id(session) -> [depth, saved_value]
+_POM_STATE: dict = {}  # JVM-session key -> [depth, saved_value]
+
+
+def _pom_session_key(spark: SparkSession):
+    """Identity of the UNDERLYING JVM session, not the Python wrapper
+    (round 13, ADVICE r12): the conf the guard toggles lives JVM-side, and
+    two wrapper objects over the same JVM session (a stored handle vs
+    ``getActiveSession`` / ``df.sparkSession``) must share one depth count
+    — keyed on ``id(wrapper)`` each thought it was the first entrant and
+    the earlier exit restored "static" under the later thread's insert."""
+    return spark._jsparkSession.hashCode()
 
 
 class _dynamic_overwrite_mode:
     def __init__(self, spark: SparkSession) -> None:
         self._spark = spark
+        self._key = _pom_session_key(spark)
 
     def __enter__(self):
         with _POM_LOCK:
-            st = _POM_STATE.get(id(self._spark))
+            st = _POM_STATE.get(self._key)
             if st is None:
                 st = [0, self._spark.conf.get(_POM_KEY)]
-                _POM_STATE[id(self._spark)] = st
+                _POM_STATE[self._key] = st
                 self._spark.conf.set(_POM_KEY, "dynamic")
             st[0] += 1
         return self
 
     def __exit__(self, *exc):
         with _POM_LOCK:
-            st = _POM_STATE[id(self._spark)]
+            st = _POM_STATE[self._key]
             st[0] -= 1
             if st[0] == 0:
-                del _POM_STATE[id(self._spark)]
+                del _POM_STATE[self._key]
                 self._spark.conf.set(_POM_KEY, st[1])
         return False
 
@@ -628,6 +639,17 @@ def _neardup_candidates_and_outputs(
             ),
         ],
     )
+    # SAFETY DEPENDENCY of the overlap above (ADVICE r12): these state
+    # reads execute on the main thread WHILE the pool thread may be
+    # deleting/replacing the current batch's partition (a replay). They
+    # are safe only because `pre` (batch_id < current) is a CATALOG
+    # PARTITION filter, pruned before file listing — the reader never
+    # lists the partition being rewritten. Any future read path that
+    # lists these tables without partition pruning (path-based
+    # spark.read.parquet, schema inference over the root, a pruning
+    # regression) would race the append and hit FileNotFoundException or
+    # torn data. Keep state reads going through spark.table(...)
+    # .filter(pre); tests/test_neardup_stream.py pins the pruned shape.
     postings_part = _partner_pruned(
         _not_own(spark.table(tables["postings"]).filter(pre)).select(
             "doc_id", "h"

@@ -146,6 +146,21 @@ def test_state_layout_scale_properties(spark, sf_dir):
         _insert_dynamic(replay.select(*cols), bands_t)
         assert spark.table(bands_t).count() == before["bands"]
 
+        # --- 2b. partition pruning of the overlap-window state reads
+        # (ADVICE r12): while a replayed batch's append rewrites the
+        # current batch_id partition on a pool thread, the main thread
+        # reads state through `.filter(batch_id < current)`. That is safe
+        # ONLY because the predicate prunes at the catalog partition level
+        # (before file listing). Pin the shape: the filter must appear in
+        # the scan's PartitionFilters, not as a post-scan Filter.
+        pruned = spark.table(bands_t).filter(F.col("batch_id") < last_batch)
+        scan_plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in scan_plan, scan_plan
+        import re as _re
+
+        pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", scan_plan).group(1)
+        assert "batch_id" in pf, scan_plan
+
         # --- 3. fresh-session re-registration ---
         for name in tables.values():
             spark.sql(f"DROP TABLE {name}")

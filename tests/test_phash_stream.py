@@ -91,9 +91,24 @@ def test_replay_and_rearrival(spark, sf_dir, dirs):
         process_phash_batch(b1, 1, state, pairs_dir)  # replay: legal
         assert snap() == s1 and pairs_snap() == p1
 
+        import os as _os
+        import tempfile as _tempfile
+
+        dec_dir = _tempfile.mkdtemp(prefix="phash_dec_") + "/decisions"
         with pytest.raises(ValueError, match="already have state"):
-            process_phash_batch(b0.limit(1), 2, state, pairs_dir)
+            process_phash_batch(b0.limit(1), 2, state, pairs_dir, dec_dir)
         assert snap() == s1
+        # write-free rejection (ADVICE r12): the gate joins the uniqueness
+        # check BEFORE any write, so the rejected batch must leave no
+        # batch_id=2 partition behind in EITHER output — the state-table
+        # snapshot alone does not pin the pairs/decisions sinks
+        assert pairs_snap() == p1
+        assert not any(
+            "batch_id=2" in d for d, _, _ in _os.walk(pairs_dir)
+        ), "rejected batch leaked a pairs partition"
+        assert not _os.path.exists(dec_dir) or not any(
+            "batch_id=" in d for d, _, _ in _os.walk(dec_dir)
+        ), "rejected batch leaked a decisions partition"
     finally:
         drop_state(spark, state)
 
