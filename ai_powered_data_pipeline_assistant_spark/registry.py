@@ -158,97 +158,76 @@ EXECUTES_AT_BUILD: frozenset[str] = frozenset(
 )
 
 # The correctness driver checks the FIRST 50 registry entries per round, so
-# ordering decides which queries get a driver verdict. Round-12 window
-# (VERDICT r11 task #1 — rotate ALL 35 remaining r5 staleness names; the
-# pre-rotation record is 35 names at r5, everything else >= r6):
-# (a) the three NEW round-12 operators, windowed on arrival:
-# media_cluster_stream_parity (the pair-generic union-find instantiated
-# over the pHash pair stream with mid-stream compaction — r11 task #3),
-# media_crawl_parity (the composed exact-first media ingest pipeline
-# with bounded gate decisions + in-pipeline compaction cadence — r11
-# tasks #2b/#5), media_pipeline_state_report (its state accounting) —
-# all value-verified MATCH by targeted driver_sim at sf0.01 at their
-# landing commits, but the driver is the arbiter;
-# (b) insurance re-checks for every name whose implementing module
-# changed materially this round: operators/multimodal.py (integer-div
-# candidate_pairs — media_phash_band_stats), streaming/phash_stream.py
-# and streaming/neardup.py (bounded decisions gate output + returned
-# pair frame: both phash rows, both neardup rows), and
-# streaming/crawl_pipeline.py (compact_every cadence: both crawl rows);
-# neardup_cluster_stream_parity rides along as the cluster-stream
-# machinery the two new media rows now lean on;
-# (c) ALL 35 remaining r5-greens (exactly ROADMAP's "Round-12 window
-# plan" list, value-verified by every full sweep since r5, most recently
-# round-11's 306/306) — after this window lands the oldest non-window
-# green is r6;
-# (d) 4 alphabetically-first r6-greens (48 at round start) as fills:
-# ann_ivf_pruned, arrow_byte_stats, backfill_plan, bm25_search.
-# Every slot carries an oracle AND is driver-representable — both halves
-# enforced on every pytest by tests/test_driver_sim_hardening.py
-# (oracle presence + driver_representable over the built window frames).
-# Rows-only entries (bpe_merge_table, kmeans_embeddings, compression_ratio,
-# embed_*, quality_trainer_report, bpe_token_counts, scan_file_stats,
-# unigram_vocab_table, unigram_token_counts, tokenizer_fertility_report)
-# are NEVER windowed — their currency is their scalarized audit twins.
+# ordering decides which queries get a driver verdict. Round-13 window
+# (optimization round — no new operators):
+# (a) insurance re-checks for the six queries materially RESTRUCTURED this
+# round (one-pass DSIR ×2, one-pass markov audit, materialized
+# semantic_dedup, null-safe one-pass bm25, fused-shingle decontaminate) —
+# each value-verified MATCH by targeted driver_sim at sf0.01 (and sf0.001
+# for the dsir/bm25/shingle families) on its landing commit, but the
+# driver is the arbiter;
+# (b) staleness: ALL 44 remaining r6-greens (after this window lands the
+# oldest non-window green is r7), which also re-covers the fused shingle
+# kernel and the width change through minhash_lsh_pairs,
+# crosssource_dup_matrix, neardup_degree_stats, neardup_similarity_
+# histogram, item_recommendations, centroid_label_accuracy, bpe_pair_
+# counts and chunk_documents. Every slot carries an oracle AND is
+# driver-representable — both halves enforced on every pytest by
+# tests/test_driver_sim_hardening.py. Rows-only entries are NEVER
+# windowed — their currency is their scalarized audit twins.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- NEW round-12 operators, windowed on arrival --
-    "media_cluster_stream_parity",
-    "media_crawl_parity",
-    "media_pipeline_state_report",
-    # -- changed-module insurance (operators/multimodal.py integer-div;
-    # streaming/phash_stream.py + streaming/neardup.py bounded gate
-    # outputs; streaming/crawl_pipeline.py compaction cadence;
-    # cluster-stream machinery under new load) --
-    "media_phash_band_stats",
-    "media_phash_stream_parity",
-    "phash_state_report",
-    "neardup_stream_parity",
-    "neardup_state_report",
-    "crawl_pipeline_parity",
-    "crawl_steady_batch",
-    "neardup_cluster_stream_parity",
-    # -- staleness: ALL 35 remaining r5-greens (ROADMAP r12 window plan;
-    # after this window lands the oldest non-window green is r6) --
-    "channel_fanout_parity",
-    "churn_risk_flags",
-    "cluster_safe_split",
-    "compression_ratio_audit",
-    "conversion_latency",
-    "customer_running_revenue",
-    "decayed_engagement",
-    "dimension_variance_report",
-    "discount_effectiveness",
-    "docs_profile",
-    "embedding_drift_report",
-    "entity_clusters",
-    "forecast_baseline_report",
-    "funnel_stream_parity",
-    "hot_keys",
-    "incremental_daily_rollup",
-    "job_stream_parity",
-    "key_skew_stats",
-    "label_balance_report",
-    "monthly_revenue_yoy",
-    "neardup_cluster_sizes",
-    "neardup_keep_best",
-    "order_to_ship_latency",
-    "quality_classifier",
-    "rfm_segments",
-    "salting_plan",
-    "session_stream_parity",
-    "source_mix_resample",
-    "split_contamination_audit",
-    "stickiness_report",
-    "stratified_sample",
-    "unigram_logprob",
-    "user_activity_pareto",
-    "watermark_planner",
-    "weighted_sample",
-    # -- fills: 4 alphabetically-first r6-greens --
-    "ann_ivf_pruned",
-    "arrow_byte_stats",
-    "backfill_plan",
+    # -- restructured this round --
+    "dsir_importance_weights",
+    "dsir_gumbel_resample",
+    "markov_prediction_audit",
+    "semantic_dedup",
     "bm25_search",
+    "decontaminate",
+    # -- staleness: ALL 44 remaining r6-greens --
+    "bpe_encode_probe_audit",
+    "bpe_pair_counts",
+    "bpe_probe_audit",
+    "centroid_label_accuracy",
+    "centroid_separation_report",
+    "char_trigram_entropy",
+    "chunk_documents",
+    "cms_heavy_hitters",
+    "compression_probe_audit",
+    "corpus_drift_report",
+    "corpus_manifest",
+    "crosssource_dup_matrix",
+    "daily_counts_gapfill",
+    "domain_cap_sample",
+    "domain_stats",
+    "embedding_quantize_audit",
+    "event_gaps",
+    "event_transitions",
+    "fk_integrity_audit",
+    "frequent_terms_audit",
+    "heldout_perplexity",
+    "item_recommendations",
+    "kmeans_probe_audit",
+    "kmv_distinct_report",
+    "lang_confusion",
+    "lateral_topn_per_customer",
+    "logreg_probe_audit",
+    "minhash_lsh_pairs",
+    "neardup_degree_stats",
+    "neardup_similarity_histogram",
+    "packing_summary",
+    "pca_probe_audit",
+    "quality_bands_by_lang",
+    "repetition_gate",
+    "retrieval_overlap_report",
+    "session_summary",
+    "session_window_counts",
+    "shard_manifest",
+    "snapshot_diff",
+    "tfidf_keywords",
+    "top_docs_per_lang",
+    "value_moving_avg",
+    "vocab_topk",
+    "zipf_fit",
 )
 
 
