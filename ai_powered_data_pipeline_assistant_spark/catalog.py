@@ -75,9 +75,11 @@ def load_table(
     and this is a no-op; the guard keeps it from ever adding a shuffle
     where the scan is already parallel.
 
-    ``min_shard_bytes`` lets a caller that MEASURED a preference for even
-    fewer, larger shards raise the per-shard byte floor above the session
-    default.
+    ``min_shard_bytes`` overrides the session's per-shard byte divisor for
+    callers that MEASURED a different sweet spot — the pandas-UDF embedder
+    rows pass a SMALLER value (their per-row Python compute wants one
+    worker per core: embed_and_search at the 64 KiB default is 0.72× of
+    its full-width time), while everything else keeps the default.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -124,11 +126,13 @@ def load_table(
             import os
 
             nbytes = os.path.getsize(path)
-            per_part = int(
-                os.environ.get("SPARK_GRAFT_PARALLELIZE_BYTES", str(64 * 1024))
+            per_part = (
+                min_shard_bytes
+                if min_shard_bytes is not None
+                else int(
+                    os.environ.get("SPARK_GRAFT_PARALLELIZE_BYTES", str(64 * 1024))
+                )
             )
-            if min_shard_bytes is not None:
-                per_part = max(per_part, min_shard_bytes)
             target = max(1, min(target, (nbytes + per_part - 1) // per_part))
         except (OSError, ValueError):
             pass  # no local size (remote path) → keep the core-count width

@@ -23,9 +23,18 @@ from ai_powered_data_pipeline_assistant_spark.functions.embedder import (
 )
 
 
+EMBED_SHARD_BYTES = 16 * 1024
+
+
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write path: content hash + embedding column for every document."""
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # EMBED_SHARD_BYTES: the embedder is CPU-bound Python per row, so it
+    # wants one worker per core — the 64 KiB session default (10 shards)
+    # measured 0.72x of full width on embed_and_search (best-of-5 A/B).
+    docs = load_table(
+        spark, sf_dir, "documents", parallelize=True,
+        min_shard_bytes=EMBED_SHARD_BYTES,
+    )
     return docs.select(
         "doc_id",
         F.sha2("text", 256).alias("content_hash"),
@@ -45,7 +54,13 @@ def embed_and_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame
     per-element HOF cosine would be ~23M interpreted lambda evals for 5k
     docs; the batch matmul is one BLAS call per Arrow batch (~10×).
     """
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # EMBED_SHARD_BYTES: the embedder is CPU-bound Python per row, so it
+    # wants one worker per core — the 64 KiB session default (10 shards)
+    # measured 0.72x of full width on embed_and_search (best-of-5 A/B).
+    docs = load_table(
+        spark, sf_dir, "documents", parallelize=True,
+        min_shard_bytes=EMBED_SHARD_BYTES,
+    )
     qvec = _embed_one("spark shuffle partition tuning")
     scored = docs.select(
         "doc_id",
